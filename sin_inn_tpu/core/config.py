@@ -1,0 +1,238 @@
+"""Typed experiment configs with derived-field validation.
+
+Replaces the reference's argparse-with-injected-fields idiom
+(/root/reference/main.py:9-83 derives ``lr_dims``/``z_dims`` at lines 74-75 and
+asserts ``scale % 4 == 0`` at line 79; /root/reference/video-interpolation/
+main.py:17-49). Here every derived quantity is computed and validated at
+construction time, and the channel math is shape-driven so non-4-multiple
+power-of-two scales (e.g. the tiny 2x config) work too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+def _octaves(scale: int) -> int:
+    """Number of per-octave stages: ``(scale - 1).bit_length()``.
+
+    Mirrors the reference arch loop bound (/root/reference/archs.py:33,212).
+    """
+    return (scale - 1).bit_length()
+
+
+@dataclass(frozen=True)
+class SRConfig:
+    """Config for the INN space-time super-resolution pipeline.
+
+    Field defaults mirror the reference CLI (/root/reference/main.py:9-83).
+    """
+
+    # Dataset
+    dataset: str = "datasets/adobe240f"
+    scene: str = "IMG_0028_binning_4x"
+    suffix: str = "default"
+    fps: int = 10                 # HR fps; LR frames are assumed 120 fps
+    lr_window: int = 10           # LR frames on either side of one HR frame
+    batch_size: int = 8
+    val_batch_size: int = 40
+
+    # Architecture
+    architecture: str = "SRF"     # 'SRF' | 'IRN'
+    scale: int = 4
+    num_coupling: int = 4
+    clamp_srf: float = 1.2        # GLOW soft-clamp (reference archs.py:63)
+    clamp_irn: float = 1.0        # InvBlockExp clamp (reference archs.py:136)
+    hidden_channels: int = 256    # conv subnet width (reference archs.py:11-17)
+    dense_gc: int = 32            # DenseBlock growth channels (archs.py:75)
+
+    # Training
+    epochs: int = 10_000
+    save_iter: int = 100
+    print_iter: int = 10
+    learning_rate: float = 1e-4
+    adam_betas: Tuple[float, float] = (0.9, 0.99)
+    weight_decay: float = 1e-5
+    lambda_fwd_rec: float = 1.0
+    lambda_fwd_mmd: float = 0.0
+    lambda_latent_nll: float = 0.0
+    lambda_bwd_rec: float = 1.0
+    lambda_bwd_mmd: float = 0.0
+    random_seed: int = 0
+
+    # TCR (transformation-consistency regularization)
+    lambda_bwd_tcr: float = 0.0
+    rotation: float = 5.0         # degrees
+    translation: float = 5.0      # pixels
+    tcr_iters: int = 5
+
+    # Inference
+    temp: float = 0.8             # latent sampling temperature
+
+    # Runtime
+    working_dir: str = "experiments"
+    resume_state: Optional[str] = None
+    compute_dtype: str = "float32"   # 'float32' | 'bfloat16' (matmul inputs)
+    data_axis: str = "data"          # mesh axis the batch is sharded over
+    donate_state: bool = True
+
+    def __post_init__(self):
+        if self.architecture not in ("SRF", "IRN"):
+            raise ValueError(f"unknown architecture {self.architecture!r}")
+        if self.scale < 2 or (self.scale & (self.scale - 1)) != 0:
+            # Generalizes the reference's `scale % 4 == 0` assert: the squeeze
+            # ladder needs a power-of-two scale (main.py:79 was stricter than
+            # the math requires).
+            raise ValueError(f"scale must be a power of two >= 2, got {self.scale}")
+        if self.lr_window < 0:
+            raise ValueError("lr_window must be >= 0")
+        if self.z_dims <= 0:
+            raise ValueError(
+                f"lr_dims={self.lr_dims} >= total INN channels "
+                f"{self.total_dims}; shrink lr_window or raise scale"
+            )
+
+    # ---- derived fields (reference main.py:74-75, made shape-driven) ----
+
+    @property
+    def octaves(self) -> int:
+        return _octaves(self.scale)
+
+    @property
+    def num_squeezes(self) -> int:
+        """Initial squeeze + one per octave (archs.py:28-38, 208-215)."""
+        return 1 + self.octaves
+
+    @property
+    def total_dims(self) -> int:
+        """Channel count after all squeezes of a 3-channel input.
+
+        Equals ``3 * 4**num_squeezes``; for power-of-two scales this is
+        ``scale**2 * 3 * 4`` as in reference main.py:75.
+        """
+        return 3 * 4 ** self.num_squeezes
+
+    @property
+    def lr_dims(self) -> int:
+        """(2*lr_window+1) RGGB LR frames stacked on channels (main.py:74)."""
+        return (2 * self.lr_window + 1) * 4
+
+    @property
+    def z_dims(self) -> int:
+        return self.total_dims - self.lr_dims
+
+    @property
+    def clamp(self) -> float:
+        return self.clamp_srf if self.architecture == "SRF" else self.clamp_irn
+
+    @property
+    def exp_name(self) -> str:
+        return f"{self.scene}_{self.architecture}_{self.suffix}"
+
+    def replace(self, **kw) -> "SRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """Config for the INR optical-flow / video-interpolation pipeline.
+
+    Field defaults mirror /root/reference/video-interpolation/main.py:17-49.
+    """
+
+    # Data
+    input_video: str = "../datasets/sintel/training/final/alley_1"
+    name: str = "temp"
+    end: Optional[int] = None
+    step: Optional[int] = None
+    size: int = 436
+    batch: int = 1
+    test_size: int = 436
+    test_batch: int = 1
+
+    # Network
+    net: str = "RBF"
+    spatially_adaptive: bool = False
+    spatial_res: int = 50        # controller grid resolution (main.py:141)
+
+    # INR model params (reference model.py:11-28 ModelParams)
+    domain_dim: int = 3
+    num_frequencies: int = 256
+    std: float = 25.0
+    power: int = 20
+    num_layers: int = 3
+    hidden_dim: int = 256
+    output_channels: int = 4
+    num_frequencies_pe: int = 4
+    std_rbf: float = 12.0
+
+    # Train
+    epochs: int = 1000
+    val_iter: Optional[int] = None
+    lr: float = 1e-4
+    loss_l1: float = 1.0
+    loss_census: float = 0.1
+    loss_ssim: float = 0.0
+    census_width: int = 3
+    loss_smooth1: float = 0.1
+    edge_constant: float = 150.0
+    edge_func: str = "gauss"     # 'exp' | 'gauss'
+    occl: Optional[str] = "wang"  # 'brox' | 'wang' | None
+    occl_thresh: float = 0.7
+    controller_epsilon: float = 1e-3
+    random_seed: int = 0
+
+    # Runtime
+    results_dir: str = "results"
+    checkpoints_dir: str = "checkpoints"
+    compute_dtype: str = "float32"
+    data_axis: str = "data"       # mesh axis pixel/frame grid is sharded over
+
+    def __post_init__(self):
+        if self.edge_func not in ("exp", "gauss"):
+            raise ValueError(f"edge_func must be 'exp' or 'gauss', got {self.edge_func}")
+        if self.occl not in ("brox", "wang", None):
+            raise ValueError(f"occl must be 'brox'|'wang'|None, got {self.occl}")
+
+    @property
+    def effective_val_iter(self) -> int:
+        # Reference disables validation by default (main.py:55-56).
+        return self.val_iter if self.val_iter else self.epochs + 1
+
+    def model_params(self) -> dict:
+        return dict(
+            domain_dim=self.domain_dim,
+            num_frequencies=self.num_frequencies,
+            std=self.std,
+            power=self.power,
+            num_layers=self.num_layers,
+            hidden_dim=self.hidden_dim,
+            output_channels=self.output_channels,
+            num_frequencies_pe=self.num_frequencies_pe,
+            std_rbf=self.std_rbf,
+        )
+
+    def replace(self, **kw) -> "FlowConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class PrepareConfig:
+    """Config for offline dataset preparation (reference datasets/prepare.py:7-33)."""
+
+    video: str = ""
+    downsampling: float = 1.0
+    operator: str = "binning"   # binning | linear | cubic | lanczos4 | nearest | area
+    reduction: str = "mean"     # mean | sum (binning only)
+    scale: int = 4
+    bayer: bool = False
+    noise: Optional[float] = None
+
+    def __post_init__(self):
+        ops = ("binning", "linear", "cubic", "lanczos4", "nearest", "area")
+        if self.operator not in ops:
+            raise ValueError(f"operator must be one of {ops}")
+        if self.reduction not in ("mean", "sum"):
+            raise ValueError("reduction must be 'mean' or 'sum'")

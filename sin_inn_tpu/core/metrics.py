@@ -1,0 +1,71 @@
+"""Thin metrics interface: local CSV/JSONL always, wandb when available.
+
+Replaces the reference's wandb-only observability (/root/reference/
+main.py:105-107, lit_wrapper.py:77,87-89, video-interpolation/trainer.py:77-85)
+with a writer that (a) never makes wandb a hard dependency, (b) writes
+machine-readable local logs, and (c) attaches metadata to artifacts instead of
+encoding metrics into filenames (the reference parses EPE back out of GIF
+filenames — trainer.py:127, main.py:103).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+def _to_py(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+class MetricsWriter:
+    def __init__(self, directory: str, run_name: str = "run",
+                 use_wandb: bool = False, wandb_project: Optional[str] = None,
+                 hyperparams: Optional[Dict[str, Any]] = None):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        self.jsonl_path = os.path.join(directory, f"{run_name}.metrics.jsonl")
+        self._jsonl = open(self.jsonl_path, "a")
+        self._t0 = time.time()
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb.init(project=wandb_project or "sin-inn-tpu",
+                                         name=run_name, config=hyperparams or {})
+            except Exception:
+                self._wandb = None
+        if hyperparams is not None:
+            with open(os.path.join(directory, f"{run_name}.config.json"), "w") as f:
+                json.dump({k: _to_py(v) for k, v in hyperparams.items()},
+                          f, indent=2, default=str)
+
+    def log(self, step: int, scalars: Dict[str, Any]):
+        rec = {"step": int(step), "time": time.time() - self._t0}
+        rec.update({k: _to_py(v) for k, v in scalars.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
+
+    def log_artifact(self, path: str, metadata: Dict[str, Any]):
+        """Write a sidecar metadata JSON next to an artifact file."""
+        with open(path + ".json", "w") as f:
+            json.dump({k: _to_py(v) for k, v in metadata.items()}, f, indent=2)
+
+    def close(self):
+        self._jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

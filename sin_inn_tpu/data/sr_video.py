@@ -1,0 +1,168 @@
+"""Single-video SR datasets: host-cached frames + device feeding.
+
+Re-design of /root/reference/data.py:14-137 for TPU: instead of 4 DataLoader
+worker processes re-decoding PNGs every epoch (data.py:122,134), the whole
+video is decoded ONCE into pinned host uint8 arrays (a single video at 640x360
+is tens of MB — trivially cacheable), and batches are pure fancy-indexing.
+Frames are shipped to the device as uint8 and normalized to [0,1] *on device*
+inside the jitted step, cutting host->HBM traffic by 4x vs float32 feeding.
+
+Index semantics mirror the reference exactly:
+  * train (supervised): every ``120 // fps``-th frame in
+    ``range(1 + fps, num_lr - fps)`` (data.py:55-59);
+  * all (unsupervised/inference): every frame in the same range (data.py:72-76);
+  * val: a seeded random subset of non-train frames (data.py:87-99 — the
+    reference's off-by-offset train-skip quirk at data.py:92 is documented in
+    SURVEY §"bugs" and implemented here with the *intended* skip rule).
+
+Each LR sample is the channel-concat of the ``2*lr_window+1`` RGGB LR frames
+around the index (data.py:35-38).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from sin_inn_tpu.core.config import SRConfig
+
+
+def _read_frames(directory: str, dtype=np.uint8) -> np.ndarray:
+    import imageio.v2 as io
+
+    files = sorted(f for f in os.listdir(directory) if f.endswith(".png"))
+    if not files:
+        raise FileNotFoundError(f"no .png frames in {directory}")
+    frames = [io.imread(os.path.join(directory, f)) for f in files]
+    arr = np.stack(frames).astype(dtype)
+    if arr.ndim == 3:
+        arr = arr[..., None]
+    return arr
+
+
+@dataclass
+class SRVideo:
+    """All frames of one scene, host-cached. lr: (N, h, w, 4) uint8 RGGB;
+    hr: (N, H, W, 3) uint8 RGB. Frame i of ``hr`` corresponds to frame i of
+    ``lr`` (both written by the prepare pipeline with 1-based filenames)."""
+
+    lr: np.ndarray
+    hr: np.ndarray
+
+    @classmethod
+    def from_dirs(cls, cfg: SRConfig) -> "SRVideo":
+        lr_dir = os.path.join(cfg.dataset, "lr_frames", cfg.scene)
+        hr_dir = os.path.join(cfg.dataset, "hr_frames", cfg.scene)
+        return cls(lr=_read_frames(lr_dir), hr=_read_frames(hr_dir))
+
+    @property
+    def num_lr(self) -> int:
+        # reference data.py:22 counts len(listdir)-1; we use the true count
+        # and keep the same index range endpoints below.
+        return self.lr.shape[0]
+
+
+def train_indices(cfg: SRConfig, num_lr: int) -> np.ndarray:
+    """Supervised HR frame indices (reference data.py:55-59, 0-based here)."""
+    return np.arange(1 + cfg.fps, num_lr - 1 - cfg.fps, 120 // cfg.fps)
+
+
+def all_indices(cfg: SRConfig, num_lr: int) -> np.ndarray:
+    """Every valid window center (reference data.py:72-76)."""
+    return np.arange(1 + cfg.fps, num_lr - 1 - cfg.fps)
+
+
+def val_indices(cfg: SRConfig, num_lr: int, k: int,
+                seed: Optional[int] = None) -> np.ndarray:
+    """k random non-train indices (intended behavior of data.py:87-99)."""
+    rng = np.random.RandomState(cfg.random_seed if seed is None else seed)
+    train = set(train_indices(cfg, num_lr).tolist())
+    pool = [i for i in all_indices(cfg, num_lr) if i not in train]
+    rng.shuffle(pool)
+    return np.asarray(pool[:k], dtype=np.int64)
+
+
+class SRDataset:
+    """Batched (hr, lr-window) sampler over a cached video."""
+
+    def __init__(self, video: SRVideo, cfg: SRConfig, indices: np.ndarray,
+                 shuffle: bool = False, seed: int = 0):
+        self.video = video
+        self.cfg = cfg
+        self.indices = np.asarray(indices)
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        w = cfg.lr_window
+        # Precompute the window gather indices: (num_samples, 2w+1)
+        self.window = self.indices[:, None] + np.arange(-w, w + 1)[None, :]
+        if self.window.min() < 0 or self.window.max() >= video.num_lr:
+            raise ValueError("LR window exceeds video bounds; check fps/lr_window")
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def gather(self, sel: np.ndarray) -> Dict[str, np.ndarray]:
+        """Assemble a batch for sample positions ``sel`` (uint8 arrays)."""
+        win = self.window[sel]                          # (B, 2w+1)
+        lr = self.video.lr[win]                         # (B, 2w+1, h, w, 4)
+        b, t, h, w, c = lr.shape
+        lr = np.moveaxis(lr, 1, 3).reshape(b, h, w, t * c)
+        hr = self.video.hr[self.indices[sel]]
+        return {"hr": hr, "lr": lr}
+
+    def batches(self, batch_size: int, drop_last: bool = False
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = len(order) - (len(order) % batch_size if drop_last else 0)
+        for s in range(0, stop, batch_size):
+            sel = order[s:s + batch_size]
+            if len(sel) == 0:
+                break
+            yield self.gather(sel)
+
+    def random_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        sel = self._rng.randint(0, len(self), size=batch_size)
+        return self.gather(sel)
+
+    @property
+    def image_shapes(self):
+        hr = self.video.hr.shape[1:]
+        h, w = self.video.lr.shape[1:3]
+        c = (2 * self.cfg.lr_window + 1) * self.video.lr.shape[3]
+        return hr, (h, w, c)
+
+
+def make_datasets(video: SRVideo, cfg: SRConfig):
+    """(sup, unsup, val) datasets mirroring reference main.py:89-93."""
+    sup = SRDataset(video, cfg, train_indices(cfg, video.num_lr),
+                    shuffle=True, seed=cfg.random_seed)
+    unsup = SRDataset(video, cfg, all_indices(cfg, video.num_lr),
+                      shuffle=True, seed=cfg.random_seed + 1)
+    k = max(1, len(sup) * 2 * 4 // 6)   # 60-40 split on paired len (main.py:93)
+    val = SRDataset(video, cfg, val_indices(cfg, video.num_lr, k),
+                    shuffle=False)
+    return sup, unsup, val
+
+
+def prefetch_to_device(it: Iterator, size: int = 2) -> Iterator:
+    """Double-buffered host->device prefetch (BASELINE.json requirement).
+
+    ``jax.device_put`` is async; keeping ``size`` batches in flight overlaps
+    the host gather/copy of batch k+1 with device compute on batch k.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+    for item in it:
+        queue.append(jax.device_put(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,111 @@
+"""Coupling-block subnets: plain conv stacks and the dense block.
+
+Functional (init, apply) equivalents of the reference subnets:
+  * ``subnet_conv`` / ``subnet_conv_1x1`` (/root/reference/archs.py:11-17) —
+    Conv(c_in->256, k) ReLU Conv(256->c_out, k), torch-default init.
+  * ``DenseBlock`` (/root/reference/archs.py:74-133) — 5-conv dense block with
+    LeakyReLU(0.2), xavier-normal(x0.1) init on convs 1-4 and a zero-init last
+    conv so each coupling starts as the identity map.
+
+All convs are NHWC with HWIO kernels: on TPU, XLA lowers them to MXU matmuls
+over the channel dimension (channels here are 84-256 wide — MXU-friendly),
+and fuses the activations; no hand-written kernel is needed for these.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+           stride: int = 1, padding: str | Sequence = "SAME") -> jnp.ndarray:
+    out = lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=_DIMNUMS,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Initializers replicating the torch schemes the reference relies on.
+# ---------------------------------------------------------------------------
+
+def _torch_default_conv(key, kh, kw, cin, cout, dtype=jnp.float32):
+    """torch.nn.Conv2d default: kaiming_uniform(a=sqrt(5)) => U(+-1/sqrt(fan_in))."""
+    kw_, kb = jax.random.split(key)
+    fan_in = cin * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw_, (kh, kw, cin, cout), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (cout,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def _xavier_normal_conv(key, kh, kw, cin, cout, scale=1.0, dtype=jnp.float32):
+    """nn.init.xavier_normal_ then weight *= scale; zero bias (archs.py:116-130)."""
+    fan_in = cin * kh * kw
+    fan_out = cout * kh * kw
+    std = math.sqrt(2.0 / (fan_in + fan_out)) * scale
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+def _zero_conv(kh, kw, cin, cout, dtype=jnp.float32):
+    """Last dense-block conv: kaiming init scaled by 0 == zeros (archs.py:86,103-104)."""
+    return {"w": jnp.zeros((kh, kw, cin, cout), dtype),
+            "b": jnp.zeros((cout,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Plain conv subnet (SRFlow GLOW couplings)
+# ---------------------------------------------------------------------------
+
+def conv_subnet_init(key, c_in: int, c_out: int, kernel: int,
+                     hidden: int = 256, dtype=jnp.float32) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": _torch_default_conv(k1, kernel, kernel, c_in, hidden, dtype),
+        "conv2": _torch_default_conv(k2, kernel, kernel, hidden, c_out, dtype),
+    }
+
+
+def conv_subnet_apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    h = conv2d(x, params["conv1"]["w"], params["conv1"]["b"])
+    h = jax.nn.relu(h)
+    return conv2d(h, params["conv2"]["w"], params["conv2"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# DenseBlock (IRN couplings)
+# ---------------------------------------------------------------------------
+
+def dense_block_init(key, c_in: int, c_out: int, gc: int = 32,
+                     dtype=jnp.float32) -> Dict:
+    ks = jax.random.split(key, 4)
+    params = {}
+    for i in range(4):
+        params[f"conv{i+1}"] = _xavier_normal_conv(
+            ks[i], 3, 3, c_in + i * gc, gc, scale=0.1, dtype=dtype)
+    params["conv5"] = _zero_conv(3, 3, c_in + 4 * gc, c_out, dtype)
+    return params
+
+
+def dense_block_apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    lrelu = lambda v: jax.nn.leaky_relu(v, negative_slope=0.2)
+    x1 = lrelu(conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))
+    cat = jnp.concatenate([x, x1], axis=-1)
+    x2 = lrelu(conv2d(cat, params["conv2"]["w"], params["conv2"]["b"]))
+    cat = jnp.concatenate([cat, x2], axis=-1)
+    x3 = lrelu(conv2d(cat, params["conv3"]["w"], params["conv3"]["b"]))
+    cat = jnp.concatenate([cat, x3], axis=-1)
+    x4 = lrelu(conv2d(cat, params["conv4"]["w"], params["conv4"]["b"]))
+    cat = jnp.concatenate([cat, x4], axis=-1)
+    return conv2d(cat, params["conv5"]["w"], params["conv5"]["b"])

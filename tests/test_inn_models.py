@@ -1,0 +1,72 @@
+"""End-to-end INN model tests: both architectures, bijectivity, shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin_inn_tpu.core.config import SRConfig
+from sin_inn_tpu.models.inn import (build_inn_spec, init_inn, inn_apply,
+                                    param_count)
+
+
+def tiny_cfg(arch):
+    # lr_window=1 -> lr_dims=12; scale=2 -> total=3*4^2=48 channels, z=36
+    return SRConfig(architecture=arch, scale=2, num_coupling=2, lr_window=1,
+                    hidden_channels=16, dense_gc=8)
+
+
+@pytest.mark.parametrize("arch", ["SRF", "IRN"])
+def test_inn_shapes_and_roundtrip(key, rng, arch):
+    cfg = tiny_cfg(arch)
+    spec, c_out = build_inn_spec(cfg, c=3)
+    assert c_out == cfg.total_dims == 48
+    params = init_inn(key, spec, c_in=3)
+
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    y = inn_apply(spec, params, x)
+    assert y.shape == (2, 2, 2, 48)   # two squeezes: /4 spatial, x16 channels
+    x_rec = inn_apply(spec, params, y, rev=True)
+    np.testing.assert_allclose(x_rec, x, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["SRF", "IRN"])
+def test_inn_jit_fwd_inv_one_program(key, rng, arch):
+    """Forward and inverse trace into a single jitted program."""
+    cfg = tiny_cfg(arch)
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(key, spec, c_in=3)
+    x = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+
+    @jax.jit
+    def both(p, x):
+        y = inn_apply(spec, p, x)
+        return inn_apply(spec, p, y, rev=True)
+
+    np.testing.assert_allclose(both(params, x), x, atol=1e-4)
+
+
+def test_inn_scale4_channel_math(key):
+    cfg = SRConfig(architecture="IRN", scale=4, num_coupling=1, lr_window=10,
+                   dense_gc=8)
+    spec, c_out = build_inn_spec(cfg, c=3)
+    # scale=4: 3 squeezes -> 192 channels; lr_dims=84, z=108 (SURVEY §2.1)
+    assert c_out == 192
+    assert cfg.lr_dims == 84
+    assert cfg.z_dims == 108
+
+
+def test_inn_has_params(key):
+    cfg = tiny_cfg("SRF")
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(key, spec, c_in=3)
+    assert param_count(params) > 1000
+
+
+def test_irn_split_respects_lr_dims(key):
+    cfg = SRConfig(architecture="IRN", scale=2, num_coupling=1, lr_window=1,
+                   dense_gc=8)
+    spec, _ = build_inn_spec(cfg, c=3)
+    couplings = [l for l in spec if l.kind == "invblock"]
+    assert couplings and all(l.split_len1 == min(cfg.lr_dims, 48 // 2)
+                             for l in couplings)
