@@ -1,0 +1,329 @@
+"""Progressive frequency-encoding controllers as explicit state pytrees.
+
+Re-design of /root/reference/video-interpolation/progressive_controller.py
+(14-710) for jit: the reference mutates Python attributes and torch buffers
+per step (``iteration``, ``cur_block``, lru-cached masks, scatter into
+``log_buffer`` — :28-31, :476-484, :544-552); here every controller is an
+immutable NamedTuple state threaded through the jitted train step, updated by
+pure functions with static shapes (SURVEY §7 hard-part 3).
+
+Implemented controllers (matching main.py:136-143 wiring):
+  * ``LinearState`` — global coarse-to-fine ramp (LinearController, :95-132)
+  * early-stop variant (LinearControllerEarly, :135-157): freezes progress
+    once the best loss drops under epsilon
+  * ``SpatialState`` — spatially adaptive (StashedSpatialController,
+    :461-710): per-cell loss accumulated on a res^d grid by bilinear scatter,
+    per-cell progress gating, mask looked up by multilinear interpolation.
+
+Divergences from the reference, by design (documented per SURVEY quirks):
+  * the reference never actually calls ``update_progress`` for the stashed
+    controller (no call site exists in the tree) and its scalar-loss stash
+    indexing crashes on 0-d tensors; we implement the *intended* behavior:
+    per-point losses are scattered into cells every step, and the per-cell
+    progress gate + block advance runs every ``block_iterations`` steps.
+  * checkpointing stores the dense mask state directly (an explicit pytree)
+    instead of re-deriving it from per-cell channel counts on load
+    (:55-81) — same information, no load-time reconstruction quirk.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sin_inn_tpu.models.inr import INRSpec
+
+
+# ===========================================================================
+# Linear controller (global ramp, optional early freeze)
+# ===========================================================================
+
+@dataclass(frozen=True)
+class LinearConfig:
+    encoding_dim: int
+    block_size: int
+    num_blocks: int
+    block_iterations: int
+    progress_iterations: int
+    epsilon: float = 0.0          # 0 => plain LinearController (no freeze)
+
+    @classmethod
+    def create(cls, spec: INRSpec, max_iteration: int,
+               epsilon: float = 0.0,
+               num_blocks: Optional[int] = None) -> "LinearConfig":
+        """Mirrors LinearController.__init__ (:121-132)."""
+        e = spec.encoding_dim
+        if num_blocks is None:
+            block_size = spec.domain_dim * 2
+            num_blocks = (e - block_size) // block_size
+        else:
+            block_size = e // num_blocks
+        block_iterations = max(3 * max_iteration // (4 * num_blocks), 1)
+        return cls(encoding_dim=e, block_size=block_size,
+                   num_blocks=num_blocks, block_iterations=block_iterations,
+                   progress_iterations=block_iterations * num_blocks,
+                   epsilon=epsilon)
+
+
+class LinearState(NamedTuple):
+    mask: jnp.ndarray          # (encoding_dim,)
+    iteration: jnp.ndarray     # i32 scalar
+    cur_block: jnp.ndarray     # i32 scalar
+    next_block: jnp.ndarray    # i32 scalar
+    best_score: jnp.ndarray    # f32 scalar
+
+
+def linear_init(cfg: LinearConfig) -> LinearState:
+    mask = jnp.concatenate([jnp.ones((cfg.block_size,)),
+                            jnp.zeros((cfg.encoding_dim - cfg.block_size,))])
+    return LinearState(
+        mask=mask,
+        iteration=jnp.zeros((), jnp.int32),
+        cur_block=jnp.asarray(cfg.block_size, jnp.int32),
+        next_block=jnp.asarray(2 * cfg.block_size, jnp.int32),
+        best_score=jnp.asarray(1e4, jnp.float32),
+    )
+
+
+def linear_update(cfg: LinearConfig, state: LinearState,
+                  loss: jnp.ndarray) -> LinearState:
+    """One ``stash_iteration`` (:28-31,112-119,141-151), pure."""
+    best = jnp.minimum(state.best_score, loss)
+    it = state.iteration + 1
+    idx = jnp.arange(cfg.encoding_dim)
+    in_window = (idx >= state.cur_block) & (idx < state.next_block)
+
+    boundary = (it % cfg.block_iterations) == 0
+    alpha = jnp.minimum(
+        1.0, 2.0 * (it % cfg.block_iterations) / cfg.block_iterations
+    ).astype(state.mask.dtype)
+
+    mask_ramp = jnp.where(in_window, alpha, state.mask)
+    mask_block = jnp.where(in_window, 1.0, state.mask)
+
+    # advance the block pointers on a boundary (:105-110)
+    nb = state.next_block + cfg.block_size
+    nb = jnp.where(cfg.encoding_dim - nb < cfg.block_size,
+                   cfg.encoding_dim, nb)
+    cur_new = jnp.where(boundary, state.next_block, state.cur_block)
+    next_new = jnp.where(boundary, nb, state.next_block)
+    mask_new = jnp.where(boundary, mask_block, mask_ramp)
+
+    # freeze conditions: past schedule (:113) or early-stopped (:148-151)
+    frozen = (it > cfg.progress_iterations)
+    if cfg.epsilon > 0:
+        frozen = frozen | (best < cfg.epsilon)
+
+    return LinearState(
+        mask=jnp.where(frozen, state.mask, mask_new),
+        iteration=it,
+        cur_block=jnp.where(frozen, state.cur_block, cur_new).astype(jnp.int32),
+        next_block=jnp.where(frozen, state.next_block, next_new).astype(jnp.int32),
+        best_score=best,
+    )
+
+
+def linear_mask(state: LinearState) -> jnp.ndarray:
+    return state.mask
+
+
+# ===========================================================================
+# Stashed spatial controller (per-cell progress on a res^d grid)
+# ===========================================================================
+
+@dataclass(frozen=True)
+class SpatialConfig:
+    encoding_dim: int
+    domain_dim: int            # of the input coords
+    mask_dim: int              # dims of the cell grid (== domain_dim usually)
+    res: int
+    cells: int
+    block_size: int
+    num_blocks: int
+    block_iterations: int
+    epsilon: float
+    k: int                     # box-blur width (:701)
+
+    @classmethod
+    def create(cls, spec: INRSpec, res: int, block_iterations: int = 20,
+               epsilon: float = 1e-3,
+               mask_dim: Optional[int] = None) -> "SpatialConfig":
+        """Mirrors StashedSpatialController.__init__ (:682-710)."""
+        res = max(res, 3)
+        mask_dim = spec.domain_dim if mask_dim is None else mask_dim
+        cells = res ** mask_dim
+        block_size = spec.domain_dim * 2
+        num_blocks = (spec.encoding_dim - block_size) // block_size
+        return cls(encoding_dim=spec.encoding_dim, domain_dim=spec.domain_dim,
+                   mask_dim=mask_dim, res=res, cells=cells,
+                   block_size=block_size, num_blocks=num_blocks,
+                   block_iterations=max(block_iterations, 1),
+                   epsilon=epsilon, k=5 if cells > 100 else 3)
+
+
+class SpatialState(NamedTuple):
+    mask: jnp.ndarray          # (cells, encoding_dim)
+    in_progress: jnp.ndarray   # (cells,) bool
+    log_buffer: jnp.ndarray    # (cells,) f32 accumulated loss
+    log_counter: jnp.ndarray   # (cells,) f32 accumulated weights
+    iteration: jnp.ndarray     # i32, resets each block cycle (:486-489)
+    cur_block: jnp.ndarray     # i32
+    next_block: jnp.ndarray    # i32
+
+
+def spatial_init(cfg: SpatialConfig) -> SpatialState:
+    mask = jnp.concatenate(
+        [jnp.ones((cfg.cells, cfg.block_size)),
+         jnp.zeros((cfg.cells, cfg.encoding_dim - cfg.block_size))], axis=1)
+    return SpatialState(
+        mask=mask,
+        in_progress=jnp.ones((cfg.cells,), bool),
+        log_buffer=jnp.zeros((cfg.cells,)),
+        log_counter=jnp.zeros((cfg.cells,)),
+        iteration=jnp.zeros((), jnp.int32),
+        cur_block=jnp.asarray(cfg.block_size, jnp.int32),
+        next_block=jnp.asarray(2 * cfg.block_size, jnp.int32),
+    )
+
+
+def _cell_interp(cfg: SpatialConfig, x: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multilinear cell indices + weights for coords in [-1, 1]^d.
+
+    Mirrors interpolate_ + flat_inds (:613-628, :655-664). x: (n, d).
+    Returns inds (n, 2^d) int32, alphas (n, 2^d).
+    """
+    d = cfg.mask_dim
+    xs = ((x[:, :d] + 1.0) / 2.0) * max(cfg.res - 2, 1) + 0.5
+    lo = jnp.floor(xs)
+    hi = jnp.ceil(xs + 1e-6)
+    a_lo = hi - xs
+    a_hi = xs - lo
+    inds_list, alphas_list = [], []
+    for corner in range(2 ** d):
+        idx = jnp.zeros(xs.shape[:1], xs.dtype)
+        alpha = jnp.ones(xs.shape[:1], xs.dtype)
+        for j in range(d):
+            # bit order matches the reference's format-string walk (:615-623):
+            # bit (d-1-j) of `corner` selects lo/hi for coordinate j
+            sel = (corner >> (d - 1 - j)) & 1
+            comp = jnp.where(sel, hi[:, j], lo[:, j])
+            awgt = jnp.where(sel, a_hi[:, j], a_lo[:, j])
+            idx = idx + jnp.clip(comp, 0, cfg.res - 1) * (cfg.res ** j)
+            alpha = alpha * awgt
+        inds_list.append(idx.astype(jnp.int32))
+        alphas_list.append(alpha)
+    return jnp.stack(inds_list, 1), jnp.stack(alphas_list, 1)
+
+
+def _box_blur_cells(cfg: SpatialConfig, v: jnp.ndarray) -> jnp.ndarray:
+    """Box-blur a per-cell field over the res^d grid, replicate padding.
+
+    v: (cells, E) or (cells,). Mirrors the conv smoothing (:586-601) with a
+    k^d box kernel; implemented as separable shifted sums on the VPU.
+    """
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    e = v.shape[1]
+    grid = v.reshape(*( [cfg.res] * cfg.mask_dim ), e)
+    half = cfg.k // 2
+    for axis in range(cfg.mask_dim):
+        pad = [(0, 0)] * grid.ndim
+        pad[axis] = (half, half)
+        padded = jnp.pad(grid, pad, mode="edge")
+        acc = jnp.zeros_like(grid)
+        for s in range(cfg.k):
+            acc = acc + lax_slice_axis(padded, axis, s, grid.shape[axis])
+        grid = acc / cfg.k
+    out = grid.reshape(cfg.cells, e)
+    return out[:, 0] if squeeze else out
+
+
+def lax_slice_axis(x: jnp.ndarray, axis: int, start: int, size: int) -> jnp.ndarray:
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, start + size)
+    return x[tuple(idx)]
+
+
+def spatial_point_mask(cfg: SpatialConfig, state: SpatialState,
+                       x: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-point mask by multilinear interpolation of the blurred cell mask
+    (:655-664). Returns (mask (n, E), inds, alphas) — inds/alphas are the
+    'stash' reused by the loss scatter (:661)."""
+    inds, alphas = _cell_interp(cfg, x)
+    blurred = _box_blur_cells(cfg, state.mask)            # (cells, E)
+    gathered = blurred[inds]                              # (n, 2^d, E)
+    mask = jnp.einsum("ncd,nc->nd", gathered, alphas)
+    return mask, inds, alphas
+
+
+def spatial_stash(cfg: SpatialConfig, state: SpatialState,
+                  point_loss: jnp.ndarray, inds: jnp.ndarray,
+                  alphas: jnp.ndarray) -> SpatialState:
+    """Accumulate per-point losses into cells + ramp the current block
+    (stash_iteration :476-484 + update_mask :577-581), pure."""
+    w = (point_loss[:, None] * alphas).reshape(-1)
+    log_buffer = state.log_buffer.at[inds.reshape(-1)].add(w)
+    log_counter = state.log_counter.at[inds.reshape(-1)].add(alphas.reshape(-1))
+    it = state.iteration + 1
+
+    alpha = jnp.minimum(
+        1.0, 2.0 * (it % cfg.block_iterations) / cfg.block_iterations
+    ).astype(state.mask.dtype)
+    idx = jnp.arange(cfg.encoding_dim)[None, :]
+    in_window = (idx >= state.cur_block) & (idx < state.next_block)
+    can_ramp = (it < cfg.block_iterations * (cfg.num_blocks + 1))
+    ramp = in_window & state.in_progress[:, None] & can_ramp
+    mask = jnp.where(ramp, jnp.maximum(state.mask, alpha), state.mask)
+
+    return state._replace(mask=mask, log_buffer=log_buffer,
+                          log_counter=log_counter, iteration=it)
+
+
+def spatial_progress(cfg: SpatialConfig, state: SpatialState) -> SpatialState:
+    """Per-cell gate + block advance + buffer reset (update_progress
+    :551-563), pure. Call every ``block_iterations`` steps."""
+    empty = state.log_counter == 0
+    counter = jnp.where(empty, 1.0, state.log_counter)
+    cell_loss = state.log_buffer / counter
+    # neighbor-fill for unvisited cells, then box blur (:504-518)
+    neigh = _box_blur_cells(cfg, jnp.where(empty, 0.0, cell_loss))
+    neigh_cnt = _box_blur_cells(cfg, jnp.where(empty, 0.0, 1.0))
+    filled = jnp.where(empty, neigh / jnp.maximum(neigh_cnt, 1e-12), cell_loss)
+    smoothed = _box_blur_cells(cfg, filled)
+    in_progress = state.in_progress & (smoothed > cfg.epsilon)
+
+    # increase_block (:569-575)
+    idx = jnp.arange(cfg.encoding_dim)[None, :]
+    in_window = (idx >= state.cur_block) & (idx < state.next_block)
+    mask = jnp.where(in_window & in_progress[:, None], 1.0, state.mask)
+    nb = state.next_block + cfg.block_size
+    nb = jnp.where(cfg.encoding_dim - nb < cfg.block_size,
+                   cfg.encoding_dim, nb)
+
+    return SpatialState(
+        mask=mask, in_progress=in_progress,
+        log_buffer=jnp.zeros_like(state.log_buffer),
+        log_counter=jnp.zeros_like(state.log_counter),
+        iteration=jnp.zeros((), jnp.int32),        # reset_buffer_ (:486-489)
+        cur_block=state.next_block,
+        next_block=nb.astype(jnp.int32),
+    )
+
+
+def spatial_update(cfg: SpatialConfig, state: SpatialState,
+                   point_loss: jnp.ndarray, inds: jnp.ndarray,
+                   alphas: jnp.ndarray) -> SpatialState:
+    """stash + conditional progress, in one pure update for the train step."""
+    state = spatial_stash(cfg, state, point_loss, inds, alphas)
+    do_progress = (state.iteration % cfg.block_iterations) == 0
+    return jax.lax.cond(do_progress,
+                        lambda s: spatial_progress(cfg, s),
+                        lambda s: s, state)

@@ -1,0 +1,212 @@
+"""Jitted training/eval for unsupervised optical flow via INRs.
+
+Functional replacement of ``FlowTrainer`` (/root/reference/
+video-interpolation/trainer.py:15-135). One jitted step runs: coordinate-grid
+build -> controller mask lookup -> INR -> occlusion masks -> backward warp ->
+softmax splat (both directions) -> photometric losses -> grad -> LAMB update
+-> controller state transition. The reference needed a CuPy-compiled CUDA
+kernel launch mid-step (trainer.py:63,67) plus host-side controller mutation
+(trainer.py:75) and a ``torch.cuda.empty_cache()`` per step (trainer.py:86);
+here the whole step is one XLA program with zero host round-trips.
+
+The (t, y, x) coordinate grid is built on device (trainer.py:37-45 built it
+on host per step). The pixel/point axis shards trivially over a device mesh —
+see parallel/.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sin_inn_tpu.core.config import FlowConfig
+from sin_inn_tpu.models import controllers as ctrl
+from sin_inn_tpu.models.inr import INRSpec, build_inr, inr_apply
+from sin_inn_tpu.ops.occlusion import occlusion_brox, occlusion_wang
+from sin_inn_tpu.ops.photometric import (bilateral_smooth, census_loss,
+                                         masked_l1, ssim_loss)
+from sin_inn_tpu.ops.splat import softsplat
+from sin_inn_tpu.ops.warp import resample2d
+from sin_inn_tpu.ops import losses as L
+from sin_inn_tpu.train.optim import lamb
+
+
+class FlowTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ctrl_state: Any            # None | LinearState | SpatialState
+    step: jnp.ndarray
+
+
+def build_flow_model(key: jax.Array, cfg: FlowConfig):
+    """Net + controller wiring (reference main.py:136-143)."""
+    spec, params, consts = build_inr(key, cfg.net, cfg)
+    ctrl_cfg = None
+    ctrl_state = None
+    if spec.is_progressive:
+        if cfg.spatially_adaptive:
+            ctrl_cfg = ctrl.SpatialConfig.create(
+                spec, cfg.spatial_res, block_iterations=max(
+                    3 * cfg.epochs // (4 * max(
+                        (spec.encoding_dim - spec.domain_dim * 2)
+                        // (spec.domain_dim * 2), 1)), 1),
+                epsilon=cfg.controller_epsilon)
+            ctrl_state = ctrl.spatial_init(ctrl_cfg)
+        else:
+            ctrl_cfg = ctrl.LinearConfig.create(
+                spec, cfg.epochs, epsilon=cfg.controller_epsilon)
+            ctrl_state = ctrl.linear_init(ctrl_cfg)
+    return spec, params, consts, ctrl_cfg, ctrl_state
+
+
+def pose_grid(times: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B,) frame times -> (B, H, W, 3) of (t, y, x) in [-1,1]^3
+    (trainer.py:37-43)."""
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    b = times.shape[0]
+    t = jnp.broadcast_to(times[:, None, None], (b, h, w))
+    gy = jnp.broadcast_to(gy[None], (b, h, w))
+    gx = jnp.broadcast_to(gx[None], (b, h, w))
+    return jnp.stack([t, gy, gx], axis=-1)
+
+
+def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
+                 times: jnp.ndarray, h: int, w: int, scale: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """INR -> (flow12, flow21) NHWC, each (B, H, W, 2) (trainer.py:37-45)."""
+    pts = pose_grid(times, h, w).reshape(-1, spec.domain_dim)
+    stash = {}
+    mask = None
+    if ctrl_state is not None:
+        if isinstance(ctrl_state, ctrl.SpatialState):
+            mask, inds, alphas = ctrl.spatial_point_mask(ctrl_cfg, ctrl_state, pts)
+            mask = jax.lax.stop_gradient(mask)
+            stash = {"inds": inds, "alphas": alphas}
+        else:
+            mask = jax.lax.stop_gradient(ctrl.linear_mask(ctrl_state))
+    out = inr_apply(spec, params, consts, pts, override_mask=mask)
+    b = times.shape[0]
+    flows = out.reshape(b, h, w, 4) * scale
+    return flows[..., :2], flows[..., 2:], stash
+
+
+def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
+              ctrl_state, batch: Dict) -> Tuple[jnp.ndarray, Dict]:
+    """Bidirectional photometric training loss (trainer.py:47-87)."""
+    frame1 = batch["frame1"]
+    frame2 = batch["frame2"]
+    times = batch["times"]
+    scale = batch["scale"]
+    b, h, w, _ = frame1.shape
+
+    flow12, flow21, stash = flow_forward(
+        spec, params, consts, ctrl_cfg, ctrl_state, times, h, w, scale)
+
+    if cfg.occl == "wang":
+        mask1 = occlusion_wang(flow12, flow21, cfg.occl_thresh)
+        mask2 = occlusion_wang(flow21, flow12, cfg.occl_thresh)
+    elif cfg.occl == "brox":
+        mask1 = occlusion_brox(flow12, flow21, cfg.occl_thresh)
+        mask2 = occlusion_brox(flow21, flow12, cfg.occl_thresh)
+    else:
+        mask1 = jnp.ones((b, h, w, 1), frame1.dtype)
+        mask2 = jnp.ones((b, h, w, 1), frame1.dtype)
+
+    # Forward-splat each frame toward the other (trainer.py:61-68)
+    warped2 = resample2d(frame1, flow21)
+    metric = jnp.mean(jnp.abs(frame2 - warped2), axis=-1, keepdims=True)
+    softmax1 = softsplat(frame2, flow21, -20.0 * metric, "softmax")
+    mask1 = mask1 * (softmax1 != 0.0).astype(frame1.dtype)
+
+    warped1 = resample2d(frame2, flow12)
+    metric = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
+    softmax2 = softsplat(frame1, flow12, -20.0 * metric, "softmax")
+    mask2 = mask2 * (softmax2 != 0.0).astype(frame1.dtype)
+
+    l1 = (masked_l1(softmax1, frame1, mask1, cfg.loss_l1)
+          + masked_l1(softmax2, frame2, mask2, cfg.loss_l1))
+    census = (census_loss(softmax1, frame1, mask1, cfg.loss_census, cfg.census_width)
+              + census_loss(softmax2, frame2, mask2, cfg.loss_census, cfg.census_width))
+    ssim = (ssim_loss(softmax1, frame1, mask1, cfg.loss_ssim)
+            + ssim_loss(softmax2, frame2, mask2, cfg.loss_ssim))
+    smooth = (bilateral_smooth(frame1, flow12, cfg.loss_smooth1,
+                               cfg.edge_func, cfg.edge_constant, 1)
+              + bilateral_smooth(frame2, flow21, cfg.loss_smooth1,
+                                 cfg.edge_func, cfg.edge_constant, 1))
+    loss = l1 + census + ssim + smooth
+
+    aux = {"loss": loss, "l1": l1, "census": census, "ssim": ssim,
+           "smooth": smooth,
+           "psnr": L.psnr(jnp.clip(softmax2, 0, 1), frame2),
+           "stash": stash}
+
+    # Per-point photometric error map for the spatial controller: the
+    # intended spatially-resolved signal behind net.stash_iteration(loss)
+    # (trainer.py:75; see controllers.py module docstring on the divergence).
+    err = (jnp.abs(softmax1 - frame1) * mask1).mean(-1) \
+        + (jnp.abs(softmax2 - frame2) * mask2).mean(-1)
+    aux["point_loss"] = (err / 2.0).reshape(-1)
+
+    if "gt_flow" in batch:
+        epe = jnp.mean(jnp.sqrt(jnp.sum(
+            (flow12 - batch["gt_flow"]) ** 2, axis=-1)))
+        aux["epe"] = epe
+    return loss, aux
+
+
+def create_flow_state(key: jax.Array, cfg: FlowConfig):
+    spec, params, consts, ctrl_cfg, ctrl_state = build_flow_model(key, cfg)
+    tx = lamb(cfg.lr)
+    state = FlowTrainState(params=params, opt_state=tx.init(params),
+                           ctrl_state=ctrl_state,
+                           step=jnp.zeros((), jnp.int32))
+    return spec, state, consts, ctrl_cfg, tx
+
+
+def make_flow_train_step(spec: INRSpec, cfg: FlowConfig, ctrl_cfg, tx):
+    """Returns jitted fn(state, consts, batch) -> (state, metrics)."""
+
+    def step(state: FlowTrainState, consts, batch):
+        grads, aux = jax.grad(
+            lambda p: flow_loss(spec, cfg, p, consts, ctrl_cfg,
+                                state.ctrl_state, batch),
+            has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ctrl_state = state.ctrl_state
+        if ctrl_state is not None:
+            if isinstance(ctrl_state, ctrl.SpatialState):
+                ctrl_state = ctrl.spatial_update(
+                    ctrl_cfg, ctrl_state, aux["point_loss"],
+                    aux["stash"]["inds"], aux["stash"]["alphas"])
+            else:
+                ctrl_state = ctrl.linear_update(ctrl_cfg, ctrl_state,
+                                                aux["loss"])
+        metrics = {k: v for k, v in aux.items()
+                   if k not in ("stash", "point_loss")}
+        return FlowTrainState(params, opt_state, ctrl_state,
+                              state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_flow_infer(spec: INRSpec, cfg: FlowConfig, ctrl_cfg):
+    """Jitted fn(params, consts, ctrl_state, times, scale) -> (flow12, flow21)."""
+
+    def infer(params, consts, ctrl_state, times, scale, h: int, w: int):
+        f12, f21, _ = flow_forward(spec, params, consts, ctrl_cfg, ctrl_state,
+                                   times, h, w, scale)
+        return f12, f21
+
+    return jax.jit(infer, static_argnums=(5, 6))
+
+
+def epe(flow: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """End-point error (trainer.py:58)."""
+    return jnp.mean(jnp.sqrt(jnp.sum((flow - gt) ** 2, axis=-1)))

@@ -1,0 +1,284 @@
+"""Functional train loops: the Lightning-Trainer replacement.
+
+Owns what ``pl.Trainer`` did for the reference (main.py:108-118,
+video-interpolation/main.py:72-80): epoch loop, validation cadence,
+checkpoint cadence, latest-checkpoint resume, metrics, and post-train
+rendering — but with jitted steps and explicit state pytrees. The
+fault-tolerance story is the reference's (scan the checkpoint dir, resume the
+newest — SURVEY §5) made first-class via CheckpointStore.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as path
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sin_inn_tpu.core.checkpoint import CheckpointStore
+from sin_inn_tpu.core.config import FlowConfig, SRConfig
+from sin_inn_tpu.core.metrics import MetricsWriter
+from sin_inn_tpu.core import rng as R
+from sin_inn_tpu.data import flow_media
+from sin_inn_tpu.data.flow_viz import flow_to_image
+from sin_inn_tpu.data.flo import write_flo
+from sin_inn_tpu.data.sr_video import (SRVideo, make_datasets,
+                                       prefetch_to_device)
+from sin_inn_tpu.io.video_io import VideoWriter
+from sin_inn_tpu.ops.occlusion import OCCLUSIONS
+from sin_inn_tpu.train import flow as FT
+from sin_inn_tpu.train import sr as SR
+
+
+# ===========================================================================
+# SR pipeline
+# ===========================================================================
+
+def sr_dirs(cfg: SRConfig, operation: str):
+    exp_dir = path.join(cfg.working_dir, operation, cfg.exp_name)
+    os.makedirs(exp_dir, exist_ok=True)
+    return exp_dir
+
+
+def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
+                 use_wandb: bool = False) -> Dict:
+    """SR training driver (reference main.py:85-118 + lit_wrapper loop)."""
+    video = video or SRVideo.from_dirs(cfg)
+    sup, unsup, val = make_datasets(video, cfg)
+
+    key = R.root_key(cfg.random_seed)
+    spec, state, tx = SR.create_train_state(R.named_fold(key, "init"), cfg)
+    step = SR.make_train_step(spec, cfg, tx)
+    eval_step = SR.make_eval_step(spec, cfg)
+
+    exp_dir = sr_dirs(cfg, "train")
+    store = CheckpointStore(path.join(exp_dir, "checkpoints"))
+    writer = MetricsWriter(exp_dir, run_name=cfg.exp_name,
+                           use_wandb=use_wandb, wandb_project="sin-inn",
+                           hyperparams=vars(cfg) if hasattr(cfg, "__dict__")
+                           else cfg.__dict__)
+    start_epoch = 0
+    restored, ckpt_step = store.restore(state)
+    if restored is not None:
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
+        start_epoch = int(ckpt_step)
+
+    step_key = R.named_fold(key, "train")
+    use_tcr = cfg.lambda_bwd_tcr > 0
+    last_metrics: Dict = {}
+    t0 = time.time()
+    frames_done = 0
+    for epoch in range(start_epoch, cfg.epochs):
+        for sup_batch in prefetch_to_device(sup.batches(cfg.batch_size)):
+            unsup_batch = (jax.device_put(
+                unsup.random_batch(sup_batch["hr"].shape[0]))
+                if use_tcr else None)
+            state, aux = step(state, sup_batch, unsup_batch, step_key)
+            frames_done += int(sup_batch["hr"].shape[0])
+
+        if (epoch + 1) % cfg.print_iter == 0 or epoch == cfg.epochs - 1:
+            vm = {}
+            for vb in val.batches(cfg.val_batch_size):
+                vm = eval_step(state.params, jax.device_put(vb),
+                               R.step_key(R.named_fold(key, "val"), epoch))
+                break
+            last_metrics = {k: float(v) for k, v in aux.items()}
+            last_metrics.update({k: float(v) for k, v in vm.items()})
+            last_metrics["frames_per_sec"] = frames_done / max(
+                time.time() - t0, 1e-9)
+            writer.log(epoch, last_metrics)
+
+        if (epoch + 1) % cfg.save_iter == 0 or epoch == cfg.epochs - 1:
+            store.save(epoch + 1, state)
+
+    writer.close()
+    return {"state": state, "spec": spec, "metrics": last_metrics,
+            "exp_dir": exp_dir}
+
+
+def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,
+                state=None, spec=None, save_video: Optional[str] = None) -> str:
+    """SR inference driver (reference main.py:120-137 + infer)."""
+    video = video or SRVideo.from_dirs(cfg)
+    _, unsup, _ = make_datasets(video, cfg)
+    key = R.root_key(cfg.random_seed)
+    if state is None:
+        spec, state, _ = SR.create_train_state(R.named_fold(key, "init"), cfg)
+        store = CheckpointStore(
+            cfg.resume_state or
+            path.join(sr_dirs(cfg, "train"), "checkpoints"))
+        restored, _ = store.restore(state)
+        if restored is None:
+            raise FileNotFoundError("no checkpoint to test from")
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
+
+    infer = SR.make_infer_step(spec, cfg)
+    exp_dir = sr_dirs(cfg, "test")
+    out = save_video or path.join(
+        exp_dir, f"{cfg.architecture}_{cfg.suffix}_t{cfg.temp}.avi")
+    unsup.shuffle = False
+    infer_key = R.named_fold(key, "infer")
+    with VideoWriter(out, fps=30) as vw:
+        for i, batch in enumerate(unsup.batches(cfg.val_batch_size)):
+            frames = infer(state.params, jax.device_put(batch["lr"]),
+                           R.step_key(infer_key, i))
+            for f in np.asarray(frames):
+                vw.add(f)
+    return vw.path
+
+
+# ===========================================================================
+# Flow pipeline
+# ===========================================================================
+
+def flow_ckpt_dir(cfg: FlowConfig, scene: str) -> str:
+    return path.join(cfg.checkpoints_dir, scene, cfg.name)
+
+
+def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
+                   use_wandb: bool = False) -> Dict:
+    """Flow training driver (reference video-interpolation/main.py:52-80)."""
+    if media is None:
+        media, _, scene = flow_media.get_video(cfg.input_video, cfg.size,
+                                               cfg.size, cfg.end, cfg.step)
+    key = R.root_key(cfg.random_seed)
+    spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
+        R.named_fold(key, "init"), cfg)
+    step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+
+    store = CheckpointStore(flow_ckpt_dir(cfg, scene))
+    writer = MetricsWriter(store.directory, run_name=f"{scene}_{cfg.name}",
+                           use_wandb=use_wandb,
+                           wandb_project="optical_flow",
+                           hyperparams=cfg.__dict__)
+    start_epoch = 0
+    restored, ckpt_step = store.restore(state)
+    if restored is not None:
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
+        start_epoch = int(ckpt_step)
+
+    rng = np.random.RandomState(cfg.random_seed)
+    save_every = max(cfg.epochs // 100, 1)
+    last: Dict = {}
+    t0 = time.time()
+    frames_done = 0
+    for epoch in range(start_epoch, cfg.epochs):
+        for batch in media.batches(cfg.batch, shuffle=True, rng=rng):
+            state, m = step(state, consts, jax.device_put(batch))
+            frames_done += int(batch["frame1"].shape[0])
+        if (epoch + 1) % cfg.effective_val_iter == 0 or epoch == cfg.epochs - 1:
+            last = {k: float(v) for k, v in m.items()}
+            last["frames_per_sec"] = frames_done / max(time.time() - t0, 1e-9)
+            writer.log(epoch, last)
+        if (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1:
+            store.save(epoch + 1, state)
+    writer.close()
+    return {"state": state, "spec": spec, "consts": consts,
+            "ctrl_cfg": ctrl_cfg, "metrics": last, "scene": scene}
+
+
+def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
+                  state=None, spec=None, consts=None, ctrl_cfg=None) -> Dict:
+    """Flow test driver (reference trainer.py:100-132 + main.py:83-93):
+    render predicted flow + occlusion masks, compute EPE vs GT when present,
+    write artifacts with metadata sidecars."""
+    if media is None:
+        _, media, scene = flow_media.get_video(cfg.input_video, cfg.size,
+                                               cfg.test_size, cfg.end, cfg.step)
+    key = R.root_key(cfg.random_seed)
+    if state is None:
+        spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
+            R.named_fold(key, "init"), cfg)
+        store = CheckpointStore(flow_ckpt_dir(cfg, scene))
+        restored, _ = store.restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint for scene {scene}")
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
+
+    infer = FT.make_flow_infer(spec, cfg, ctrl_cfg)
+    occl = OCCLUSIONS.get(cfg.occl)
+
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    tag = f"{scene}_{cfg.name}"
+    epes = []
+    flow_imgs = []
+    mask_imgs = []
+    h, w = media.video.shape[1:3]
+    for batch in media.batches(cfg.test_batch):
+        f12, f21 = infer(state.params, consts, state.ctrl_state,
+                         jax.device_put(batch["times"]),
+                         jnp.asarray(batch["scale"]), h, w)
+        if "gt_flow" in batch:
+            epes.append(float(FT.epe(f12, jax.device_put(batch["gt_flow"]))))
+        for f in np.asarray(f12):
+            flow_imgs.append(flow_to_image(f))
+        if occl is not None:
+            m = np.asarray(occl(f12, f21, cfg.occl_thresh))
+            for mm in m:
+                mask_imgs.append((mm.repeat(3, -1) * 255).astype(np.uint8))
+
+    mean_epe = float(np.mean(epes)) if epes else 0.0
+    flow_path = path.join(cfg.results_dir, f"flow_{tag}_epe_{mean_epe:.3f}.gif")
+    with VideoWriter(flow_path, fps=4) as vw:
+        for f in flow_imgs:
+            vw.add(f)
+    import json
+    with open(path.join(cfg.results_dir, f"flow_{tag}.json"), "w") as fh:
+        json.dump({"epe": mean_epe, "frames": len(flow_imgs),
+                   "scene": scene, "name": cfg.name}, fh)
+    if mask_imgs:
+        with VideoWriter(path.join(cfg.results_dir, f"occl_{tag}.gif"),
+                         fps=4) as vw:
+            for f in mask_imgs:
+                vw.add(f)
+    return {"epe": mean_epe, "num_frames": len(flow_imgs),
+            "flow_path": vw.path}
+
+
+def run_flow_summarize(cfg: FlowConfig) -> float:
+    """Dataset-level normalized AEPE over all scenes
+    (reference main.py:96-106), reading metadata JSONs, not filenames."""
+    root = path.dirname(cfg.input_video)
+    epe_accum, frame_accum = 0.0, 0
+    for scene in sorted(os.listdir(root)):
+        scene_cfg = cfg.replace(input_video=path.join(root, scene))
+        out = run_flow_test(scene_cfg)
+        epe_accum += out["epe"] * out["num_frames"]
+        frame_accum += out["num_frames"]
+    aepe = epe_accum / max(frame_accum, 1)
+    print(f"Normalized AEPE: {aepe}")
+    return aepe
+
+
+def run_flow_sintel(cfg: FlowConfig, outroot: str = "sintel_submission"):
+    """Sintel leaderboard submission writer (reference main.py:109-130)."""
+    root = path.dirname(cfg.input_video)
+    sub = "clean" if cfg.name.endswith("clean") else "final"
+    for scene in sorted(os.listdir(root)):
+        scene_cfg = cfg.replace(input_video=path.join(root, scene))
+        _, media, scene_name = flow_media.get_video(
+            scene_cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step)
+        key = R.root_key(cfg.random_seed)
+        spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
+            R.named_fold(key, "init"), scene_cfg)
+        store = CheckpointStore(flow_ckpt_dir(cfg, scene_name))
+        restored, _ = store.restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint for {scene_name}")
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
+        infer = FT.make_flow_infer(spec, scene_cfg, ctrl_cfg)
+        outdir = path.join(outroot, sub, scene_name)
+        os.makedirs(outdir, exist_ok=True)
+        h, w = media.video.shape[1:3]
+        i = 0
+        for batch in media.batches(1):
+            f12, _ = infer(state.params, consts, state.ctrl_state,
+                           jax.device_put(batch["times"]),
+                           jnp.asarray(batch["scale"]), h, w)
+            write_flo(path.join(outdir, f"frame_{i+1:04d}.flo"),
+                      np.asarray(f12[0]))
+            i += 1

@@ -1,0 +1,108 @@
+"""Progressive-controller state-machine tests (pure pytree transitions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin_inn_tpu.core.config import FlowConfig
+from sin_inn_tpu.models import controllers as C
+from sin_inn_tpu.models.inr import build_inr
+
+
+def make_spec(key):
+    cfg = FlowConfig(num_frequencies=8, hidden_dim=16, num_layers=2)
+    spec, _, _ = build_inr(key, "PFF", cfg)
+    return spec
+
+
+def test_linear_controller_ramps_and_completes(key):
+    spec = make_spec(key)
+    cfg = C.LinearConfig.create(spec, max_iteration=80)
+    state = C.linear_init(cfg)
+    m0 = float(state.mask.sum())
+    assert m0 == cfg.block_size
+
+    big_loss = jnp.asarray(1.0)
+    update = jax.jit(lambda s: C.linear_update(cfg, s, big_loss))
+    masses = [m0]
+    for _ in range(cfg.progress_iterations + cfg.block_iterations):
+        state = update(state)
+        masses.append(float(state.mask.sum()))
+    # monotone unlock up to the full encoding
+    assert all(b >= a - 1e-5 for a, b in zip(masses, masses[1:]))
+    assert masses[-1] == pytest.approx(cfg.encoding_dim)
+
+
+def test_linear_early_freezes_on_low_loss(key):
+    spec = make_spec(key)
+    cfg = C.LinearConfig.create(spec, max_iteration=100, epsilon=1e-3)
+    state = C.linear_init(cfg)
+    tiny_loss = jnp.asarray(1e-6)
+    state = C.linear_update(cfg, state, tiny_loss)
+    frozen_mask = np.asarray(state.mask)
+    for _ in range(20):
+        state = C.linear_update(cfg, state, tiny_loss)
+    np.testing.assert_array_equal(np.asarray(state.mask), frozen_mask)
+
+
+def test_linear_state_is_jit_compatible(key):
+    spec = make_spec(key)
+    cfg = C.LinearConfig.create(spec, max_iteration=40)
+    state = C.linear_init(cfg)
+
+    @jax.jit
+    def run(s, loss):
+        return C.linear_update(cfg, s, loss)
+
+    s2 = run(state, jnp.asarray(0.5))
+    assert int(s2.iteration) == 1
+
+
+def make_spatial(key, res=4):
+    spec = make_spec(key)
+    cfg = C.SpatialConfig.create(spec, res=res, block_iterations=5,
+                                 epsilon=1e-3, mask_dim=3)
+    return spec, cfg, C.spatial_init(cfg)
+
+
+def test_spatial_point_mask_shapes(key, rng):
+    spec, cfg, state = make_spatial(key)
+    pts = jnp.asarray(rng.rand(11, 3).astype(np.float32) * 2 - 1)
+    mask, inds, alphas = C.spatial_point_mask(cfg, state, pts)
+    assert mask.shape == (11, cfg.encoding_dim)
+    assert inds.shape == (11, 8)
+    assert alphas.shape == (11, 8)
+    # multilinear weights sum to 1
+    np.testing.assert_allclose(np.asarray(alphas).sum(1), 1.0, atol=1e-4)
+    assert int(inds.max()) < cfg.cells
+
+
+def test_spatial_progress_gates_low_loss_cells(key, rng):
+    spec, cfg, state = make_spatial(key)
+    pts = jnp.asarray(rng.rand(256, 3).astype(np.float32) * 2 - 1)
+    _, inds, alphas = C.spatial_point_mask(cfg, state, pts)
+    # everything converged: tiny per-point loss -> all cells leave progress
+    tiny = jnp.full((256,), 1e-8)
+    for _ in range(cfg.block_iterations):
+        state = C.spatial_update(cfg, state, tiny, inds, alphas)
+    assert not bool(np.asarray(state.in_progress).any())
+    # once out of progress, mask stops growing
+    frozen = np.asarray(state.mask).sum()
+    for _ in range(cfg.block_iterations):
+        state = C.spatial_update(cfg, state, tiny, inds, alphas)
+    assert np.asarray(state.mask).sum() == pytest.approx(frozen)
+
+
+def test_spatial_progress_advances_high_loss_cells(key, rng):
+    spec, cfg, state = make_spatial(key)
+    pts = jnp.asarray(rng.rand(512, 3).astype(np.float32) * 2 - 1)
+    _, inds, alphas = C.spatial_point_mask(cfg, state, pts)
+    big = jnp.full((512,), 10.0)
+    m0 = float(np.asarray(state.mask).sum())
+    update = jax.jit(lambda s, l: C.spatial_update(cfg, s, l, inds, alphas))
+    for _ in range(cfg.block_iterations + 1):
+        state = update(state, big)
+    assert bool(np.asarray(state.in_progress).all())
+    assert float(np.asarray(state.mask).sum()) > m0
+    assert int(state.cur_block) > cfg.block_size

@@ -1,0 +1,184 @@
+"""Tests for warp/splat/occlusion/photometric ops.
+
+Splat fwd is golden-tested against an independent numpy scatter loop
+(SURVEY §4: "splat fwd/vjp vs dense scatter reference").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin_inn_tpu.ops.splat import softsplat, splat_scatter
+from sin_inn_tpu.ops.warp import flow_warp, grid_sample, resample2d, warp_affine, rotation_matrix_2d
+from sin_inn_tpu.ops.occlusion import occlusion_brox, occlusion_unity, occlusion_wang
+from sin_inn_tpu.ops import photometric as P
+
+
+def numpy_splat(values, flow):
+    """Independent dense reference: bilinear scatter-add, borders dropped."""
+    n, h, w, c = values.shape
+    out = np.zeros_like(values)
+    for ni in range(n):
+        for y in range(h):
+            for x in range(w):
+                ox = x + flow[ni, y, x, 0]
+                oy = y + flow[ni, y, x, 1]
+                x0, y0 = int(np.floor(ox)), int(np.floor(oy))
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        xi, yi = x0 + dx, y0 + dy
+                        if 0 <= xi < w and 0 <= yi < h:
+                            wgt = (1 - abs(ox - xi)) * (1 - abs(oy - yi))
+                            out[ni, yi, xi] += values[ni, y, x] * wgt
+    return out
+
+
+def test_splat_matches_numpy(rng):
+    values = rng.rand(2, 5, 6, 3).astype(np.float32)
+    flow = (rng.rand(2, 5, 6, 2).astype(np.float32) * 4 - 2)
+    out = np.asarray(splat_scatter(jnp.asarray(values), jnp.asarray(flow)))
+    ref = numpy_splat(values, flow)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_splat_zero_flow_identity(rng):
+    values = rng.rand(1, 4, 4, 2).astype(np.float32)
+    flow = np.zeros((1, 4, 4, 2), np.float32)
+    out = np.asarray(splat_scatter(jnp.asarray(values), jnp.asarray(flow)))
+    np.testing.assert_allclose(out, values, atol=1e-6)
+
+
+def test_softsplat_softmax_zero_flow(rng):
+    """With zero flow, softmax splatting must reproduce the input."""
+    inp = rng.rand(1, 4, 4, 3).astype(np.float32)
+    flow = np.zeros((1, 4, 4, 2), np.float32)
+    metric = rng.rand(1, 4, 4, 1).astype(np.float32)
+    out = np.asarray(softsplat(jnp.asarray(inp), jnp.asarray(flow),
+                               jnp.asarray(metric), "softmax"))
+    np.testing.assert_allclose(out, inp, atol=1e-5)
+
+
+def test_softsplat_grad_exists(rng):
+    """Autodiff through the scatter: both input and flow gradients flow."""
+    inp = jnp.asarray(rng.rand(1, 4, 4, 1).astype(np.float32))
+    flow = jnp.asarray(rng.rand(1, 4, 4, 2).astype(np.float32))
+
+    def f(i, fl):
+        return jnp.sum(softsplat(i, fl, -i[..., :1], "softmax") ** 2)
+
+    gi, gf = jax.grad(f, argnums=(0, 1))(inp, flow)
+    assert np.isfinite(np.asarray(gi)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.abs(gf).sum()) > 0
+
+
+def test_resample2d_zero_flow_identity(rng):
+    img = rng.rand(1, 6, 6, 3).astype(np.float32)
+    flow = np.zeros((1, 6, 6, 2), np.float32)
+    out = np.asarray(resample2d(jnp.asarray(img), jnp.asarray(flow)))
+    # the reference's align_corners quirk introduces sub-pixel shift at
+    # borders only; interior must match closely
+    np.testing.assert_allclose(out[:, 2:-2, 2:-2], img[:, 2:-2, 2:-2], atol=0.15)
+
+
+def test_flow_warp_integer_shift(rng):
+    img = rng.rand(1, 6, 6, 1).astype(np.float32)
+    flow = np.zeros((1, 6, 6, 2), np.float32)
+    flow[..., 0] = 1.0   # sample from x+1
+    out = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(out[0, :, :-1, 0], img[0, :, 1:, 0], atol=1e-5)
+
+
+def test_grid_sample_align_corners_identity(rng):
+    img = rng.rand(1, 5, 7, 2).astype(np.float32)
+    h, w = 5, 7
+    ys, xs = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                         indexing="ij")
+    grid = jnp.asarray(np.stack([xs, ys], -1)[None].astype(np.float32))
+    out = np.asarray(grid_sample(jnp.asarray(img), grid, align_corners=True))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_occlusion_wang_zero_flow():
+    flow = jnp.zeros((1, 5, 5, 2))
+    mask = np.asarray(occlusion_wang(flow, flow, 0.7))
+    np.testing.assert_array_equal(mask, np.ones((1, 5, 5, 1)))
+
+
+def test_occlusion_wang_detects_vacated_region():
+    # all pixels shift right by 3: left columns lose coverage
+    flow = jnp.zeros((1, 6, 6, 2)).at[..., 0].set(3.0)
+    mask = np.asarray(occlusion_wang(flow, flow, 0.7))[0, :, :, 0]
+    assert mask[:, :3].sum() == 0       # vacated: occluded
+    assert mask[:, 3:].sum() > 0
+
+
+def test_occlusion_brox_consistent_flow():
+    fw = jnp.zeros((1, 5, 5, 2))
+    out = np.asarray(occlusion_brox(fw, fw, None))
+    np.testing.assert_array_equal(out, np.zeros((1, 5, 5, 1)))
+
+
+def test_occlusion_unity():
+    flow = jnp.zeros((2, 3, 4, 2))
+    np.testing.assert_array_equal(np.asarray(occlusion_unity(flow)),
+                                  np.ones((2, 3, 4, 1)))
+
+
+def test_masked_l1_matches_reference_formula(rng):
+    im1 = jnp.asarray(rng.rand(1, 4, 4, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(1, 4, 4, 3).astype(np.float32))
+    mask = jnp.ones((1, 4, 4, 1))
+    got = float(P.masked_l1(im1, im2, mask, weight=2.0))
+    # m.sum()=16, m.numel()=16 -> plain mean|diff| * weight
+    expect = float(np.mean(np.abs(np.asarray(im1) - np.asarray(im2))) * 2.0)
+    assert got == pytest.approx(expect, rel=1e-5)
+
+
+def test_zero_weight_losses_are_zero(rng):
+    im = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    mask = jnp.ones((1, 8, 8, 1))
+    flow = jnp.asarray(rng.rand(1, 8, 8, 2).astype(np.float32))
+    assert float(P.masked_l1(im, im, mask, 0.0)) == 0.0
+    assert float(P.census_loss(im, im, mask, 0.0)) == 0.0
+    assert float(P.ssim_loss(im, im, mask, 0.0)) == 0.0
+    assert float(P.bilateral_smooth(im, flow, 0.0)) == 0.0
+
+
+def test_census_identical_images_zero(rng):
+    im = jnp.asarray(rng.rand(1, 10, 10, 3).astype(np.float32))
+    mask = jnp.ones((1, 10, 10, 1))
+    assert float(P.census_loss(im, im, mask, 1.0, 3)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ssim_identical_images_zero(rng):
+    im = jnp.asarray(rng.rand(1, 10, 10, 3).astype(np.float32))
+    mask = jnp.ones((1, 10, 10, 1))
+    assert float(P.ssim_loss(im, im, mask, 1.0)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_bilateral_smooth_constant_flow_zero(rng):
+    im = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    flow = jnp.ones((1, 8, 8, 2)) * 3.0
+    # robust_l1(0) = 0.001, so "zero" here is the epsilon floor
+    val = float(P.bilateral_smooth(im, flow, 1.0))
+    assert val < 0.002
+
+
+def test_warp_affine_identity(rng):
+    img = jnp.asarray(rng.rand(1, 6, 6, 3).astype(np.float32))
+    center = jnp.asarray([[3.0, 3.0]])
+    mat = rotation_matrix_2d(center, jnp.asarray([0.0]), jnp.asarray([1.0]))
+    out = np.asarray(warp_affine(img, mat))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_warp_affine_translation(rng):
+    img = jnp.asarray(rng.rand(1, 6, 6, 1).astype(np.float32))
+    center = jnp.asarray([[2.5, 2.5]])
+    mat = rotation_matrix_2d(center, jnp.asarray([0.0]), jnp.asarray([1.0]))
+    mat = mat.at[:, 0, 2].add(1.0)   # shift dst right by 1
+    out = np.asarray(warp_affine(img, mat))
+    np.testing.assert_allclose(out[0, :, 1:, 0], np.asarray(img)[0, :, :-1, 0],
+                               atol=1e-5)

@@ -1,0 +1,78 @@
+"""End-to-end flow train-step tests on tiny synthetic videos."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin_inn_tpu.core.config import FlowConfig
+from sin_inn_tpu.train import flow as F
+
+
+def synthetic_batch(rng, b=2, h=12, w=16):
+    """A texture shifted by constant flow between frames."""
+    base = rng.rand(h + 4, w + 4, 3).astype(np.float32)
+    f1 = np.stack([base[1:h + 1, 1:w + 1]] * b)
+    f2 = np.stack([base[1:h + 1, 2:w + 2]] * b)   # shift x by 1
+    times = np.linspace(-1, 1, b).astype(np.float32)
+    return {
+        "frame1": jnp.asarray(f1),
+        "frame2": jnp.asarray(f2),
+        "times": jnp.asarray(times),
+        "scale": jnp.asarray(np.float32(w / 5)),
+    }
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("net", "RBF")
+    return FlowConfig(num_frequencies=8, hidden_dim=16, num_layers=2,
+                      epochs=50, loss_census=0.1, loss_smooth1=0.1, **kw)
+
+
+@pytest.mark.parametrize("net", ["RBF", "PFF"])
+def test_flow_step_runs_and_descends(key, rng, net):
+    cfg = tiny_cfg(net=net)
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    batch = synthetic_batch(rng)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, consts, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_flow_step_with_spatial_controller(key, rng):
+    cfg = tiny_cfg(net="PFF", spatially_adaptive=True, spatial_res=3)
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    assert state.ctrl_state is not None
+    step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    batch = synthetic_batch(rng, b=1, h=8, w=8)
+    for _ in range(3):
+        state, metrics = step(state, consts, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.ctrl_state.iteration) >= 1
+
+
+def test_flow_epe_against_gt(key, rng):
+    cfg = tiny_cfg(net="RBF")
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    batch = synthetic_batch(rng)
+    gt = jnp.zeros(batch["frame1"].shape[:3] + (2,)).at[..., 0].set(1.0)
+    batch["gt_flow"] = gt
+    state, metrics = step(state, consts, batch)
+    assert "epe" in metrics and np.isfinite(float(metrics["epe"]))
+
+
+def test_flow_infer_shapes(key, rng):
+    cfg = tiny_cfg(net="RBF")
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    infer = F.make_flow_infer(spec, cfg, ctrl_cfg)
+    times = jnp.asarray([0.0, 0.5])
+    f12, f21 = infer(state.params, consts, state.ctrl_state, times,
+                     jnp.asarray(2.0), 8, 10)
+    assert f12.shape == (2, 8, 10, 2)
+    assert f21.shape == (2, 8, 10, 2)

@@ -1,0 +1,100 @@
+"""End-to-end SR training tests: the minimum end-to-end slice of SURVEY §7
+(tiny 2x spatial SR, CPU-runnable) plus TCR and checkpoint round-trips."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin_inn_tpu.core.config import SRConfig
+from sin_inn_tpu.core.checkpoint import CheckpointStore
+from sin_inn_tpu.data.sr_video import SRDataset, make_datasets, train_indices
+from sin_inn_tpu.data.synthetic import synthetic_sr_video
+from sin_inn_tpu.train import sr as SR
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("architecture", "IRN")
+    return SRConfig(scale=2, num_coupling=1, lr_window=1, fps=30,
+                    hidden_channels=16, dense_gc=8, learning_rate=1e-3, **kw)
+
+
+@pytest.fixture(scope="module")
+def sr_setup():
+    cfg = tiny_cfg()
+    video = synthetic_sr_video(cfg, h=16, w=16)
+    sup, unsup, val = make_datasets(video, cfg)
+    return cfg, video, sup, unsup, val
+
+
+def test_dataset_shapes(sr_setup):
+    cfg, video, sup, unsup, val = sr_setup
+    batch = sup.gather(np.arange(min(2, len(sup))))
+    b = batch["hr"].shape[0]
+    assert batch["hr"].shape == (b, 16, 16, 3)
+    # LR spatial is HR/(2*scale) = 4; channels = 3 frames * 4 RGGB = 12
+    assert batch["lr"].shape == (b, 4, 4, 12)
+    assert batch["lr"].dtype == np.uint8
+
+
+def test_train_val_indices_disjoint(sr_setup):
+    cfg, video, sup, unsup, val = sr_setup
+    assert set(sup.indices).isdisjoint(set(val.indices))
+    assert len(unsup) >= len(sup)
+
+
+def test_sr_train_step_descends(key, sr_setup):
+    cfg, video, sup, unsup, val = sr_setup
+    spec, state, tx = SR.create_train_state(key, cfg)
+    step = SR.make_train_step(spec, cfg, tx)
+    batch = jax.device_put(sup.gather(np.arange(min(2, len(sup)))))
+    losses = []
+    for i in range(6):
+        state, aux = step(state, batch, None, jax.random.key(i))
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sr_train_step_with_tcr_and_mmd(key, sr_setup):
+    cfg0, video, sup, unsup, val = sr_setup
+    cfg = tiny_cfg(lambda_bwd_tcr=0.1, tcr_iters=2, lambda_fwd_mmd=0.01,
+                   lambda_bwd_mmd=0.01, lambda_latent_nll=0.01)
+    spec, state, tx = SR.create_train_state(key, cfg)
+    step = SR.make_train_step(spec, cfg, tx)
+    sup_b = jax.device_put(sup.gather(np.arange(min(2, len(sup)))))
+    unsup_b = jax.device_put(unsup.random_batch(min(2, len(sup))))
+    state, aux = step(state, sup_b, unsup_b, jax.random.key(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["tcr"]) != 0.0
+
+
+def test_sr_eval_and_infer(key, sr_setup):
+    cfg, video, sup, unsup, val = sr_setup
+    spec, state, tx = SR.create_train_state(key, cfg)
+    evalf = SR.make_eval_step(spec, cfg)
+    batch = jax.device_put(val.gather(np.arange(min(2, len(val)))))
+    m = evalf(state.params, batch, jax.random.key(1))
+    for k in ("lr_acc", "hr_acc", "z_nll", "hr_psnr"):
+        assert np.isfinite(float(m[k]))
+    infer = SR.make_infer_step(spec, cfg)
+    out = infer(state.params, batch["lr"], jax.random.key(2))
+    assert out.shape == batch["hr"].shape
+    assert out.dtype == jnp.uint8
+
+
+def test_checkpoint_roundtrip(key, tmp_path, sr_setup):
+    cfg, video, sup, unsup, val = sr_setup
+    spec, state, tx = SR.create_train_state(key, cfg)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    store.save(3, state)
+    store.save(7, state._replace(step=jnp.asarray(7, jnp.int32)))
+    assert store.latest_step() == 7
+    restored, step = store.restore(state)
+    assert step == 7
+    assert int(restored.step) == 7
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    r0 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
