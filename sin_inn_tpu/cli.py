@@ -1,0 +1,192 @@
+"""Command-line interface: thin parsers over the typed configs.
+
+Mirrors the reference entry points and their flags:
+  * ``sin-inn sr {train,test}``      <- /root/reference/main.py:9-83
+  * ``sin-inn flow {train,test,summarize,sintel}``
+                                     <- video-interpolation/main.py:17-49
+  * ``sin-inn prepare <video>``      <- datasets/prepare.py:7-33
+  * ``sin-inn scene-space {...}``    <- scene-space/ pose/gather tools
+
+Run as ``python -m sin_inn_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from sin_inn_tpu.core.config import FlowConfig, PrepareConfig, SRConfig
+
+
+def _sr_parser(sub):
+    ap = sub.add_parser("sr", help="INN space-time super-resolution")
+    ap.add_argument("operation", choices=["train", "test"])
+    ap.add_argument("--dataset", default="datasets/adobe240f")
+    ap.add_argument("-s", "--scene", default="IMG_0028_binning_4x")
+    ap.add_argument("--suffix", default="default")
+    ap.add_argument("-f", "--fps", type=int, default=10)
+    ap.add_argument("--lr_window", type=int, default=10)
+    ap.add_argument("-b", "--batch_size", type=int, default=8)
+    ap.add_argument("-a", "--architecture", choices=["SRF", "IRN"],
+                    default="SRF")
+    ap.add_argument("--scale", type=int, default=4)
+    ap.add_argument("-c", "--num_coupling", type=int, default=4)
+    ap.add_argument("-r", "--resume_state", default=None)
+    ap.add_argument("-w", "--working_dir", default="experiments")
+    ap.add_argument("-e", "--epochs", type=int, default=10000)
+    ap.add_argument("--save_iter", type=int, default=100)
+    ap.add_argument("-p", "--print_iter", type=int, default=10)
+    ap.add_argument("-l", "--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--adam_betas", type=float, nargs=2, default=[0.9, 0.99])
+    ap.add_argument("--weight_decay", type=float, default=1e-5)
+    ap.add_argument("--lambda_fwd_rec", type=float, default=1)
+    ap.add_argument("--lambda_fwd_mmd", type=float, default=0)
+    ap.add_argument("--lambda_latent_nll", type=float, default=0)
+    ap.add_argument("--lambda_bwd_rec", type=float, default=1)
+    ap.add_argument("--lambda_bwd_mmd", type=float, default=0)
+    ap.add_argument("--random_seed", type=int, default=0)
+    ap.add_argument("--lambda_bwd_tcr", type=float, default=0)
+    ap.add_argument("--rotation", type=float, default=5)
+    ap.add_argument("--translation", type=float, default=5)
+    ap.add_argument("--tcr_iters", type=int, default=5)
+    ap.add_argument("-t", "--temp", type=float, default=0.8)
+    ap.add_argument("--wandb", action="store_true")
+
+
+def sr_config_from_args(a) -> SRConfig:
+    return SRConfig(
+        dataset=a.dataset, scene=a.scene, suffix=a.suffix, fps=a.fps,
+        lr_window=a.lr_window, batch_size=a.batch_size,
+        architecture=a.architecture, scale=a.scale,
+        num_coupling=a.num_coupling, epochs=a.epochs, save_iter=a.save_iter,
+        print_iter=a.print_iter, learning_rate=a.learning_rate,
+        adam_betas=tuple(a.adam_betas), weight_decay=a.weight_decay,
+        lambda_fwd_rec=a.lambda_fwd_rec, lambda_fwd_mmd=a.lambda_fwd_mmd,
+        lambda_latent_nll=a.lambda_latent_nll,
+        lambda_bwd_rec=a.lambda_bwd_rec, lambda_bwd_mmd=a.lambda_bwd_mmd,
+        random_seed=a.random_seed, lambda_bwd_tcr=a.lambda_bwd_tcr,
+        rotation=a.rotation, translation=a.translation,
+        tcr_iters=a.tcr_iters, temp=a.temp, working_dir=a.working_dir,
+        resume_state=a.resume_state,
+    )
+
+
+def _flow_parser(sub):
+    ap = sub.add_parser("flow", help="INR optical flow / video interpolation")
+    ap.add_argument("operation",
+                    choices=["train", "test", "summarize", "sintel"])
+    ap.add_argument("--input-video",
+                    default="../datasets/sintel/training/final/alley_1")
+    ap.add_argument("--name", default="temp")
+    ap.add_argument("--end", type=int)
+    ap.add_argument("--step", type=int)
+    ap.add_argument("--size", default=436, type=int)
+    ap.add_argument("--batch", default=1, type=int)
+    ap.add_argument("--test-size", default=436, type=int)
+    ap.add_argument("--test-batch", default=1, type=int)
+    ap.add_argument("--net", default="RBF")
+    ap.add_argument("--spatially-adaptive", action="store_true")
+    ap.add_argument("--epochs", default=1000, type=int)
+    ap.add_argument("--val-iter", type=int)
+    ap.add_argument("--lr", default=1e-4, type=float)
+    ap.add_argument("--loss-l1", default=1, type=float)
+    ap.add_argument("--loss-census", default=0.1, type=float)
+    ap.add_argument("--loss-ssim", default=0, type=float)
+    ap.add_argument("--census-width", default=3, type=int)
+    ap.add_argument("--loss-smooth1", default=0.1, type=float)
+    ap.add_argument("--edge-constant", default=150, type=float)
+    ap.add_argument("--edge-func", default="gauss", choices=["exp", "gauss"])
+    ap.add_argument("--occl", default="wang", choices=["brox", "wang", "none"])
+    ap.add_argument("--occl-thresh", default=0.7, type=float)
+    ap.add_argument("--wandb", action="store_true")
+
+
+def flow_config_from_args(a) -> FlowConfig:
+    return FlowConfig(
+        input_video=a.input_video, name=a.name, end=a.end, step=a.step,
+        size=a.size, batch=a.batch, test_size=a.test_size,
+        test_batch=a.test_batch, net=a.net,
+        spatially_adaptive=a.spatially_adaptive, epochs=a.epochs,
+        val_iter=a.val_iter, lr=a.lr, loss_l1=a.loss_l1,
+        loss_census=a.loss_census, loss_ssim=a.loss_ssim,
+        census_width=a.census_width, loss_smooth1=a.loss_smooth1,
+        edge_constant=a.edge_constant, edge_func=a.edge_func,
+        occl=None if a.occl == "none" else a.occl,
+        occl_thresh=a.occl_thresh,
+    )
+
+
+def _prepare_parser(sub):
+    ap = sub.add_parser("prepare", help="extract HR/LR frames from a video")
+    ap.add_argument("video")
+    ap.add_argument("-d", "--downsampling", default=1.0, type=float)
+    ap.add_argument("-p", "--operator", default="binning",
+                    choices=["binning", "linear", "cubic", "lanczos4",
+                             "nearest", "area"])
+    ap.add_argument("-r", "--reduction", choices=["mean", "sum"],
+                    default="mean")
+    ap.add_argument("-s", "--scale", type=int, default=4)
+    ap.add_argument("-b", "--bayer", action="store_true")
+    ap.add_argument("-n", "--noise", type=float)
+
+
+def _scene_space_parser(sub):
+    ap = sub.add_parser("scene-space", help="COLMAP poses + multi-view gather")
+    ap.add_argument("operation",
+                    choices=["read_matrices", "depth_information",
+                             "reproject", "gather"])
+    ap.add_argument("--scene-dir", required=True)
+    ap.add_argument("--out", default="scene_space_out")
+    ap.add_argument("--frame", type=int, default=0)
+    ap.add_argument("--patch", type=int, default=3)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="sin-inn-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _sr_parser(sub)
+    _flow_parser(sub)
+    _prepare_parser(sub)
+    _scene_space_parser(sub)
+    a = parser.parse_args(argv)
+
+    if a.command == "sr":
+        from sin_inn_tpu.train import loop as L
+
+        cfg = sr_config_from_args(a)
+        if a.operation == "train":
+            L.run_sr_train(cfg, use_wandb=a.wandb)
+        else:
+            print(L.run_sr_test(cfg))
+    elif a.command == "flow":
+        from sin_inn_tpu.train import loop as L
+
+        cfg = flow_config_from_args(a)
+        if a.operation == "train":
+            out = L.run_flow_train(cfg, use_wandb=a.wandb)
+            L.run_flow_test(cfg, state=out["state"], spec=out["spec"],
+                            consts=out["consts"], ctrl_cfg=out["ctrl_cfg"],
+                            scene=out["scene"])
+        elif a.operation == "test":
+            print(L.run_flow_test(cfg))
+        elif a.operation == "summarize":
+            L.run_flow_summarize(cfg)
+        else:
+            L.run_flow_sintel(cfg)
+    elif a.command == "prepare":
+        from sin_inn_tpu.data.prepare import prepare_video
+
+        cfg = PrepareConfig(video=a.video, downsampling=a.downsampling,
+                            operator=a.operator, reduction=a.reduction,
+                            scale=a.scale, bayer=a.bayer, noise=a.noise)
+        print(prepare_video(cfg))
+    elif a.command == "scene-space":
+        from sin_inn_tpu.scene_space import cli as SS
+
+        SS.run(a)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""Scene-space multi-view gather: reproject, frustum-filter, bilateral merge.
+
+TPU-native re-design of /root/reference/scene-space/gather_3d.py (notebook
+code): the per-frame Python loops (gather_3d.py:106-108, :145-149) become
+vmapped gathers over the frame axis, and the whole pipeline is jittable.
+Pipeline (per reference cell order):
+
+  1. per-pixel patch-frustum corners of the reference frame (8 homogeneous
+     points at near/far, gather_3d.py:27-58);
+  2. lift to scene space, project into all N views (:69-78);
+  3. bounding-box candidate gather around the projections (:81-100) — the
+     box size is computed host-side so shapes stay static under jit;
+  4. depth-lift candidates to 3D (:103-115);
+  5. frustum-plane filtering with the 4 side-plane normals (:122-140);
+  6. joint bilateral weighting over (rgb, xyz, t) with diagonal sigma and a
+     masked weighted average (:144-158).
+
+Note (documented divergence): the reference projects ``scene_pts[..., 4:]``
+for both the near and far candidate sets (gather_3d.py:71-72) — the intended
+near-set projection of ``[..., :4]`` is used here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def unpack_matrices(poses: np.ndarray):
+    """(N, 3, 5) poses -> (K, K_inv, c2w, w2c) (gather_3d.py:16-25)."""
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = poses[0, 2, 4]
+    K[1, 1] = poses[0, 2, 4]
+    K[0, 2] = poses[0, 0, 4]
+    K[1, 2] = poses[0, 1, 4]
+    c2w = np.zeros((poses.shape[0], 4, 4), dtype=np.float32)
+    c2w[:, :3, :] = poses[..., :4]
+    c2w[:, 3, 3] = 1.0
+    return K, np.linalg.inv(K), c2w, np.linalg.inv(c2w)
+
+
+def pack_frustum_corners(h: int, w: int, near: float, far: float,
+                         l: int = 3) -> jnp.ndarray:
+    """(h, w, 8, 4) per-pixel patch-frustum corners, coords (y, x, 1, 1/z)
+    (gather_3d.py:27-58)."""
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    y0 = jnp.maximum(yy - l // 2, 0)
+    y1 = jnp.minimum(yy + l // 2, h - 1)
+    x0 = jnp.maximum(xx - l // 2, 0)
+    x1 = jnp.minimum(xx + l // 2, w - 1)
+    ones = jnp.ones_like(yy)
+    corners = []
+    for inv_z in (1.0 / near, 1.0 / far):
+        for cy, cx in ((y0, x0), (y0, x1), (y1, x0), (y1, x1)):
+            corners.append(jnp.stack([cy, cx, ones, ones * inv_z], -1))
+    return jnp.stack(corners, axis=-2)  # (h, w, 8, 4)
+
+
+def _project(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """(4,4) @ (..., 4) -> (..., 4)."""
+    return jnp.einsum("ij,...j->...i", mat, pts)
+
+
+def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
+                 bds: np.ndarray, patch: int = 3,
+                 sigma: Tuple[float, ...] = (40, 40, 40, 10, 10, 10, 6),
+                 ref_frame: int = 0) -> jnp.ndarray:
+    """Denoise ``ref_frame`` by gathering across all views.
+
+    imgs: (N, h, w, 3) float; depths: (N, h, w); poses: (N, 3, 5);
+    bds: (N, 2) depth bounds. Returns (h, w, 3).
+    """
+    K, K_inv, c2w, w2c = unpack_matrices(poses)
+    near, far = float(bds.min()), float(bds.max())
+    n_frames, h, w = depths.shape
+    n_samp = patch * patch
+
+    cam_pts = pack_frustum_corners(h, w, near, far, patch)     # (h,w,8,4)
+
+    # reference-frame frustum corners in scene space (gather_3d.py:69-70)
+    c2wK = jnp.asarray(c2w[ref_frame] @ K_inv)
+    scene_near = near * _project(c2wK, cam_pts[..., :4, :])
+    scene_far = far * _project(c2wK, cam_pts[..., 4:, :])
+    scene_pts = jnp.concatenate([scene_near, scene_far], axis=-2)  # (h,w,8,4)
+
+    # project into every view (intended :71-72; see module docstring)
+    Kw2c = jnp.asarray(K[None] @ w2c)                           # (N,4,4)
+    cam_in = jax.vmap(lambda M: _project(M, scene_pts))(Kw2c)   # (N,h,w,8,4)
+    cam_in = cam_in / cam_in[..., 2:3]
+    ci_y = jnp.clip(jnp.round(cam_in[..., 0]), 0, h - 1)
+    ci_x = jnp.clip(jnp.round(cam_in[..., 1]), 0, w - 1)
+
+    # candidate boxes around the 8 projections (:96-99), fixed sample grid
+    y_min = ci_y.min(-1)
+    x_min = ci_x.min(-1)
+    y_max = ci_y.max(-1)
+    x_max = ci_x.max(-1)
+    m = patch  # static candidate-grid side (box clipped to patch x patch)
+    gy, gx = jnp.meshgrid(jnp.arange(m, dtype=jnp.float32),
+                          jnp.arange(m, dtype=jnp.float32), indexing="ij")
+    cand_y = y_min[..., None, None] + gy                        # (N,h,w,m,m)
+    cand_x = x_min[..., None, None] + gx
+    in_box = (cand_y <= y_max[..., None, None] + 1e-6) & \
+             (cand_x <= x_max[..., None, None] + 1e-6) & \
+             (cand_y <= h - 1) & (cand_x <= w - 1)
+    cand_y = jnp.clip(cand_y, 0, h - 1).reshape(n_frames, h, w, m * m)
+    cand_x = jnp.clip(cand_x, 0, w - 1).reshape(n_frames, h, w, m * m)
+    valid = in_box.reshape(n_frames, h, w, m * m)
+
+    iy = cand_y.astype(jnp.int32)
+    ix = cand_x.astype(jnp.int32)
+
+    # depth-lift to 3D (vmapped :103-115)
+    def lift(depth_f, iy_f, ix_f):
+        return depth_f[iy_f, ix_f]
+    d = jax.vmap(lift)(depths, iy, ix)                          # (N,h,w,mm)
+    valid = valid & (d > 0)
+    homog = jnp.stack([cand_y * d, cand_x * d, d, jnp.ones_like(d)], -1)
+
+    c2wK_all = jnp.asarray(c2w @ K_inv[None])                   # (N,4,4)
+    scene_cand = jax.vmap(lambda M, p: _project(M, p))(c2wK_all, homog)
+
+    # frustum side planes from the reference frame (:122-129)
+    sp = scene_pts[..., :3]
+    normal1 = jnp.cross(sp[..., 2, :] - sp[..., 0, :], sp[..., 4, :] - sp[..., 0, :])
+    offset1 = -jnp.sum(normal1 * sp[..., 0, :], -1)
+    normal2 = jnp.cross(sp[..., 3, :] - sp[..., 1, :], sp[..., 5, :] - sp[..., 1, :])
+    offset2 = -jnp.sum(normal2 * sp[..., 1, :], -1)
+    normal3 = jnp.cross(sp[..., 1, :] - sp[..., 0, :], sp[..., 5, :] - sp[..., 0, :])
+    offset3 = -jnp.sum(normal3 * sp[..., 0, :], -1)
+    normal4 = jnp.cross(sp[..., 3, :] - sp[..., 2, :], sp[..., 6, :] - sp[..., 2, :])
+    offset4 = -jnp.sum(normal4 * sp[..., 2, :], -1)
+
+    sc = scene_cand[..., :3]
+    side = lambda nrm, off: (jnp.sum(sc * nrm[None, :, :, None, :], -1)
+                             + off[None, :, :, None])
+    outside = ((side(normal1, offset1) * side(normal2, offset2) >= 0)
+               | (side(normal3, offset3) * side(normal4, offset4) >= 0))
+    valid = valid & ~outside
+
+    # (rgb, xyz, t) features per candidate (:144-149)
+    def fetch_rgb(img_f, iy_f, ix_f):
+        return img_f[iy_f, ix_f]
+    rgb = jax.vmap(fetch_rgb)(imgs, iy, ix)                      # (N,h,w,mm,3)
+    t = jnp.broadcast_to(
+        jnp.arange(n_frames, dtype=jnp.float32)[:, None, None, None],
+        d.shape)[..., None]
+    feats = jnp.concatenate([rgb, sc, t], axis=-1)               # (...,7)
+
+    # reference features: frame-0 pixel rgb + its center candidate xyz, t=0
+    ref = jnp.concatenate([imgs[ref_frame],
+                           sc[ref_frame, :, :, n_samp // 2],
+                           jnp.zeros((h, w, 1))], axis=-1)       # (h,w,7)
+
+    sigma_inv2 = jnp.asarray(1.0 / np.asarray(sigma, np.float32)) ** 2
+    diff2 = (ref[None, :, :, None, :] - feats) ** 2
+    weights = jnp.exp(-0.5 * jnp.sum(diff2 * sigma_inv2, -1))
+    weights = weights * valid.astype(weights.dtype)              # (N,h,w,mm)
+
+    wsum = jnp.sum(weights, axis=(0, 3))
+    rgb_accum = jnp.sum(weights[..., None] * rgb, axis=(0, 3))
+    out = jnp.where(wsum[..., None] > 1e-8,
+                    rgb_accum / jnp.maximum(wsum[..., None], 1e-8),
+                    imgs[ref_frame])
+    return out

@@ -1,0 +1,158 @@
+"""COLMAP pose pipeline: run SfM, load poses/bounds/images/depths.
+
+Equivalent of /root/reference/scene-space/poses/pose_utils.py: drive the
+COLMAP binary via subprocess (kept host-side per SURVEY §2.4), convert w2c to
+c2w with the LLFF-style [-u, r, -t] axis flip, save/load
+``poses_bounds.npy`` with 0.1/99.9-percentile depth bounds, and read the
+geometric depth maps.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sin_inn_tpu.scene_space.colmap import (qvec2rotmat, read_depth_bin,
+                                            read_model)
+
+
+def run_colmap(basedir: str, match_type: str = "exhaustive_matcher",
+               dense: bool = True):
+    """Feature extraction -> matching -> mapping (-> undistort + stereo),
+    mirroring reference pose_utils.py:8-80."""
+    logfile = os.path.join(basedir, "colmap_output.txt")
+    db = os.path.join(basedir, "database.db")
+    sparse = os.path.join(basedir, "sparse")
+    os.makedirs(sparse, exist_ok=True)
+
+    def run(args):
+        with open(logfile, "a") as log:
+            subprocess.check_call(args, stdout=log, stderr=log)
+
+    run(["colmap", "feature_extractor", "--database_path", db,
+         "--image_path", os.path.join(basedir, "images"),
+         "--ImageReader.single_camera", "1"])
+    run(["colmap", match_type, "--database_path", db])
+    run(["colmap", "mapper", "--database_path", db,
+         "--image_path", os.path.join(basedir, "images"),
+         "--output_path", sparse, "--Mapper.num_threads", "16",
+         "--Mapper.init_min_tri_angle", "4",
+         "--Mapper.multiple_models", "0",
+         "--Mapper.extract_colors", "0"])
+    if dense:
+        dense_dir = os.path.join(basedir, "dense")
+        run(["colmap", "image_undistorter", "--image_path",
+             os.path.join(basedir, "images"), "--input_path",
+             os.path.join(sparse, "0"), "--output_path", dense_dir,
+             "--output_type", "COLMAP"])
+        run(["colmap", "patch_match_stereo", "--workspace_path", dense_dir,
+             "--workspace_format", "COLMAP",
+             "--PatchMatchStereo.geom_consistency", "true"])
+
+
+def load_colmap_data(realdir: str):
+    """Read the sparse model -> (poses, perm, points3d, image names).
+
+    poses: (3, 5, N) with [R | t | (h, w, f)] columns and the LLFF-style
+    [-u, r, -t] axis flip (reference pose_utils.py:83-133).
+    """
+    camerasfile = os.path.join(realdir, "sparse/0")
+    if not os.path.isdir(camerasfile):
+        camerasfile = os.path.join(realdir, "sparse")
+    cameras, images, points = read_model(camerasfile, ".bin")
+
+    cam = next(iter(cameras.values()))
+    h, w, f = cam.height, cam.width, cam.params[0]
+    hwf = np.array([h, w, f]).reshape(3, 1)
+
+    names = [images[k].name for k in images]
+    perm = np.argsort(names)
+    w2c_mats = []
+    bottom = np.array([0, 0, 0, 1.0]).reshape(1, 4)
+    for k in images:
+        im = images[k]
+        R = qvec2rotmat(im.qvec)
+        t = im.tvec.reshape(3, 1)
+        w2c_mats.append(np.concatenate(
+            [np.concatenate([R, t], 1), bottom], 0))
+    w2c_mats = np.stack(w2c_mats, 0)
+    c2w_mats = np.linalg.inv(w2c_mats)
+    poses = c2w_mats[:, :3, :4].transpose(1, 2, 0)
+    poses = np.concatenate(
+        [poses, np.tile(hwf[..., None], [1, 1, poses.shape[-1]])], 1)
+    # [-u, r, -t] axis flip (pose_utils.py:131)
+    poses = np.concatenate(
+        [poses[:, 1:2, :], poses[:, 0:1, :], -poses[:, 2:3, :],
+         poses[:, 3:4, :], poses[:, 4:5, :]], 1)
+    return poses, perm, points, sorted(names)
+
+
+def save_poses(basedir: str, poses: np.ndarray, perm: np.ndarray, points):
+    """Write poses_bounds.npy with 0.1/99.9-pct depth bounds
+    (reference pose_utils.py:136-170)."""
+    pts_arr = np.stack([points[k].xyz for k in points]) if points else \
+        np.zeros((0, 3))
+    vis_arr = []
+    cams = sorted({i for k in points for i in points[k].image_ids}) if points \
+        else []
+    save_arr = []
+    n = poses.shape[-1]
+    for i in perm:
+        if pts_arr.size:
+            # depth of each point in this camera's frame
+            zvals = np.sum(-(pts_arr - poses[:3, 3, i]) * poses[:3, 2, i],
+                           axis=-1)
+            close = np.percentile(zvals[zvals > 0], 0.1) if (zvals > 0).any() \
+                else 0.01
+            inf = np.percentile(zvals[zvals > 0], 99.9) if (zvals > 0).any() \
+                else 1.0
+        else:
+            close, inf = 0.01, 1.0
+        save_arr.append(np.concatenate(
+            [poses[..., i].ravel(), np.array([close, inf])], 0))
+    save_arr = np.stack(save_arr, 0)
+    np.save(os.path.join(basedir, "poses_bounds.npy"), save_arr)
+    return save_arr
+
+
+def load_data(basedir: str, factor: Optional[int] = None):
+    """Load (poses, bounds, images, depths) from a processed COLMAP dir
+    (reference pose_utils.py:173-202). Returns NHWC float arrays."""
+    import imageio.v2 as io
+
+    arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
+    poses = arr[:, :-2].reshape(-1, 3, 5)
+    bds = arr[:, -2:]
+
+    imgdir = os.path.join(basedir, "images")
+    img_files = sorted(f for f in os.listdir(imgdir)
+                       if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    imgs = np.stack([io.imread(os.path.join(imgdir, f)) / 255.0
+                     for f in img_files]).astype(np.float32)
+
+    depthdir = os.path.join(basedir, "stereo", "depth_maps")
+    depths = None
+    if os.path.isdir(depthdir):
+        dfiles = sorted(f for f in os.listdir(depthdir)
+                        if f.endswith("geometric.bin"))
+        if dfiles:
+            depths = np.stack([read_depth_bin(os.path.join(depthdir, f))
+                               for f in dfiles]).astype(np.float32)
+    return poses, bds, imgs, depths
+
+
+def get_camera_matrices(poses: np.ndarray):
+    """Intrinsics + extrinsics from a pose vector (reference
+    scene-space/gather_3d.py:16-25 unpack_matrices). poses: (N, 3, 5)."""
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = poses[0, 2, 4]
+    K[1, 1] = poses[0, 2, 4]
+    K[0, 2] = poses[0, 0, 4] / 2.0
+    K[1, 2] = poses[0, 1, 4] / 2.0
+    c2w = np.zeros((poses.shape[0], 4, 4), dtype=np.float32)
+    c2w[:, :3, :4] = poses[..., :4]
+    c2w[:, 3, 3] = 1.0
+    return K, np.linalg.inv(K), c2w, np.linalg.inv(c2w)

@@ -1,0 +1,101 @@
+"""Tests for data IO: .flo files, flow viz, prepare pipeline, flow media."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sin_inn_tpu.data.flo import read_flo, write_flo
+from sin_inn_tpu.data.flow_viz import flow_to_image
+from sin_inn_tpu.data.prepare import (binning, demosaic_bilinear,
+                                      extract_bayer, pack_bayer,
+                                      pack_demosaic)
+from sin_inn_tpu.data.flow_media import FlowMedia
+
+
+def test_flo_roundtrip(tmp_path, rng):
+    flow = rng.randn(7, 9, 2).astype(np.float32)
+    p = str(tmp_path / "t.flo")
+    write_flo(p, flow)
+    back = read_flo(p)
+    np.testing.assert_allclose(back, flow, atol=1e-7)
+
+
+def test_flo_rejects_bad_magic(tmp_path):
+    p = str(tmp_path / "bad.flo")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 16)
+    with pytest.raises(ValueError):
+        read_flo(p)
+
+
+def test_flow_to_image_shape(rng):
+    flow = rng.randn(6, 8, 2).astype(np.float32) * 3
+    img = flow_to_image(flow)
+    assert img.shape == (6, 8, 3)
+    assert img.dtype == np.uint8
+    # zero flow must not be fully saturated; distinct flows -> distinct colors
+    img2 = flow_to_image(-flow)
+    assert (img != img2).any()
+
+
+def test_extract_bayer_rggb(rng):
+    frame = rng.rand(8, 8, 3).astype(np.float32)
+    bayer, hr = extract_bayer(frame)
+    assert bayer.shape == (8, 8)
+    assert bayer[0, 0] == frame[0, 0, 0]       # R
+    assert bayer[0, 1] == frame[0, 1, 1]       # G1
+    assert bayer[1, 0] == frame[1, 0, 1]       # G2
+    assert bayer[1, 1] == frame[1, 1, 2]       # B
+
+
+def test_binning_mean_constant(rng):
+    img = np.ones((16, 16)) * 0.5
+    out = binning(img, "mean", 2)
+    assert out.shape == (4, 4, 4)
+    np.testing.assert_allclose(out, 0.5)
+
+
+def test_binning_spatial_reduction_matches_survey():
+    """LR spatial = HR / (2*scale) (SURVEY §2.1 dimensional invariant)."""
+    img = np.random.rand(32, 64)
+    out = binning(img, "mean", 4)
+    assert out.shape == (4, 8, 4)
+
+
+def test_pack_bayer_roundtrip(rng):
+    lr = rng.rand(4, 4, 4).astype(np.float32)
+    bayer = pack_bayer(lr)
+    assert bayer.shape == (8, 8)
+    # unpack again
+    np.testing.assert_array_equal(bayer[::2, ::2], lr[..., 0])
+    np.testing.assert_array_equal(bayer[1::2, 1::2], lr[..., 3])
+
+
+def test_demosaic_constant_image():
+    bayer = np.ones((8, 8)) * 0.25
+    rgb = demosaic_bilinear(bayer)
+    assert rgb.shape == (8, 8, 3)
+    np.testing.assert_allclose(rgb, 0.25, atol=1e-6)
+
+
+def test_flow_media_samples(rng):
+    video = rng.rand(5, 6, 10, 3).astype(np.float32)
+    m = FlowMedia(video)
+    assert len(m) == 4
+    assert m.flow_scale == pytest.approx(2.0)   # W/5 heuristic
+    b = m.sample(np.asarray([0, 2]))
+    assert b["frame1"].shape == (2, 6, 10, 3)
+    np.testing.assert_array_equal(b["frame2"][0], video[1])
+    assert b["times"].shape == (2,)
+    batches = list(m.batches(3))
+    assert sum(x["frame1"].shape[0] for x in batches) == 4
+
+
+def test_flow_media_with_gt(rng):
+    video = rng.rand(4, 6, 10, 3).astype(np.float32)
+    flow = rng.rand(3, 6, 10, 2).astype(np.float32)
+    m = FlowMedia(video, flow)
+    b = m.sample(np.asarray([1]))
+    assert "gt_flow" in b
+    np.testing.assert_array_equal(b["gt_flow"][0], flow[1])

@@ -1,0 +1,115 @@
+"""Scene-space tests: COLMAP readers on synthetic files + gather math."""
+
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin_inn_tpu.scene_space.colmap import (qvec2rotmat, read_cameras_binary,
+                                            read_images_binary, rotmat2qvec,
+                                            read_depth_bin)
+from sin_inn_tpu.scene_space.gather import (gather_scene,
+                                            pack_frustum_corners,
+                                            unpack_matrices)
+
+
+def test_qvec_rotmat_roundtrip(rng):
+    q = rng.randn(4)
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    R = qvec2rotmat(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    np.testing.assert_allclose(rotmat2qvec(R), q, atol=1e-8)
+
+
+def test_read_cameras_binary(tmp_path):
+    p = str(tmp_path / "cameras.bin")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 640, 480))   # PINHOLE, 4 params
+        f.write(struct.pack("<dddd", 500.0, 500.0, 320.0, 240.0))
+    cams = read_cameras_binary(p)
+    assert cams[1].model == "PINHOLE"
+    assert cams[1].width == 640
+    np.testing.assert_allclose(cams[1].params, [500, 500, 320, 240])
+
+
+def test_read_images_binary(tmp_path):
+    p = str(tmp_path / "images.bin")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<i", 5))
+        f.write(struct.pack("<dddd", 1, 0, 0, 0))
+        f.write(struct.pack("<ddd", 0.5, 0.25, -1.0))
+        f.write(struct.pack("<i", 1))
+        f.write(b"frame_0001.png\x00")
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<ddq", 10.0, 20.0, 7))
+        f.write(struct.pack("<ddq", 30.0, 40.0, -1))
+    imgs = read_images_binary(p)
+    im = imgs[5]
+    assert im.name == "frame_0001.png"
+    np.testing.assert_allclose(im.tvec, [0.5, 0.25, -1.0])
+    assert im.xys.shape == (2, 2)
+    assert im.point3d_ids.tolist() == [7, -1]
+
+
+def test_read_depth_bin(tmp_path, rng):
+    p = str(tmp_path / "d.geometric.bin")
+    depth = rng.rand(4, 6).astype(np.float32)
+    with open(p, "wb") as f:
+        f.write(b"6&4&1&")
+        depth.tofile(f)
+    out = read_depth_bin(p)
+    np.testing.assert_allclose(out, depth)
+
+
+def _identity_scene(n=3, h=8, w=10):
+    """N cameras at identity pose, focal 20, looking at a constant-depth
+    plane -> every view sees the same image."""
+    rng = np.random.RandomState(0)
+    poses = np.zeros((n, 3, 5), np.float32)
+    for i in range(n):
+        poses[i, :, :3] = np.eye(3)
+        poses[i, 0, 4] = h
+        poses[i, 1, 4] = w
+        poses[i, 2, 4] = 20.0
+    img = rng.rand(h, w, 3).astype(np.float32)
+    imgs = np.stack([img] * n)
+    depths = np.ones((n, h, w), np.float32) * 2.0
+    bds = np.stack([np.full(n, 1.0), np.full(n, 4.0)], 1)
+    return poses, bds, imgs, depths
+
+
+def test_unpack_matrices_shapes():
+    poses, bds, imgs, depths = _identity_scene()
+    K, K_inv, c2w, w2c = unpack_matrices(poses)
+    assert K.shape == (4, 4)
+    np.testing.assert_allclose(K @ K_inv, np.eye(4), atol=1e-5)
+    np.testing.assert_allclose(c2w[0] @ w2c[0], np.eye(4), atol=1e-5)
+
+
+def test_pack_frustum_corners_shapes():
+    pts = np.asarray(pack_frustum_corners(6, 8, 1.0, 4.0, 3))
+    assert pts.shape == (6, 8, 8, 4)
+    np.testing.assert_allclose(pts[..., :4, 3], 1.0)       # 1/near
+    np.testing.assert_allclose(pts[..., 4:, 3], 0.25)      # 1/far
+    # corner clamping at borders
+    assert pts[0, 0, 0, 0] == 0 and pts[0, 0, 0, 1] == 0
+
+
+def test_gather_identity_views_preserves_image():
+    """Identical cameras + identical images: the bilateral average must
+    return (approximately) the reference image wherever valid."""
+    poses, bds, imgs, depths = _identity_scene()
+    out = np.asarray(gather_scene(jnp.asarray(imgs), jnp.asarray(depths),
+                                  poses, bds, patch=3))
+    assert out.shape == imgs[0].shape
+    assert np.isfinite(out).all()
+    # where the gather found candidates, values come from the shared image,
+    # so the result stays within the image's value range
+    assert out.min() >= imgs[0].min() - 1e-5
+    assert out.max() <= imgs[0].max() + 1e-5
