@@ -74,7 +74,10 @@ class SRConfig:
     # Runtime
     working_dir: str = "experiments"
     resume_state: Optional[str] = None
-    compute_dtype: str = "float32"   # 'float32' | 'bfloat16' (matmul inputs)
+    # subnet MXU precision: 'float32' (default TPU bf16-pass matmuls),
+    # 'bfloat16' (explicit bf16 inputs), or 'float32_highest' (true f32
+    # 6-pass matmuls for strict inversion/parity runs)
+    compute_dtype: str = "float32"
     data_axis: str = "data"          # mesh axis the batch is sharded over
     donate_state: bool = True
 

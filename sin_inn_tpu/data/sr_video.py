@@ -105,13 +105,35 @@ class SRDataset:
         return len(self.indices)
 
     def gather(self, sel: np.ndarray) -> Dict[str, np.ndarray]:
-        """Assemble a batch for sample positions ``sel`` (uint8 arrays)."""
+        """Assemble a batch for sample positions ``sel`` (uint8 arrays).
+
+        Uses the native C++ single-pass window assembler when built
+        (sin_inn_tpu/data/native.py); falls back to numpy fancy indexing.
+        """
+        from sin_inn_tpu.data import native
+
         win = self.window[sel]                          # (B, 2w+1)
-        lr = self.video.lr[win]                         # (B, 2w+1, h, w, 4)
-        b, t, h, w, c = lr.shape
-        lr = np.moveaxis(lr, 1, 3).reshape(b, h, w, t * c)
-        hr = self.video.hr[self.indices[sel]]
+        if native.available():
+            lr = native.gather_windows(self.video.lr, win)
+            hr = native.gather_frames(self.video.hr, self.indices[sel])
+        else:
+            lr = self.video.lr[win]                     # (B, 2w+1, h, w, 4)
+            b, t, h, w, c = lr.shape
+            lr = np.moveaxis(lr, 1, 3).reshape(b, h, w, t * c)
+            hr = self.video.hr[self.indices[sel]]
         return {"hr": hr, "lr": lr}
+
+    def native_prefetch(self, batch_size: int, shuffle: Optional[bool] = None):
+        """Background double-buffered batch iterator (native thread)."""
+        from sin_inn_tpu.data import native
+
+        if not native.available():
+            return None
+        order = np.arange(len(self))
+        if self.shuffle if shuffle is None else shuffle:
+            self._rng.shuffle(order)
+        return native.Prefetcher(self.video.lr, self.video.hr, self.window,
+                                 self.indices, order, batch_size)
 
     def batches(self, batch_size: int, drop_last: bool = False
                 ) -> Iterator[Dict[str, np.ndarray]]:

@@ -327,3 +327,248 @@ def spatial_update(cfg: SpatialConfig, state: SpatialState,
     return jax.lax.cond(do_progress,
                         lambda s: spatial_progress(cfg, s),
                         lambda s: s, state)
+
+
+# ===========================================================================
+# Adaptive controller (loss-gradient-triggered block unlock)
+# ===========================================================================
+
+@dataclass(frozen=True)
+class AdaptiveConfig:
+    encoding_dim: int
+    block_size: int
+    num_blocks: int
+    block_iterations: int
+    max_iteration: int
+    epsilon: float = 1e-5
+    grad_epsilon: float = 5e-4
+
+    # status codes (AdaptiveController.Status, :400-403)
+    WAITING = 0
+    STABILIZING = 1
+    INCREASING = 2
+
+    @classmethod
+    def create(cls, spec: INRSpec, max_iteration: int = 1000) -> "AdaptiveConfig":
+        e = spec.encoding_dim
+        block_size = spec.domain_dim * 2
+        num_blocks = (e - block_size) // block_size
+        return cls(encoding_dim=e, block_size=block_size,
+                   num_blocks=num_blocks,
+                   block_iterations=max(3 * max_iteration // (4 * num_blocks), 2),
+                   max_iteration=max_iteration)
+
+
+class AdaptiveState(NamedTuple):
+    mask: jnp.ndarray          # (encoding_dim,)
+    iteration: jnp.ndarray     # i32
+    cur_block: jnp.ndarray     # i32
+    next_block: jnp.ndarray    # i32
+    status: jnp.ndarray        # i32 (Waiting/Stabilizing/Increasing)
+    in_iteration: jnp.ndarray  # i32
+    log: jnp.ndarray           # (max_iteration,) loss history
+    best_score: jnp.ndarray    # f32
+
+
+def adaptive_init(cfg: AdaptiveConfig) -> AdaptiveState:
+    mask = jnp.concatenate([jnp.ones((cfg.block_size,)),
+                            jnp.zeros((cfg.encoding_dim - cfg.block_size,))])
+    return AdaptiveState(
+        mask=mask,
+        iteration=jnp.zeros((), jnp.int32),
+        cur_block=jnp.asarray(cfg.block_size, jnp.int32),
+        next_block=jnp.asarray(2 * cfg.block_size, jnp.int32),
+        status=jnp.asarray(cfg.STABILIZING, jnp.int32),
+        in_iteration=jnp.zeros((), jnp.int32),
+        log=jnp.zeros((cfg.max_iteration,)),
+        best_score=jnp.asarray(1e4, jnp.float32),
+    )
+
+
+def _loss_slope(cfg: AdaptiveConfig, log: jnp.ndarray,
+                end: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares slope of log(loss) over the trailing half-block window
+    (estimate_gradient, :405-411), via the closed-form regression formula
+    over a static-size dynamic slice."""
+    win = cfg.block_iterations // 2
+    start = jnp.maximum(end - win, 0)
+    y = jax.lax.dynamic_slice(log, (start,), (win,))
+    y = jnp.log(jnp.maximum(y, 1e-12))
+    y = y - y[0]
+    t = jnp.arange(win, dtype=jnp.float32)
+    # slope through the origin (torch.lstsq with a single domain column)
+    return jnp.sum(t * y) / jnp.maximum(jnp.sum(t * t), 1e-12)
+
+
+def adaptive_update(cfg: AdaptiveConfig, state: AdaptiveState,
+                    loss: jnp.ndarray) -> AdaptiveState:
+    """stash_iteration + update_status + update_mask (:413-448), pure."""
+    best = jnp.minimum(state.best_score, loss)
+    log = state.log.at[jnp.clip(state.iteration, 0,
+                                cfg.max_iteration - 1)].set(loss)
+    it = state.iteration + 1
+    done = state.cur_block >= cfg.encoding_dim
+    bi = cfg.block_iterations
+
+    # ---- update_status (:413-434) ----
+    inc_full = (state.status == cfg.INCREASING) & (state.in_iteration == bi)
+    stab_full = (state.status == cfg.STABILIZING) & (state.in_iteration == bi)
+    stab_cont = (state.status == cfg.STABILIZING) & (state.in_iteration < bi)
+    low_loss = log[jnp.clip(it - 1, 0, cfg.max_iteration - 1)] < cfg.epsilon
+    slope = _loss_slope(cfg, log, it)
+    trigger = (state.status == cfg.WAITING) & ~low_loss & \
+        (slope > -cfg.grad_epsilon)
+
+    status = state.status
+    status = jnp.where(inc_full, cfg.STABILIZING, status)
+    status = jnp.where(stab_full, cfg.WAITING, status)
+    status = jnp.where(trigger, cfg.INCREASING, status)
+
+    in_it = state.in_iteration
+    in_it = jnp.where(inc_full | stab_full, 0, in_it)
+    in_it = jnp.where(stab_cont & ~stab_full, state.in_iteration + 1, in_it)
+
+    # block advance happens when an Increasing phase completes (:414-417)
+    idx = jnp.arange(cfg.encoding_dim)
+    in_window = (idx >= state.cur_block) & (idx < state.next_block)
+    mask = jnp.where(inc_full & ~done & in_window, 1.0, state.mask)
+    nb = state.next_block + cfg.block_size
+    nb = jnp.where(cfg.encoding_dim - nb < cfg.block_size,
+                   cfg.encoding_dim, nb)
+    cur = jnp.where(inc_full & ~done, state.next_block, state.cur_block)
+    nxt = jnp.where(inc_full & ~done, nb, state.next_block)
+
+    # ---- update_mask ramp while Increasing (:436-443) ----
+    ramping = (status == cfg.INCREASING) & ~done
+    alpha = (in_it % bi).astype(mask.dtype) / bi
+    in_window_new = (idx >= cur) & (idx < nxt)
+    mask = jnp.where(ramping & in_window_new,
+                     jnp.maximum(mask, alpha), mask)
+    in_it = jnp.where(ramping, in_it + 1, in_it)
+
+    return AdaptiveState(mask=mask, iteration=it,
+                         cur_block=cur.astype(jnp.int32),
+                         next_block=nxt.astype(jnp.int32),
+                         status=status.astype(jnp.int32),
+                         in_iteration=in_it.astype(jnp.int32),
+                         log=log, best_score=best)
+
+
+# ===========================================================================
+# Fixed spatial controller (per-sample mask over a fixed input grid)
+# ===========================================================================
+
+@dataclass(frozen=True)
+class FixedSpatialConfig:
+    encoding_dim: int
+    domain_dim: int            # 1 or 2 supported (reference :161-177)
+    num_samples: int           # fixed training grid size
+    block_size: int
+    num_blocks: int
+    block_iterations: int
+    progress_iterations: int
+    buffer_size: int
+    epsilon: float
+
+    @classmethod
+    def create(cls, spec: INRSpec, num_samples: int, max_iteration: int = 1000,
+               epsilon: float = 1e-3,
+               num_blocks: Optional[int] = None) -> "FixedSpatialConfig":
+        e = spec.encoding_dim
+        if num_blocks is None:
+            block_size = spec.domain_dim * 2
+            num_blocks = (e - block_size) // block_size
+        else:
+            block_size = e // num_blocks
+        bi = max(3 * max_iteration // (4 * num_blocks), 2)
+        return cls(encoding_dim=e, domain_dim=spec.domain_dim,
+                   num_samples=num_samples, block_size=block_size,
+                   num_blocks=num_blocks, block_iterations=bi,
+                   progress_iterations=bi * num_blocks,
+                   buffer_size=max(bi // 2, 1), epsilon=epsilon)
+
+
+class FixedSpatialState(NamedTuple):
+    mask: jnp.ndarray          # (num_samples, encoding_dim)
+    in_progress: jnp.ndarray   # (num_samples,) bool
+    log_buffer: jnp.ndarray    # (buffer_size, num_samples) bool ring
+    iteration: jnp.ndarray
+    cur_block: jnp.ndarray
+    next_block: jnp.ndarray
+
+
+def fixed_spatial_init(cfg: FixedSpatialConfig) -> FixedSpatialState:
+    mask = jnp.concatenate(
+        [jnp.ones((cfg.num_samples, cfg.block_size)),
+         jnp.zeros((cfg.num_samples, cfg.encoding_dim - cfg.block_size))], 1)
+    return FixedSpatialState(
+        mask=mask,
+        in_progress=jnp.ones((cfg.num_samples,), bool),
+        log_buffer=jnp.ones((cfg.buffer_size, cfg.num_samples), bool),
+        iteration=jnp.zeros((), jnp.int32),
+        cur_block=jnp.asarray(cfg.block_size, jnp.int32),
+        next_block=jnp.asarray(2 * cfg.block_size, jnp.int32),
+    )
+
+
+def _blur_1d2d(cfg: FixedSpatialConfig, v: jnp.ndarray) -> jnp.ndarray:
+    """3-tap box blur over the fixed sample grid, replicate padding
+    (blur_loss / get_base_mask, :167-186, :255-272). v: (num_samples, ...)."""
+    if cfg.domain_dim == 1:
+        pad = jnp.concatenate([v[:1], v, v[-1:]], 0)
+        return (pad[:-2] + pad[1:-1] + pad[2:]) / 3.0
+    if cfg.domain_dim == 2:
+        side = int(math.isqrt(cfg.num_samples))
+        g = v.reshape(side, side, *v.shape[1:])
+        for ax in (0, 1):
+            padder = [(0, 0)] * g.ndim
+            padder[ax] = (1, 1)
+            p = jnp.pad(g, padder, mode="edge")
+            g = (lax_slice_axis(p, ax, 0, side)
+                 + lax_slice_axis(p, ax, 1, side)
+                 + lax_slice_axis(p, ax, 2, side)) / 3.0
+        return g.reshape(v.shape)
+    return v
+
+
+def fixed_spatial_mask(cfg: FixedSpatialConfig,
+                       state: FixedSpatialState) -> jnp.ndarray:
+    """Blurred per-sample mask for the full fixed grid (__call__ :349-365)."""
+    return _blur_1d2d(cfg, state.mask)
+
+
+def fixed_spatial_update(cfg: FixedSpatialConfig, state: FixedSpatialState,
+                         sample_loss: jnp.ndarray) -> FixedSpatialState:
+    """stash_iteration (:197-205) + update_mask (:207-221), pure.
+    sample_loss: (num_samples,) per-grid-point loss."""
+    blurred = _blur_1d2d(cfg, sample_loss)
+    slot = state.iteration % cfg.buffer_size
+    log_buffer = state.log_buffer.at[slot].set(blurred > cfg.epsilon)
+    # a sample leaves progress when no recent iteration exceeded epsilon
+    in_progress = state.in_progress & log_buffer.any(axis=0)
+    it = state.iteration + 1
+
+    idx = jnp.arange(cfg.encoding_dim)[None, :]
+    in_window = (idx >= state.cur_block) & (idx < state.next_block)
+    boundary = (it % cfg.block_iterations) == 0
+    alpha = jnp.minimum(
+        1.0, 2.0 * (it % cfg.block_iterations) / cfg.block_iterations
+    ).astype(state.mask.dtype)
+    active = in_progress[:, None] & in_window
+    frozen = (it > cfg.progress_iterations) | ~in_progress.any()
+
+    mask_ramp = jnp.where(active, jnp.maximum(state.mask, alpha), state.mask)
+    mask_block = jnp.where(active, 1.0, state.mask)
+    nb = state.next_block + cfg.block_size
+    nb = jnp.where(cfg.encoding_dim - nb < cfg.block_size,
+                   cfg.encoding_dim, nb)
+
+    mask = jnp.where(frozen, state.mask,
+                     jnp.where(boundary, mask_block, mask_ramp))
+    cur = jnp.where(frozen | ~boundary, state.cur_block, state.next_block)
+    nxt = jnp.where(frozen | ~boundary, state.next_block, nb)
+
+    return FixedSpatialState(mask=mask, in_progress=in_progress,
+                             log_buffer=log_buffer, iteration=it,
+                             cur_block=cur.astype(jnp.int32),
+                             next_block=nxt.astype(jnp.int32))

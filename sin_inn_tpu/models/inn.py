@@ -49,6 +49,7 @@ class LayerSpec:
     gc: int = 32
     perm: Optional[Tuple[int, ...]] = None       # permute only
     perm_inv: Optional[Tuple[int, ...]] = None
+    compute: str = "float32"        # subnet MXU input dtype (see ops.subnet)
 
 
 def build_srf_spec(cfg: SRConfig, c: int) -> Tuple[List[LayerSpec], int]:
@@ -62,7 +63,8 @@ def build_srf_spec(cfg: SRConfig, c: int) -> Tuple[List[LayerSpec], int]:
             kernel = 3 if kk % 2 == 0 else 1     # archs.py:54-59
             spec.append(LayerSpec(
                 "glow", clamp=cfg.clamp_srf, split_len1=c // 2,
-                kernel=kernel, hidden=cfg.hidden_channels))
+                kernel=kernel, hidden=cfg.hidden_channels,
+                compute=cfg.compute_dtype))
             perm = make_permutation(c, seed=kk)  # archs.py:65-68 (seed=kk)
             spec.append(LayerSpec(
                 "permute", perm=tuple(perm.tolist()),
@@ -80,7 +82,8 @@ def build_irn_spec(cfg: SRConfig, c: int) -> Tuple[List[LayerSpec], int]:
         for _ in range(cfg.num_coupling):
             split = min(cfg.lr_dims, c // 2)     # archs.py:218
             spec.append(LayerSpec(
-                "invblock", clamp=cfg.clamp_irn, split_len1=split, gc=cfg.dense_gc))
+                "invblock", clamp=cfg.clamp_irn, split_len1=split,
+                gc=cfg.dense_gc, compute=cfg.compute_dtype))
     return spec, c
 
 
@@ -136,17 +139,25 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
     if layer.kind == "permute":
         perm = layer.perm_inv if rev else layer.perm
         return permute_channels(x, np.asarray(perm)), zero
+    if layer.compute == "float32":
+        compute = None
+    elif layer.compute == "float32_highest":
+        compute = "highest"
+    else:
+        compute = jnp.dtype(layer.compute)
     if layer.kind == "glow":
+        subnet = partial(S.conv_subnet_apply, compute_dtype=compute)
         if rev:
-            return C.glow_coupling_inverse(p, x, S.conv_subnet_apply,
+            return C.glow_coupling_inverse(p, x, subnet,
                                            layer.clamp, layer.split_len1), zero
-        return C.glow_coupling_forward(p, x, S.conv_subnet_apply,
+        return C.glow_coupling_forward(p, x, subnet,
                                        layer.clamp, layer.split_len1)
     if layer.kind == "invblock":
+        subnet = partial(S.dense_block_apply, compute_dtype=compute)
         if rev:
-            return C.inv_block_inverse(p, x, S.dense_block_apply,
+            return C.inv_block_inverse(p, x, subnet,
                                        layer.clamp, layer.split_len1), zero
-        return C.inv_block_forward(p, x, S.dense_block_apply,
+        return C.inv_block_forward(p, x, subnet,
                                    layer.clamp, layer.split_len1)
     raise ValueError(layer.kind)
 

@@ -1,0 +1,167 @@
+"""Fused Pallas TPU kernel for GLOW couplings with 1x1-conv subnets.
+
+The BASELINE.json north-star asks for the INN's bijective forward/inverse as
+fused TPU kernels. For the alternating 1x1-conv couplings of the SRFlow graph
+(/root/reference/archs.py:15-17,56-59), the whole coupling is a per-pixel
+chain of matmuls + elementwise ops:
+
+    r2 = W2b @ relu(W2a @ x2 + b2a) + b2b          # subnet s2
+    y1 = exp(log_e(s2)) * x1 + t2
+    r1 = W1b @ relu(W1a @ y1 + b1a) + b1b          # subnet s1
+    y2 = exp(log_e(s1)) * x2 + t1
+
+Unfused, XLA round-trips every intermediate (h2, r2, y1, h1, r1 — each up to
+(M, 256)) through HBM; the fused kernel holds one row-tile of activations and
+ALL subnet weights in VMEM, so HBM traffic is exactly one read of x and one
+write of y. The inverse kernel is the mirrored chain, so forward and inverse
+stay exact inverses (identical subnet evaluations in both directions).
+
+Training integrates via jax.custom_vjp: the backward pass re-runs the fused
+forward math in XLA (rematerialization — trading FLOPs for memory exactly as
+jax.checkpoint would) and lets XLA differentiate it; the fused kernels serve
+the fwd/inv evaluations, which dominate inference and the non-grad passes.
+
+Layout notes: the row-tile M_TILE=256 is a multiple of the 8-sublane f32
+tile; channel counts (up to 2*192=384) are padded to 128 lanes by Mosaic
+automatically. Weights total < 1 MB — VMEM-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sin_inn_tpu.ops.coupling import glow_log_e
+
+try:  # Pallas is TPU/Mosaic-only; the XLA fallback covers CPU tests
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_M_TILE = 256
+
+
+def _subnet_mats(sub: Dict) -> Tuple[jnp.ndarray, ...]:
+    """1x1 conv params (1, 1, cin, cout) -> (W (cin, cout), b)."""
+    w1 = sub["conv1"]["w"][0, 0]
+    b1 = sub["conv1"]["b"]
+    w2 = sub["conv2"]["w"][0, 0]
+    b2 = sub["conv2"]["b"]
+    return w1, b1, w2, b2
+
+
+def _coupling_fwd_kernel(x_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
+                         w1a_ref, b1a_ref, w1b_ref, b1b_ref, y_ref,
+                         *, len1: int, clamp: float):
+    x = x_ref[:]
+    x1 = x[:, :len1]
+    x2 = x[:, len1:]
+    len2 = x.shape[1] - len1
+
+    h2 = jnp.maximum(
+        jnp.dot(x2, w2a_ref[:], preferred_element_type=jnp.float32)
+        + b2a_ref[:], 0.0)
+    r2 = jnp.dot(h2, w2b_ref[:], preferred_element_type=jnp.float32) \
+        + b2b_ref[:]
+    s2 = r2[:, :len1]
+    t2 = r2[:, len1:]
+    y1 = jnp.exp(glow_log_e(s2, clamp)) * x1 + t2
+
+    h1 = jnp.maximum(
+        jnp.dot(y1, w1a_ref[:], preferred_element_type=jnp.float32)
+        + b1a_ref[:], 0.0)
+    r1 = jnp.dot(h1, w1b_ref[:], preferred_element_type=jnp.float32) \
+        + b1b_ref[:]
+    s1 = r1[:, :len2]
+    t1 = r1[:, len2:]
+    y2 = jnp.exp(glow_log_e(s1, clamp)) * x2 + t1
+
+    y_ref[:] = jnp.concatenate([y1, y2], axis=1)
+
+
+def _coupling_inv_kernel(y_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
+                         w1a_ref, b1a_ref, w1b_ref, b1b_ref, x_ref,
+                         *, len1: int, clamp: float):
+    y = y_ref[:]
+    y1 = y[:, :len1]
+    y2 = y[:, len1:]
+    len2 = y.shape[1] - len1
+
+    h1 = jnp.maximum(
+        jnp.dot(y1, w1a_ref[:], preferred_element_type=jnp.float32)
+        + b1a_ref[:], 0.0)
+    r1 = jnp.dot(h1, w1b_ref[:], preferred_element_type=jnp.float32) \
+        + b1b_ref[:]
+    s1 = r1[:, :len2]
+    t1 = r1[:, len2:]
+    x2 = (y2 - t1) * jnp.exp(-glow_log_e(s1, clamp))
+
+    h2 = jnp.maximum(
+        jnp.dot(x2, w2a_ref[:], preferred_element_type=jnp.float32)
+        + b2a_ref[:], 0.0)
+    r2 = jnp.dot(h2, w2b_ref[:], preferred_element_type=jnp.float32) \
+        + b2b_ref[:]
+    s2 = r2[:, :len1]
+    t2 = r2[:, len1:]
+    x1 = (y1 - t2) * jnp.exp(-glow_log_e(s2, clamp))
+
+    x_ref[:] = jnp.concatenate([x1, x2], axis=1)
+
+
+def _run_fused(kernel, x2d: jnp.ndarray, mats, len1: int, clamp: float,
+               interpret: bool = False) -> jnp.ndarray:
+    m, c = x2d.shape
+    m_pad = (m + _M_TILE - 1) // _M_TILE * _M_TILE
+    if m_pad != m:
+        x2d = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // _M_TILE,)
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mats]
+    out = pl.pallas_call(
+        functools.partial(kernel, len1=len1, clamp=clamp),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), x2d.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((_M_TILE, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + weight_specs,
+        out_specs=pl.BlockSpec((_M_TILE, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2d, *mats)
+    return out[:m]
+
+
+def _prep(params: Dict):
+    w2a, b2a, w2b, b2b = _subnet_mats(params["s2"])
+    w1a, b1a, w1b, b1b = _subnet_mats(params["s1"])
+    return (w2a, b2a[None, :], w2b, b2b[None, :],
+            w1a, b1a[None, :], w1b, b1b[None, :])
+
+
+def fused_glow_forward_1x1(params: Dict, x: jnp.ndarray, clamp: float,
+                           len1: int, interpret: bool = False) -> jnp.ndarray:
+    """Fused forward for a 1x1-subnet GLOW coupling. x: (N, H, W, C)."""
+    n, h, w, c = x.shape
+    out = _run_fused(_coupling_fwd_kernel, x.reshape(-1, c), _prep(params),
+                     len1, clamp, interpret)
+    return out.reshape(n, h, w, c)
+
+
+def fused_glow_inverse_1x1(params: Dict, y: jnp.ndarray, clamp: float,
+                           len1: int, interpret: bool = False) -> jnp.ndarray:
+    """Fused inverse (exact inverse of the forward kernel)."""
+    n, h, w, c = y.shape
+    out = _run_fused(_coupling_inv_kernel, y.reshape(-1, c), _prep(params),
+                     len1, clamp, interpret)
+    return out.reshape(n, h, w, c)
+
+
+def pallas_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    return jax.default_backend() not in ("cpu",)

@@ -25,11 +25,29 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
-           stride: int = 1, padding: str | Sequence = "SAME") -> jnp.ndarray:
+           stride: int = 1, padding: str | Sequence = "SAME",
+           compute_dtype=None) -> jnp.ndarray:
+    """NHWC conv. With ``compute_dtype`` (e.g. bfloat16) the MXU inputs are
+    cast down while accumulation and the returned activation stay float32 —
+    the TPU mixed-precision recipe. Params remain f32 master copies."""
+    out_dtype = x.dtype
+    precision = None
+    if compute_dtype == "highest":
+        # strict-parity mode: true f32 matmuls (6-pass on TPU); used when
+        # exact inversion / golden comparisons matter more than speed
+        precision = lax.Precision.HIGHEST
+    elif compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    # No preferred_element_type upcast here: keeping the conv's output dtype
+    # equal to its input dtype keeps the transpose (gradient) convs
+    # dtype-consistent under jax.grad; the TPU MXU still accumulates in f32
+    # internally for bf16 inputs.
     out = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
-        dimension_numbers=_DIMNUMS,
+        dimension_numbers=_DIMNUMS, precision=precision,
     )
+    out = out.astype(out_dtype)
     if b is not None:
         out = out + b
     return out
@@ -77,10 +95,13 @@ def conv_subnet_init(key, c_in: int, c_out: int, kernel: int,
     }
 
 
-def conv_subnet_apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    h = conv2d(x, params["conv1"]["w"], params["conv1"]["b"])
+def conv_subnet_apply(params: Dict, x: jnp.ndarray,
+                      compute_dtype=None) -> jnp.ndarray:
+    h = conv2d(x, params["conv1"]["w"], params["conv1"]["b"],
+               compute_dtype=compute_dtype)
     h = jax.nn.relu(h)
-    return conv2d(h, params["conv2"]["w"], params["conv2"]["b"])
+    return conv2d(h, params["conv2"]["w"], params["conv2"]["b"],
+                  compute_dtype=compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -98,14 +119,17 @@ def dense_block_init(key, c_in: int, c_out: int, gc: int = 32,
     return params
 
 
-def dense_block_apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def dense_block_apply(params: Dict, x: jnp.ndarray,
+                      compute_dtype=None) -> jnp.ndarray:
     lrelu = lambda v: jax.nn.leaky_relu(v, negative_slope=0.2)
-    x1 = lrelu(conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))
+    cv = lambda inp, p: conv2d(inp, p["w"], p["b"],
+                               compute_dtype=compute_dtype)
+    x1 = lrelu(cv(x, params["conv1"]))
     cat = jnp.concatenate([x, x1], axis=-1)
-    x2 = lrelu(conv2d(cat, params["conv2"]["w"], params["conv2"]["b"]))
+    x2 = lrelu(cv(cat, params["conv2"]))
     cat = jnp.concatenate([cat, x2], axis=-1)
-    x3 = lrelu(conv2d(cat, params["conv3"]["w"], params["conv3"]["b"]))
+    x3 = lrelu(cv(cat, params["conv3"]))
     cat = jnp.concatenate([cat, x3], axis=-1)
-    x4 = lrelu(conv2d(cat, params["conv4"]["w"], params["conv4"]["b"]))
+    x4 = lrelu(cv(cat, params["conv4"]))
     cat = jnp.concatenate([cat, x4], axis=-1)
-    return conv2d(cat, params["conv5"]["w"], params["conv5"]["b"])
+    return cv(cat, params["conv5"])

@@ -106,3 +106,36 @@ def test_spatial_progress_advances_high_loss_cells(key, rng):
     assert bool(np.asarray(state.in_progress).all())
     assert float(np.asarray(state.mask).sum()) > m0
     assert int(state.cur_block) > cfg.block_size
+
+
+def test_adaptive_controller_state_machine(key):
+    spec = make_spec(key)
+    cfg = C.AdaptiveConfig.create(spec, max_iteration=200)
+    state = C.adaptive_init(cfg)
+    update = jax.jit(lambda s, l: C.adaptive_update(cfg, s, l))
+    # constant (non-decreasing) loss: slope ~0 > -grad_eps -> controller
+    # should eventually trigger Increasing and unlock blocks
+    m0 = float(np.asarray(state.mask).sum())
+    for i in range(3 * cfg.block_iterations + 4):
+        state = update(state, jnp.asarray(1.0))
+    assert float(np.asarray(state.mask).sum()) > m0
+    assert int(state.iteration) == 3 * cfg.block_iterations + 4
+
+
+def test_fixed_spatial_gates_per_sample(key):
+    spec = make_spec(key)
+    n = 16  # 4x4 grid, domain_dim 2 path exercised via mask blur
+    cfg = C.FixedSpatialConfig.create(spec, num_samples=n, max_iteration=40,
+                                      epsilon=1e-3)
+    state = C.fixed_spatial_init(cfg)
+    # half the samples have converged (tiny loss), half still learning
+    loss = jnp.concatenate([jnp.full((n // 2,), 1e-8),
+                            jnp.full((n // 2,), 1.0)])
+    update = jax.jit(lambda s, l: C.fixed_spatial_update(cfg, s, l))
+    for _ in range(cfg.buffer_size + 1):
+        state = update(state, loss)
+    prog = np.asarray(state.in_progress)
+    assert not prog[0]          # converged sample left progress
+    assert prog[-1]             # high-loss sample still in progress
+    mask = np.asarray(C.fixed_spatial_mask(cfg, state))
+    assert mask.shape == (n, cfg.encoding_dim)
