@@ -78,6 +78,9 @@ class SRConfig:
     # 'bfloat16' (explicit bf16 inputs), or 'float32_highest' (true f32
     # 6-pass matmuls for strict inversion/parity runs)
     compute_dtype: str = "float32"
+    # fused Pallas kernels for the 1x1-subnet GLOW couplings:
+    # 'auto' (on TPU), 'on', 'off'
+    use_pallas: str = "auto"
     data_axis: str = "data"          # mesh axis the batch is sharded over
     donate_state: bool = True
 

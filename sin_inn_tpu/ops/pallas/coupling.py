@@ -36,8 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sin_inn_tpu.ops.coupling import glow_log_e
-
 try:  # Pallas is TPU/Mosaic-only; the XLA fallback covers CPU tests
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -46,6 +44,31 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _M_TILE = 256
+
+# Mosaic has no atan lowering; use the Abramowitz & Stegun 4.4.49 minimax
+# polynomial (|err| <= 2e-8 on [0,1], argument-reduced via atan(x) =
+# pi/2 - atan(1/x) for |x|>1). Both the forward and inverse kernels use this
+# SAME approximation, so the coupling stays exactly invertible; only the
+# cross-check against XLA's atan differs at ~1e-7.
+_ATAN_COEFFS = (0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
+                0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580)
+
+
+def _atan_poly(x: jnp.ndarray) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    big = ax > 1.0
+    t = jnp.where(big, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    t2 = t * t
+    p = jnp.full_like(t, _ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * t2 + c
+    r = t * p
+    r = jnp.where(big, (math.pi / 2) - r, r)
+    return jnp.where(x < 0, -r, r)
+
+
+def _log_e(s: jnp.ndarray, clamp: float) -> jnp.ndarray:
+    return clamp * (2.0 / math.pi) * _atan_poly(s / clamp)
 
 
 def _subnet_mats(sub: Dict) -> Tuple[jnp.ndarray, ...]:
@@ -72,7 +95,7 @@ def _coupling_fwd_kernel(x_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
         + b2b_ref[:]
     s2 = r2[:, :len1]
     t2 = r2[:, len1:]
-    y1 = jnp.exp(glow_log_e(s2, clamp)) * x1 + t2
+    y1 = jnp.exp(_log_e(s2, clamp)) * x1 + t2
 
     h1 = jnp.maximum(
         jnp.dot(y1, w1a_ref[:], preferred_element_type=jnp.float32)
@@ -81,7 +104,7 @@ def _coupling_fwd_kernel(x_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
         + b1b_ref[:]
     s1 = r1[:, :len2]
     t1 = r1[:, len2:]
-    y2 = jnp.exp(glow_log_e(s1, clamp)) * x2 + t1
+    y2 = jnp.exp(_log_e(s1, clamp)) * x2 + t1
 
     y_ref[:] = jnp.concatenate([y1, y2], axis=1)
 
@@ -101,7 +124,7 @@ def _coupling_inv_kernel(y_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
         + b1b_ref[:]
     s1 = r1[:, :len2]
     t1 = r1[:, len2:]
-    x2 = (y2 - t1) * jnp.exp(-glow_log_e(s1, clamp))
+    x2 = (y2 - t1) * jnp.exp(-_log_e(s1, clamp))
 
     h2 = jnp.maximum(
         jnp.dot(x2, w2a_ref[:], preferred_element_type=jnp.float32)
@@ -110,7 +133,7 @@ def _coupling_inv_kernel(y_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
         + b2b_ref[:]
     s2 = r2[:, :len1]
     t2 = r2[:, len1:]
-    x1 = (y1 - t2) * jnp.exp(-glow_log_e(s2, clamp))
+    x1 = (y1 - t2) * jnp.exp(-_log_e(s2, clamp))
 
     x_ref[:] = jnp.concatenate([x1, x2], axis=1)
 
@@ -165,3 +188,58 @@ def pallas_available() -> bool:
     if not _HAS_PALLAS:
         return False
     return jax.default_backend() not in ("cpu",)
+
+
+# ---------------------------------------------------------------------------
+# Training integration: fused kernels forward, XLA-rematerialized backward
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def make_fused_coupling(clamp: float, len1: int):
+    """(forward, inverse) differentiable ops backed by the fused kernels.
+
+    custom_vjp: the primal runs the Pallas kernel; the backward re-derives
+    gradients by differentiating the XLA reference coupling (recompute —
+    same trade as jax.checkpoint). The XLA path uses exact atan vs the
+    kernel's 2e-8 polynomial: gradient mismatch is O(1e-7), well under the
+    matmul rounding noise.
+    """
+    from sin_inn_tpu.ops import coupling as C
+    from sin_inn_tpu.ops import subnet as S
+
+    def xla_fwd(params, x):
+        return C.glow_coupling_forward(params, x, S.conv_subnet_apply,
+                                       clamp, len1)[0]
+
+    def xla_inv(params, y):
+        return C.glow_coupling_inverse(params, y, S.conv_subnet_apply,
+                                       clamp, len1)
+
+    @jax.custom_vjp
+    def fwd(params, x):
+        return fused_glow_forward_1x1(params, x, clamp, len1)
+
+    def fwd_fwd(params, x):
+        return fwd(params, x), (params, x)
+
+    def fwd_bwd(res, g):
+        params, x = res
+        _, vjp = jax.vjp(xla_fwd, params, x)
+        return vjp(g)
+
+    fwd.defvjp(fwd_fwd, fwd_bwd)
+
+    @jax.custom_vjp
+    def inv(params, y):
+        return fused_glow_inverse_1x1(params, y, clamp, len1)
+
+    def inv_fwd(params, y):
+        return inv(params, y), (params, y)
+
+    def inv_bwd(res, g):
+        params, y = res
+        _, vjp = jax.vjp(xla_inv, params, y)
+        return vjp(g)
+
+    inv.defvjp(inv_fwd, inv_bwd)
+    return fwd, inv

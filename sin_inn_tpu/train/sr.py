@@ -42,8 +42,15 @@ def _to_float(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def create_train_state(key: jax.Array, cfg: SRConfig):
-    """Build (spec, state, optimizer). Spec is static; params the pytree."""
-    spec, _ = build_inn_spec(cfg, c=3)
+    """Build (spec, state, optimizer). Spec is static; params the pytree.
+
+    Training uses the XLA coupling path unless ``use_pallas='on'``: the
+    fused kernels' custom-vjp recompute costs more than the fused forward
+    saves under grad (measured on v5e); they win at inference, where
+    ``make_infer_step`` auto-enables them.
+    """
+    train_cfg = cfg if cfg.use_pallas == "on" else cfg.replace(use_pallas="off")
+    spec, _ = build_inn_spec(train_cfg, c=3)
     params = init_inn(key, spec, c_in=3)
     tx = adam_l2(cfg.learning_rate, cfg.adam_betas,
                  weight_decay=cfg.weight_decay)
@@ -147,7 +154,13 @@ def make_eval_step(spec, cfg: SRConfig):
 
 def make_infer_step(spec, cfg: SRConfig):
     """Inference: sample z at temperature, run the inverse pass, return uint8
-    HR frames (lit_wrapper.py:91-128 minus the host-side encode)."""
+    HR frames (lit_wrapper.py:91-128 minus the host-side encode).
+
+    Rebuilds the layer spec with the fused Pallas couplings enabled
+    (per-coupling 1.4x on v5e; no grad, so no recompute penalty). The params
+    pytree layout is identical across the two specs.
+    """
+    spec, _ = build_inn_spec(cfg, c=3)
 
     def step(params, lr, key):
         lr = _to_float(lr)
