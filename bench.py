@@ -168,14 +168,55 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
     return b / dt
 
 
+def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF"):
+    """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train import flow as FT
+
+    cfg = FlowConfig(net=net, epochs=5000)
+    spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
+        jax.random.key(0), cfg)
+    step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "frame1": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32)),
+        "frame2": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32)),
+        "times": jnp.linspace(-1, 1, batch, dtype=jnp.float32),
+        "scale": jnp.asarray(w / 5.0, jnp.float32),
+    }
+    state, aux = step(state, consts, batch_data)
+    float(aux["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, aux = step(state, consts, batch_data)
+    float(aux["loss"])
+    return batch * steps / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", choices=["sr", "flow"], default="sr")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--net", default="RBF")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
+
+    if args.pipeline == "flow":
+        fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net)
+        print(json.dumps({
+            "metric": "flow train frames/sec/chip (436x1024 INR step)",
+            "value": round(fps, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     fps = bench_tpu(args.batch, args.height, args.width, args.steps)
 

@@ -73,7 +73,12 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     t0 = time.time()
     frames_done = 0
     for epoch in range(start_epoch, cfg.epochs):
-        for sup_batch in prefetch_to_device(sup.batches(cfg.batch_size)):
+        # native double-buffered prefetch when the C++ loader is built;
+        # numpy gather + async device_put otherwise
+        it = sup.native_prefetch(cfg.batch_size)
+        if it is None:
+            it = sup.batches(cfg.batch_size)
+        for sup_batch in prefetch_to_device(it):
             unsup_batch = (jax.device_put(
                 unsup.random_batch(sup_batch["hr"].shape[0]))
                 if use_tcr else None)
