@@ -126,7 +126,14 @@ def rbf_init(key, domain_dim: int, num_frequencies: int, std: float):
 
 
 def rbf_apply(params: Dict, consts: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    d2 = jnp.sum((x[..., None, :] - consts["centres"][None, :, :]) ** 2, -1)
+    # |x - c|^2 = |x|^2 + |c|^2 - 2 x.c — the matmul form keeps the (N, F)
+    # contraction on the MXU instead of materializing an (N, F, d) broadcast
+    # (at Sintel scale that broadcast is ~25 GB).
+    c = consts["centres"]
+    d2 = (jnp.sum(x ** 2, -1, keepdims=True)
+          + jnp.sum(c ** 2, -1)[None, :]
+          - 2.0 * (x @ c.T))
+    d2 = jnp.maximum(d2, 0.0)
     return jnp.exp(-d2 * consts["sigma"][None, :] ** 2)
 
 

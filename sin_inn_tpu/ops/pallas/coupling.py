@@ -243,3 +243,168 @@ def make_fused_coupling(clamp: float, len1: int):
 
     inv.defvjp(inv_fwd, inv_bwd)
     return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Fully fused backward kernel: recompute-in-VMEM + gradient matmuls
+# ---------------------------------------------------------------------------
+
+def _le_prime(s: jnp.ndarray, clamp: float) -> jnp.ndarray:
+    """d/ds of clamp*(2/pi)*atan(s/clamp) — analytic, exact."""
+    return (2.0 / math.pi) / (1.0 + (s / clamp) ** 2)
+
+
+def _coupling_bwd_kernel(x_ref, g_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
+                         w1a_ref, b1a_ref, w1b_ref, b1b_ref,
+                         dx_ref, dw2a_ref, db2a_ref, dw2b_ref, db2b_ref,
+                         dw1a_ref, db1a_ref, dw1b_ref, db1b_ref,
+                         *, len1: int, clamp: float):
+    """VJP of the fused forward: one row-tile per grid step.
+
+    Recomputes the forward intermediates in VMEM (residual = x only), then
+    runs the reverse chain. Weight/bias grads accumulate across the
+    sequential TPU grid into constant-indexed output blocks.
+    """
+    i = pl.program_id(0)
+
+    x = x_ref[:]
+    g = g_ref[:]
+    x1 = x[:, :len1]
+    x2 = x[:, len1:]
+    gy1 = g[:, :len1]
+    gy2 = g[:, len1:]
+
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # ---- recompute forward ----
+    z2 = dot(x2, w2a_ref[:]) + b2a_ref[:]
+    h2 = jnp.maximum(z2, 0.0)
+    r2 = dot(h2, w2b_ref[:]) + b2b_ref[:]
+    s2 = r2[:, :len1]
+    t2 = r2[:, len1:]
+    e2 = jnp.exp(_log_e(s2, clamp))
+    y1 = e2 * x1 + t2
+
+    z1 = dot(y1, w1a_ref[:]) + b1a_ref[:]
+    h1 = jnp.maximum(z1, 0.0)
+    r1 = dot(h1, w1b_ref[:]) + b1b_ref[:]
+    s1 = r1[:, :x2.shape[1]]
+    e1 = jnp.exp(_log_e(s1, clamp))
+
+    # ---- backward chain ----
+    # y2 = e1 * x2 + t1
+    gx2 = gy2 * e1
+    gs1 = gy2 * x2 * e1 * _le_prime(s1, clamp)
+    gr1 = jnp.concatenate([gs1, gy2], axis=1)          # [gs1 | gt1]
+    gh1 = dot(gr1, w1b_ref[:].T)
+    gz1 = jnp.where(z1 > 0.0, gh1, 0.0)
+    gy1_tot = gy1 + dot(gz1, w1a_ref[:].T)
+
+    # y1 = e2 * x1 + t2
+    gx1 = gy1_tot * e2
+    gs2 = gy1_tot * x1 * e2 * _le_prime(s2, clamp)
+    gr2 = jnp.concatenate([gs2, gy1_tot], axis=1)      # [gs2 | gt2]
+    gh2 = dot(gr2, w2b_ref[:].T)
+    gz2 = jnp.where(z2 > 0.0, gh2, 0.0)
+    gx2 = gx2 + dot(gz2, w2a_ref[:].T)
+
+    dx_ref[:] = jnp.concatenate([gx1, gx2], axis=1)
+
+    # ---- weight/bias grads (accumulated over the sequential grid) ----
+    @pl.when(i == 0)
+    def _():
+        dw2a_ref[:] = jnp.zeros_like(dw2a_ref)
+        db2a_ref[:] = jnp.zeros_like(db2a_ref)
+        dw2b_ref[:] = jnp.zeros_like(dw2b_ref)
+        db2b_ref[:] = jnp.zeros_like(db2b_ref)
+        dw1a_ref[:] = jnp.zeros_like(dw1a_ref)
+        db1a_ref[:] = jnp.zeros_like(db1a_ref)
+        dw1b_ref[:] = jnp.zeros_like(dw1b_ref)
+        db1b_ref[:] = jnp.zeros_like(db1b_ref)
+
+    dw2a_ref[:] += dot(x2.T, gz2)
+    db2a_ref[:] += jnp.sum(gz2, axis=0, keepdims=True)
+    dw2b_ref[:] += dot(h2.T, gr2)
+    db2b_ref[:] += jnp.sum(gr2, axis=0, keepdims=True)
+    dw1a_ref[:] += dot(y1.T, gz1)
+    db1a_ref[:] += jnp.sum(gz1, axis=0, keepdims=True)
+    dw1b_ref[:] += dot(h1.T, gr1)
+    db1b_ref[:] += jnp.sum(gr1, axis=0, keepdims=True)
+
+
+def fused_glow_backward_1x1(params: Dict, x: jnp.ndarray, g: jnp.ndarray,
+                            clamp: float, len1: int,
+                            interpret: bool = False):
+    """Run the fused backward kernel. Returns (dparams, dx)."""
+    n, hh, ww, c = x.shape
+    m = n * hh * ww
+    x2d = x.reshape(-1, c)
+    g2d = g.reshape(-1, c)
+    m_pad = (m + _M_TILE - 1) // _M_TILE * _M_TILE
+    if m_pad != m:
+        pad = ((0, m_pad - m), (0, 0))
+        x2d = jnp.pad(x2d, pad)
+        g2d = jnp.pad(g2d, pad)   # zero grads for padded rows: no dW effect
+    mats = _prep(params)
+    len2 = c - len1
+    hid = mats[0].shape[1]
+    grid = (m_pad // _M_TILE,)
+
+    row_spec = pl.BlockSpec((_M_TILE, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mats]
+    acc = lambda shape: (jax.ShapeDtypeStruct(shape, jnp.float32),
+                         pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = [
+        (jax.ShapeDtypeStruct((m_pad, c), x2d.dtype), row_spec),
+        acc((len2, hid)), acc((1, hid)),
+        acc((hid, 2 * len1)), acc((1, 2 * len1)),
+        acc((len1, hid)), acc((1, hid)),
+        acc((hid, 2 * len2)), acc((1, 2 * len2)),
+    ]
+    out_shapes = tuple(o[0] for o in outs)
+    out_specs = tuple(o[1] for o in outs)
+
+    res = pl.pallas_call(
+        functools.partial(_coupling_bwd_kernel, len1=len1, clamp=clamp),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[row_spec, row_spec] + w_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(x2d, g2d, *mats)
+
+    dx = res[0][:m].reshape(n, hh, ww, c)
+    (dw2a, db2a, dw2b, db2b, dw1a, db1a, dw1b, db1b) = res[1:]
+    dparams = {
+        "s2": {"conv1": {"w": dw2a[None, None], "b": db2a[0]},
+               "conv2": {"w": dw2b[None, None], "b": db2b[0]}},
+        "s1": {"conv1": {"w": dw1a[None, None], "b": db1a[0]},
+               "conv2": {"w": dw1b[None, None], "b": db1b[0]}},
+    }
+    return dparams, dx
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_coupling_full(clamp: float, len1: int, interpret: bool = False):
+    """Fused forward + fused backward (both Pallas) as one differentiable op.
+
+    Unlike :func:`make_fused_coupling` (XLA-recompute backward), the VJP here
+    is the hand-derived backward kernel — residual is just ``x``, and every
+    intermediate lives in VMEM on both passes.
+    """
+
+    @jax.custom_vjp
+    def fwd(params, x):
+        return fused_glow_forward_1x1(params, x, clamp, len1, interpret)
+
+    def fwd_fwd(params, x):
+        return fwd(params, x), (params, x)
+
+    def fwd_bwd(res, g):
+        params, x = res
+        return fused_glow_backward_1x1(params, x, g, clamp, len1, interpret)
+
+    fwd.defvjp(fwd_fwd, fwd_bwd)
+    return fwd

@@ -86,3 +86,24 @@ def softsplat(inp: jnp.ndarray, flow: jnp.ndarray,
     num, den = out[..., :-1], out[..., -1:]
     # softsplat.py:352-357: normalize where the denominator is nonzero
     return jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
+
+
+def softsplat_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
+                            metric: jnp.ndarray):
+    """Softmax splat + plain coverage map in ONE scatter.
+
+    The flow train step needs both the softmax-splatted frame and the Wang
+    range map (splat of ones) along the SAME flow (trainer.py:51-68): the
+    scatter indices/weights are identical, and the scatter's index sort is
+    the dominant cost on TPU — so both payloads ride one scatter-add.
+    Returns (softmax_out (N,H,W,C), coverage (N,H,W,1)).
+    """
+    e = jnp.exp(metric)
+    ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
+    cat = jnp.concatenate([inp * e, e, ones], axis=-1)
+    out = splat_scatter(cat, flow)
+    num = out[..., :-2]
+    den = out[..., -2:-1]
+    coverage = out[..., -1:]
+    soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
+    return soft, jax.lax.stop_gradient(coverage)

@@ -28,7 +28,7 @@ from sin_inn_tpu.models.inr import INRSpec, build_inr, inr_apply
 from sin_inn_tpu.ops.occlusion import occlusion_brox, occlusion_wang
 from sin_inn_tpu.ops.photometric import (bilateral_smooth, census_loss,
                                          masked_l1, ssim_loss)
-from sin_inn_tpu.ops.splat import softsplat
+from sin_inn_tpu.ops.splat import softsplat, softsplat_with_coverage
 from sin_inn_tpu.ops.warp import resample2d
 from sin_inn_tpu.ops import losses as L
 from sin_inn_tpu.train.optim import lamb
@@ -107,25 +107,33 @@ def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
     flow12, flow21, stash = flow_forward(
         spec, params, consts, ctrl_cfg, ctrl_state, times, h, w, scale)
 
-    if cfg.occl == "wang":
-        mask1 = occlusion_wang(flow12, flow21, cfg.occl_thresh)
-        mask2 = occlusion_wang(flow21, flow12, cfg.occl_thresh)
-    elif cfg.occl == "brox":
-        mask1 = occlusion_brox(flow12, flow21, cfg.occl_thresh)
-        mask2 = occlusion_brox(flow21, flow12, cfg.occl_thresh)
-    else:
-        mask1 = jnp.ones((b, h, w, 1), frame1.dtype)
-        mask2 = jnp.ones((b, h, w, 1), frame1.dtype)
-
-    # Forward-splat each frame toward the other (trainer.py:61-68)
+    # Forward-splat each frame toward the other (trainer.py:61-68). For the
+    # Wang occlusion case the range map (splat of ones along the same flow,
+    # occlusions.py:29-104) shares ONE scatter with the softmax splat — the
+    # scatter's index sort dominates the step on TPU (see CLAUDE.md).
     warped2 = resample2d(frame1, flow21)
     metric = jnp.mean(jnp.abs(frame2 - warped2), axis=-1, keepdims=True)
-    softmax1 = softsplat(frame2, flow21, -20.0 * metric, "softmax")
-    mask1 = mask1 * (softmax1 != 0.0).astype(frame1.dtype)
-
     warped1 = resample2d(frame2, flow12)
-    metric = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
-    softmax2 = softsplat(frame1, flow12, -20.0 * metric, "softmax")
+    metric2 = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
+
+    if cfg.occl == "wang":
+        softmax1, cover1 = softsplat_with_coverage(frame2, flow21,
+                                                   -20.0 * metric)
+        softmax2, cover2 = softsplat_with_coverage(frame1, flow12,
+                                                   -20.0 * metric2)
+        mask1 = (cover1 > cfg.occl_thresh).astype(frame1.dtype)
+        mask2 = (cover2 > cfg.occl_thresh).astype(frame1.dtype)
+    else:
+        softmax1 = softsplat(frame2, flow21, -20.0 * metric, "softmax")
+        softmax2 = softsplat(frame1, flow12, -20.0 * metric2, "softmax")
+        if cfg.occl == "brox":
+            mask1 = occlusion_brox(flow12, flow21, cfg.occl_thresh)
+            mask2 = occlusion_brox(flow21, flow12, cfg.occl_thresh)
+        else:
+            mask1 = jnp.ones((b, h, w, 1), frame1.dtype)
+            mask2 = jnp.ones((b, h, w, 1), frame1.dtype)
+
+    mask1 = mask1 * (softmax1 != 0.0).astype(frame1.dtype)
     mask2 = mask2 * (softmax2 != 0.0).astype(frame1.dtype)
 
     l1 = (masked_l1(softmax1, frame1, mask1, cfg.loss_l1)
