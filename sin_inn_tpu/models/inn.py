@@ -161,8 +161,12 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
         compute = jnp.dtype(layer.compute)
     if layer.kind == "glow":
         if layer.use_pallas:
-            from sin_inn_tpu.ops.pallas.coupling import make_fused_coupling
-            fwd, inv = make_fused_coupling(layer.clamp, layer.split_len1)
+            from sin_inn_tpu.ops.pallas.coupling import (
+                make_fused_coupling, make_fused_coupling_full)
+            # forward direction: fully fused fwd+bwd kernels; inverse
+            # direction: fused primal with XLA-derived vjp
+            fwd = make_fused_coupling_full(layer.clamp, layer.split_len1)
+            _, inv = make_fused_coupling(layer.clamp, layer.split_len1)
             if rev:
                 return inv(p, x), zero
             # log-det comes cheap from the XLA path when requested; the
