@@ -25,6 +25,8 @@ import time
 
 
 def bench_tpu(batch: int, h: int, w: int, steps: int, arch: str = "SRF"):
+    from sin_inn_tpu.core import compile_cache
+    compile_cache.enable()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -170,6 +172,8 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF"):
     """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size."""
+    from sin_inn_tpu.core import compile_cache
+    compile_cache.enable()
     import jax
     import jax.numpy as jnp
     import numpy as np

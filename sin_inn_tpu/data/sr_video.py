@@ -123,6 +123,22 @@ class SRDataset:
             hr = self.video.hr[self.indices[sel]]
         return {"hr": hr, "lr": lr}
 
+    def device_cache(self, batch_size: int):
+        """Pre-gather every batch and pin it in device memory (uint8).
+
+        A single video's supervised set is tens of MB — far below HBM — so
+        the epoch loop can run with ZERO host work: the reference's
+        DataLoader re-decoded PNGs in 4 worker processes every epoch
+        (data.py:122,134); here epoch k reuses the same device buffers.
+        (The reference train loader does not shuffle — data.py:134 — so a
+        fixed batch order is parity.)
+        """
+        import jax
+
+        return [jax.device_put(self.gather(np.arange(s, min(s + batch_size,
+                                                            len(self)))))
+                for s in range(0, len(self), batch_size)]
+
     def native_prefetch(self, batch_size: int, shuffle: Optional[bool] = None):
         """Background double-buffered batch iterator (native thread)."""
         from sin_inn_tpu.data import native

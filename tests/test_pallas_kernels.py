@@ -111,3 +111,50 @@ def test_fused_full_coupling_grad(coupling_setup):
     dp, dx = jax.grad(loss, argnums=(0, 1))(params, x)
     assert np.isfinite(np.asarray(dx)).all()
     assert float(jnp.abs(dp["s1"]["conv1"]["w"]).sum()) > 0
+
+
+@pytest.fixture
+def coupling3_setup(key, rng):
+    c, len1 = 16, 8
+    len2 = c - len1
+    k1, k2 = jax.random.split(key)
+    params = {
+        "s1": S.conv_subnet_init(k1, len1, 2 * len2, kernel=3, hidden=32),
+        "s2": S.conv_subnet_init(k2, len2, 2 * len1, kernel=3, hidden=32),
+    }
+    x = jnp.asarray(rng.randn(2, 6, 10, c).astype(np.float32))
+    return params, x, len1
+
+
+def test_fused3x3_forward_matches_xla(coupling3_setup):
+    from sin_inn_tpu.ops.pallas.coupling3x3 import fused_glow3_forward
+
+    params, x, len1 = coupling3_setup
+    ref, _ = C.glow_coupling_forward(params, x, S.conv_subnet_apply, 1.2, len1)
+    fused = fused_glow3_forward(params, x, 1.2, len1, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused3x3_roundtrip(coupling3_setup):
+    from sin_inn_tpu.ops.pallas.coupling3x3 import (fused_glow3_forward,
+                                                    fused_glow3_inverse)
+
+    params, x, len1 = coupling3_setup
+    y = fused_glow3_forward(params, x, 1.2, len1, interpret=INTERPRET)
+    x_rec = fused_glow3_inverse(params, y, 1.2, len1, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+
+def test_fused3x3_grad(coupling3_setup):
+    from sin_inn_tpu.ops.pallas.coupling3x3 import make_fused_coupling3
+
+    params, x, len1 = coupling3_setup
+    fwd, inv = make_fused_coupling3(1.2, len1, interpret=INTERPRET)
+
+    def loss(p, v):
+        return jnp.sum(fwd(p, v) ** 2) + jnp.sum(inv(p, v) ** 2)
+
+    dp, dx = jax.grad(loss, argnums=(0, 1))(params, x)
+    assert np.isfinite(np.asarray(dx)).all()
+    assert float(jnp.abs(dp["s2"]["conv1"]["w"]).sum()) > 0

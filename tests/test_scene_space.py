@@ -113,3 +113,25 @@ def test_gather_identity_views_preserves_image():
     # so the result stays within the image's value range
     assert out.min() >= imgs[0].min() - 1e-5
     assert out.max() <= imgs[0].max() + 1e-5
+
+
+def test_gather_denoises_independent_noise(rng):
+    """Averaging identical views with independent noise must reduce noise
+    (the scene-space SR denoising purpose, gather_3d.py:144-161).
+
+    Uses a smooth clean image: with the reference's bilateral sigmas
+    (rgb sigma 40 on [0,1] data) the gather is close to a patch average, so
+    on high-frequency content spatial blur would dominate the comparison.
+    """
+    poses, bds, imgs, depths = _identity_scene(n=6, h=10, w=12)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 10), np.linspace(0, 1, 12),
+                         indexing="ij")
+    clean = np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.float32)
+    imgs = np.stack([clean] * 6)
+    noisy = np.clip(imgs + rng.normal(0, 0.08, imgs.shape), 0, 1
+                    ).astype(np.float32)
+    out = np.asarray(gather_scene(jnp.asarray(noisy), jnp.asarray(depths),
+                                  poses, bds, patch=3))
+    err_in = float(np.abs(noisy[0] - clean).mean())
+    err_out = float(np.abs(out - clean).mean())
+    assert err_out < err_in
