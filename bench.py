@@ -170,7 +170,8 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
     return b / dt
 
 
-def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF"):
+def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
+               splat_max_dy=None):
     """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size."""
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
@@ -181,7 +182,7 @@ def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF"):
     from sin_inn_tpu.core.config import FlowConfig
     from sin_inn_tpu.train import flow as FT
 
-    cfg = FlowConfig(net=net, epochs=5000)
+    cfg = FlowConfig(net=net, epochs=5000, splat_max_dy=splat_max_dy)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         jax.random.key(0), cfg)
     step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
@@ -209,11 +210,14 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--net", default="RBF")
+    ap.add_argument("--splat-max-dy", type=int, default=None,
+                    help="enable the windowed matmul splat in the flow bench")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     if args.pipeline == "flow":
-        fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net)
+        fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net,
+                         args.splat_max_dy)
         print(json.dumps({
             "metric": "flow train frames/sec/chip (436x1024 INR step)",
             "value": round(fps, 3),

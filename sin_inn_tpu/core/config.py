@@ -189,6 +189,11 @@ class FlowConfig:
     occl_thresh: float = 0.7
     controller_epsilon: float = 1e-3
     random_seed: int = 0
+    # Windowed matmul splat: bounds |flow_y| taps to +-splat_max_dy px and
+    # replaces the TPU scatter with dense MXU contractions (6x faster fwd,
+    # 3.4x grad at Sintel size — see ops/splat.py). None = exact scatter.
+    splat_max_dy: Optional[int] = None
+    splat_chunk: int = 16
 
     # Runtime
     results_dir: str = "results"

@@ -107,3 +107,126 @@ def softsplat_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
     coverage = out[..., -1:]
     soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
     return soft, jax.lax.stop_gradient(coverage)
+
+
+def splat_windowed(values: jnp.ndarray, flow: jnp.ndarray,
+                   max_dy: int, chunk: int = 8) -> jnp.ndarray:
+    """Dense matmul-form splat: exact in x, y-windowed to ``|dy| <= max_dy``.
+
+    The TPU has no fast scatter (XLA's sorted scatter serializes: ~225 ms for
+    a 3x436x1024 softmax splat — see CLAUDE.md), but the bilinear splat
+    weight is separable: pixel (y, x) contributes v * wy(r) * wx(c), with wy
+    depending only on the target row and wx only on the target column. So for
+    one source row, out[r, c] += (W1^T @ W2)[r, c] where W1[x, r] = wy and
+    W2[x, c] = v * wx — ONE dense MXU matmul replaces the scatter. Scanning
+    source rows and windowing the target rows to y +- max_dy bounds the
+    matmul at (2*max_dy+2, W) per row.
+
+    Semantics match :func:`splat_scatter` exactly for flows with
+    ``|flow_y| <= max_dy - 1``; taps beyond the window are dropped (the
+    caller picks ``max_dy`` >= the scene's vertical-flow bound, mirroring
+    the reference's drop of out-of-frame taps). Gradients come from plain
+    autodiff of the dense ops — no scatter in either pass.
+    """
+    n, h, w, c = values.shape
+    dtype = values.dtype
+    # rows are processed `chunk` at a time with one shared target window of
+    # K = 2*max_dy + chunk + 1 rows — fewer scan iterations, bigger matmuls
+    h_pad = (h + chunk - 1) // chunk * chunk
+    k = 2 * max_dy + chunk + 1
+    xs = jnp.arange(w, dtype=dtype)
+
+    ox = xs[None, None, :] + flow[..., 0]            # (N, H, W)
+    oy = (jnp.arange(h, dtype=dtype)[None, :, None] + flow[..., 1])
+
+    # per-pixel target decomposition
+    r0 = jnp.floor(oy)
+    ay = oy - r0                                     # weight of row r0+1
+    c0 = jnp.floor(ox)
+    ax = ox - c0
+    if h_pad != h:
+        padder = ((0, 0), (0, h_pad - h), (0, 0))
+        r0 = jnp.pad(r0, padder, constant_values=-1e9)  # w1 drops pad rows
+        ay = jnp.pad(ay, padder)
+        c0 = jnp.pad(c0, padder, constant_values=-1e9)
+        ax = jnp.pad(ax, padder)
+        values = jnp.pad(values, padder + ((0, 0),))
+
+    # scan over row chunks; carry the padded output
+    out_pad = jnp.zeros((n, h_pad + k, w, c), dtype)
+
+    col_iota = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    win_iota = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+
+    # rematerialized row block (jax.checkpoint: the scan's backward would
+    # otherwise stash every row's dense one-hots — GBs at Sintel scale).
+    # Factorization: block[k, wout, c] = sum_x (w1[x,k] v[x,c]) cx[x,wout]
+    # — build the small A = w1 (x) v (X, K*C) first, then ONE matmul with the
+    # column one-hot, avoiding the (X, Wout, C) column-spread tensor.
+    @jax.checkpoint
+    def row_block(y_idx, r0_r, ay_r, c0_r, ax_r, v_r):
+        # inputs are per-chunk: (N, chunk*W) pixel vectors sharing the window
+        # with origin y_idx - max_dy (y_idx = chunk start row)
+        # ---- W1: (N, X, K) windowed one-hot row weights ----
+        j0 = jnp.where(r0_r < -1e8, -1,
+                       r0_r - (y_idx - max_dy)).astype(jnp.int32)
+        valid0 = (r0_r >= 0) & (r0_r <= h - 1)
+        valid1 = (r0_r + 1 >= 0) & (r0_r + 1 <= h - 1)
+        w1 = (jnp.where((win_iota == j0[..., None]) & valid0[..., None],
+                        (1.0 - ay_r)[..., None], 0.0)
+              + jnp.where((win_iota == j0[..., None] + 1) & valid1[..., None],
+                          ay_r[..., None], 0.0))            # (N, X, K)
+        # ---- column one-hot: (N, X, Wout) ----
+        ci = c0_r.astype(jnp.int32)
+        vx0 = (c0_r >= 0) & (c0_r <= w - 1)
+        vx1 = (c0_r + 1 >= 0) & (c0_r + 1 <= w - 1)
+        cx = (jnp.where((col_iota == ci[..., None]) & vx0[..., None],
+                        (1.0 - ax_r)[..., None], 0.0)
+              + jnp.where((col_iota == ci[..., None] + 1) & vx1[..., None],
+                          ax_r[..., None], 0.0))             # (N, X, Wout)
+        a = w1[..., :, None] * v_r[:, :, None, :]            # (N, X, K, C)
+        a = a.reshape(a.shape[0], a.shape[1], k * c)
+        block = jnp.einsum("nxs,nxw->nsw", a, cx,
+                           preferred_element_type=jnp.float32)
+        return (block.reshape(-1, k, c, w).transpose(0, 1, 3, 2)
+                .astype(dtype))                              # (N, K, W, C)
+
+    def row_step(out_pad, inp):
+        y_idx, r0_r, ay_r, c0_r, ax_r, v_r = inp
+        block = row_block(y_idx, r0_r, ay_r, c0_r, ax_r, v_r)
+        start = y_idx                                        # in padded rows
+        out_pad = jax.lax.dynamic_update_slice(
+            out_pad,
+            jax.lax.dynamic_slice(
+                out_pad, (0, start, 0, 0), (n, k, w, c)) + block,
+            (0, start, 0, 0))
+        return out_pad, None
+
+    steps = h_pad // chunk
+    ys_idx = jnp.arange(steps, dtype=jnp.int32) * chunk
+
+    def to_chunks(a):
+        # (N, H_pad, W, ...) -> (steps, N, chunk*W, ...)
+        rest = a.shape[3:]
+        a = a.reshape(n, steps, chunk * w, *rest)
+        return jnp.moveaxis(a, 1, 0)
+
+    inputs = (ys_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
+              to_chunks(ax), to_chunks(values))
+    out_pad, _ = jax.lax.scan(row_step, out_pad, inputs)
+    return out_pad[:, max_dy:max_dy + h]
+
+
+def softsplat_windowed_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
+                                     metric: jnp.ndarray, max_dy: int,
+                                     chunk: int = 16):
+    """softsplat_with_coverage on the windowed matmul splat."""
+    e = jnp.exp(metric)
+    ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
+    cat = jnp.concatenate([inp * e, e, ones], axis=-1)
+    out = splat_windowed(cat, flow, max_dy, chunk)
+    num = out[..., :-2]
+    den = out[..., -2:-1]
+    coverage = out[..., -1:]
+    soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
+    return soft, jax.lax.stop_gradient(coverage)

@@ -28,7 +28,8 @@ from sin_inn_tpu.models.inr import INRSpec, build_inr, inr_apply
 from sin_inn_tpu.ops.occlusion import occlusion_brox, occlusion_wang
 from sin_inn_tpu.ops.photometric import (bilateral_smooth, census_loss,
                                          masked_l1, ssim_loss)
-from sin_inn_tpu.ops.splat import softsplat, softsplat_with_coverage
+from sin_inn_tpu.ops.splat import (softsplat, softsplat_with_coverage,
+                                   softsplat_windowed_with_coverage)
 from sin_inn_tpu.ops.warp import resample2d
 from sin_inn_tpu.ops import losses as L
 from sin_inn_tpu.train.optim import lamb
@@ -117,10 +118,13 @@ def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
     metric2 = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
 
     if cfg.occl == "wang":
-        softmax1, cover1 = softsplat_with_coverage(frame2, flow21,
-                                                   -20.0 * metric)
-        softmax2, cover2 = softsplat_with_coverage(frame1, flow12,
-                                                   -20.0 * metric2)
+        if cfg.splat_max_dy:
+            splat_fn = lambda f, fl, m: softsplat_windowed_with_coverage(
+                f, fl, m, cfg.splat_max_dy, cfg.splat_chunk)
+        else:
+            splat_fn = softsplat_with_coverage
+        softmax1, cover1 = splat_fn(frame2, flow21, -20.0 * metric)
+        softmax2, cover2 = splat_fn(frame1, flow12, -20.0 * metric2)
         mask1 = (cover1 > cfg.occl_thresh).astype(frame1.dtype)
         mask2 = (cover2 > cfg.occl_thresh).astype(frame1.dtype)
     else:

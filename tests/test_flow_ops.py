@@ -182,3 +182,47 @@ def test_warp_affine_translation(rng):
     out = np.asarray(warp_affine(img, mat))
     np.testing.assert_allclose(out[0, :, 1:, 0], np.asarray(img)[0, :, :-1, 0],
                                atol=1e-5)
+
+
+def test_splat_windowed_matches_scatter(rng):
+    """Dense matmul splat == exact scatter for in-window flows."""
+    from sin_inn_tpu.ops.splat import splat_windowed
+
+    values = rng.rand(2, 11, 10, 3).astype(np.float32)
+    flow = (rng.rand(2, 11, 10, 2).astype(np.float32) * 6 - 3)
+    ref = np.asarray(splat_scatter(jnp.asarray(values), jnp.asarray(flow)))
+    out = np.asarray(splat_windowed(jnp.asarray(values), jnp.asarray(flow),
+                                    max_dy=4, chunk=4))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_splat_windowed_grads_match(rng):
+    from sin_inn_tpu.ops.splat import splat_windowed
+
+    values = jnp.asarray(rng.rand(1, 8, 10, 2).astype(np.float32))
+    flow = jnp.asarray((rng.rand(1, 8, 10, 2) * 4 - 2).astype(np.float32))
+    g1 = jax.grad(lambda f: jnp.sum(splat_scatter(values, f) ** 2))(flow)
+    g2 = jax.grad(lambda f: jnp.sum(
+        splat_windowed(values, f, 4, 4) ** 2))(flow)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
+
+
+def test_flow_loss_with_windowed_splat_close_to_exact(key, rng):
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train import flow as F
+
+    base = rng.rand(14, 20, 3).astype(np.float32)
+    f1 = np.stack([base[:12, :16]] * 2)
+    f2 = np.stack([base[:12, 1:17]] * 2)
+    batch = {"frame1": jnp.asarray(f1), "frame2": jnp.asarray(f2),
+             "times": jnp.asarray([-1.0, 1.0]),
+             "scale": jnp.asarray(np.float32(3.2))}
+    cfg_exact = FlowConfig(net="RBF", num_frequencies=8, hidden_dim=16,
+                           num_layers=2, epochs=10)
+    cfg_win = cfg_exact.replace(splat_max_dy=6, splat_chunk=4)
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg_exact)
+    l1, _ = F.flow_loss(spec, cfg_exact, state.params, consts, ctrl_cfg,
+                        None, batch)
+    l2, _ = F.flow_loss(spec, cfg_win, state.params, consts, ctrl_cfg,
+                        None, batch)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-3)
