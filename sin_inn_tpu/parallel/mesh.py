@@ -63,3 +63,27 @@ def replicate(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host JAX runtime init (the NCCL/MPI replacement, SURVEY §2.5).
+
+    On single-host runs this is a no-op returning False. In a multi-host
+    deployment call it first (or rely on TPU pod auto-detection by passing
+    nothing); afterwards ``jax.devices()`` spans all hosts and the meshes
+    built here carry DCN+ICI collectives automatically.
+    """
+    import jax
+
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()       # TPU pod metadata auto-detect
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        return jax.process_count() > 1
+    except Exception:
+        return False
