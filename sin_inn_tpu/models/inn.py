@@ -162,11 +162,11 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
     if layer.kind == "glow":
         if layer.use_pallas:
             from sin_inn_tpu.ops.pallas.coupling import (
-                make_fused_coupling, make_fused_coupling_full)
-            # forward direction: fully fused fwd+bwd kernels; inverse
-            # direction: fused primal with XLA-derived vjp
+                make_fused_coupling_full, make_fused_coupling_full_inv)
+            # both directions run fully fused Pallas kernels, forward AND
+            # hand-derived backward (residual = the coupling input only)
             fwd = make_fused_coupling_full(layer.clamp, layer.split_len1)
-            _, inv = make_fused_coupling(layer.clamp, layer.split_len1)
+            inv = make_fused_coupling_full_inv(layer.clamp, layer.split_len1)
             if rev:
                 return inv(p, x), zero
             # log-det comes cheap from the XLA path when requested; the

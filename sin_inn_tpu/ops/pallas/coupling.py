@@ -408,3 +408,153 @@ def make_fused_coupling_full(clamp: float, len1: int, interpret: bool = False):
 
     fwd.defvjp(fwd_fwd, fwd_bwd)
     return fwd
+
+
+def _coupling_inv_bwd_kernel(y_ref, g_ref, w2a_ref, b2a_ref, w2b_ref,
+                             b2b_ref, w1a_ref, b1a_ref, w1b_ref, b1b_ref,
+                             dy_ref, dw2a_ref, db2a_ref, dw2b_ref, db2b_ref,
+                             dw1a_ref, db1a_ref, dw1b_ref, db1b_ref,
+                             *, len1: int, clamp: float):
+    """VJP of the fused inverse: mirrors _coupling_bwd_kernel for
+    x = inv(y) (recompute-in-VMEM; weight grads accumulate over the grid)."""
+    i = pl.program_id(0)
+
+    y = y_ref[:]
+    g = g_ref[:]
+    y1 = y[:, :len1]
+    y2 = y[:, len1:]
+    gx1 = g[:, :len1]
+    gx2 = g[:, len1:]
+
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # ---- recompute the inverse chain ----
+    z1 = dot(y1, w1a_ref[:]) + b1a_ref[:]
+    h1 = jnp.maximum(z1, 0.0)
+    r1 = dot(h1, w1b_ref[:]) + b1b_ref[:]
+    s1 = r1[:, :y2.shape[1]]
+    t1 = r1[:, y2.shape[1]:]
+    e1inv = jnp.exp(-_log_e(s1, clamp))
+    x2 = (y2 - t1) * e1inv
+
+    z2 = dot(x2, w2a_ref[:]) + b2a_ref[:]
+    h2 = jnp.maximum(z2, 0.0)
+    r2 = dot(h2, w2b_ref[:]) + b2b_ref[:]
+    s2 = r2[:, :len1]
+    t2 = r2[:, len1:]
+    e2inv = jnp.exp(-_log_e(s2, clamp))
+    x1 = (y1 - t2) * e2inv
+
+    # ---- backward chain ----
+    # x1 = (y1 - t2) * e2inv
+    gy1 = gx1 * e2inv
+    gs2 = -gx1 * x1 * _le_prime(s2, clamp)
+    gt2 = -gx1 * e2inv
+    gr2 = jnp.concatenate([gs2, gt2], axis=1)
+    gh2 = dot(gr2, w2b_ref[:].T)
+    gz2 = jnp.where(z2 > 0.0, gh2, 0.0)
+    gx2_tot = gx2 + dot(gz2, w2a_ref[:].T)
+
+    # x2 = (y2 - t1) * e1inv
+    gy2 = gx2_tot * e1inv
+    gs1 = -gx2_tot * x2 * _le_prime(s1, clamp)
+    gt1 = -gx2_tot * e1inv
+    gr1 = jnp.concatenate([gs1, gt1], axis=1)
+    gh1 = dot(gr1, w1b_ref[:].T)
+    gz1 = jnp.where(z1 > 0.0, gh1, 0.0)
+    gy1 = gy1 + dot(gz1, w1a_ref[:].T)
+
+    dy_ref[:] = jnp.concatenate([gy1, gy2], axis=1)
+
+    @pl.when(i == 0)
+    def _():
+        dw2a_ref[:] = jnp.zeros_like(dw2a_ref)
+        db2a_ref[:] = jnp.zeros_like(db2a_ref)
+        dw2b_ref[:] = jnp.zeros_like(dw2b_ref)
+        db2b_ref[:] = jnp.zeros_like(db2b_ref)
+        dw1a_ref[:] = jnp.zeros_like(dw1a_ref)
+        db1a_ref[:] = jnp.zeros_like(db1a_ref)
+        dw1b_ref[:] = jnp.zeros_like(dw1b_ref)
+        db1b_ref[:] = jnp.zeros_like(db1b_ref)
+
+    dw2a_ref[:] += dot(x2.T, gz2)
+    db2a_ref[:] += jnp.sum(gz2, axis=0, keepdims=True)
+    dw2b_ref[:] += dot(h2.T, gr2)
+    db2b_ref[:] += jnp.sum(gr2, axis=0, keepdims=True)
+    dw1a_ref[:] += dot(y1.T, gz1)
+    db1a_ref[:] += jnp.sum(gz1, axis=0, keepdims=True)
+    dw1b_ref[:] += dot(h1.T, gr1)
+    db1b_ref[:] += jnp.sum(gr1, axis=0, keepdims=True)
+
+
+def fused_glow_inverse_backward_1x1(params: Dict, y: jnp.ndarray,
+                                    g: jnp.ndarray, clamp: float, len1: int,
+                                    interpret: bool = False):
+    """Run the fused inverse-direction backward kernel.
+    Returns (dparams, dy)."""
+    n, hh, ww, c = y.shape
+    m = n * hh * ww
+    y2d = y.reshape(-1, c)
+    g2d = g.reshape(-1, c)
+    m_pad = (m + _M_TILE - 1) // _M_TILE * _M_TILE
+    if m_pad != m:
+        pad = ((0, m_pad - m), (0, 0))
+        y2d = jnp.pad(y2d, pad)
+        g2d = jnp.pad(g2d, pad)
+    mats = _prep(params)
+    len2 = c - len1
+    hid = mats[0].shape[1]
+    grid = (m_pad // _M_TILE,)
+
+    row_spec = pl.BlockSpec((_M_TILE, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mats]
+    acc = lambda shape: (jax.ShapeDtypeStruct(shape, jnp.float32),
+                         pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = [
+        (jax.ShapeDtypeStruct((m_pad, c), y2d.dtype), row_spec),
+        acc((len2, hid)), acc((1, hid)),
+        acc((hid, 2 * len1)), acc((1, 2 * len1)),
+        acc((len1, hid)), acc((1, hid)),
+        acc((hid, 2 * len2)), acc((1, 2 * len2)),
+    ]
+    res = pl.pallas_call(
+        functools.partial(_coupling_inv_bwd_kernel, len1=len1, clamp=clamp),
+        out_shape=tuple(o[0] for o in outs),
+        grid=grid,
+        in_specs=[row_spec, row_spec] + w_specs,
+        out_specs=tuple(o[1] for o in outs),
+        interpret=interpret,
+    )(y2d, g2d, *mats)
+
+    dy = res[0][:m].reshape(n, hh, ww, c)
+    (dw2a, db2a, dw2b, db2b, dw1a, db1a, dw1b, db1b) = res[1:]
+    dparams = {
+        "s2": {"conv1": {"w": dw2a[None, None], "b": db2a[0]},
+               "conv2": {"w": dw2b[None, None], "b": db2b[0]}},
+        "s1": {"conv1": {"w": dw1a[None, None], "b": db1a[0]},
+               "conv2": {"w": dw1b[None, None], "b": db1b[0]}},
+    }
+    return dparams, dy
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_coupling_full_inv(clamp: float, len1: int,
+                                 interpret: bool = False):
+    """Fused inverse with the hand-derived fused backward kernel."""
+
+    @jax.custom_vjp
+    def inv(params, y):
+        return fused_glow_inverse_1x1(params, y, clamp, len1, interpret)
+
+    def inv_fwd(params, y):
+        return inv(params, y), (params, y)
+
+    def inv_bwd(res, g):
+        params, y = res
+        return fused_glow_inverse_backward_1x1(params, y, g, clamp, len1,
+                                               interpret)
+
+    inv.defvjp(inv_fwd, inv_bwd)
+    return inv

@@ -158,3 +158,28 @@ def test_fused3x3_grad(coupling3_setup):
     dp, dx = jax.grad(loss, argnums=(0, 1))(params, x)
     assert np.isfinite(np.asarray(dx)).all()
     assert float(jnp.abs(dp["s2"]["conv1"]["w"]).sum()) > 0
+
+
+def test_fused_inverse_backward_matches_autodiff(coupling_setup):
+    from sin_inn_tpu.ops.pallas.coupling import fused_glow_inverse_backward_1x1
+
+    params, x, len1 = coupling_setup
+    y = x  # any tensor works as an "output" to invert
+    g = jnp.asarray(np.random.RandomState(3).randn(*x.shape).astype(np.float32))
+
+    def xla_loss(p, v):
+        out = C.glow_coupling_inverse(p, v, S.conv_subnet_apply, 1.2, len1)
+        return jnp.sum(out * g)
+
+    ref_dp, ref_dy = jax.grad(xla_loss, argnums=(0, 1))(params, y)
+    dp, dy = fused_glow_inverse_backward_1x1(params, y, g, 1.2, len1,
+                                             interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(ref_dy),
+                               atol=2e-4, rtol=2e-4)
+    for sub in ("s1", "s2"):
+        for conv in ("conv1", "conv2"):
+            for leaf in ("w", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(dp[sub][conv][leaf]),
+                    np.asarray(ref_dp[sub][conv][leaf]),
+                    atol=2e-3, rtol=2e-3, err_msg=f"{sub}.{conv}.{leaf}")
