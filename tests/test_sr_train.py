@@ -98,3 +98,37 @@ def test_checkpoint_roundtrip(key, tmp_path, sr_setup):
     l0 = jax.tree_util.tree_leaves(state.params)[0]
     r0 = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
+
+
+def test_flow_state_checkpoint_roundtrip(key, tmp_path):
+    """Controller state (explicit pytree) must survive save/restore —
+    the reference needed mask re-derivation on load
+    (progressive_controller.py:55-81); here it restores exactly."""
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train import flow as FT
+
+    cfg = FlowConfig(net="PFF", num_frequencies=8, hidden_dim=16,
+                     num_layers=2, epochs=40, spatially_adaptive=True,
+                     spatial_res=3)
+    spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(key, cfg)
+    # advance the controller so the mask is non-trivial
+    import numpy as _np
+    batch = {
+        "frame1": jnp.asarray(_np.random.RandomState(0).rand(1, 8, 8, 3),
+                              dtype=jnp.float32),
+        "frame2": jnp.asarray(_np.random.RandomState(1).rand(1, 8, 8, 3),
+                              dtype=jnp.float32),
+        "times": jnp.zeros((1,)),
+        "scale": jnp.asarray(1.6),
+    }
+    step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    for _ in range(3):
+        state, _ = step(state, consts, batch)
+
+    store = CheckpointStore(str(tmp_path / "fck"))
+    store.save(3, state)
+    restored, s = store.restore(state)
+    assert s == 3
+    np.testing.assert_array_equal(np.asarray(restored.ctrl_state.mask),
+                                  np.asarray(state.ctrl_state.mask))
+    assert int(restored.ctrl_state.iteration) == int(state.ctrl_state.iteration)
