@@ -16,12 +16,15 @@ trade as jax.checkpoint); a hand-derived fused backward (as done for the 1x1
 case) is a future step.
 
 Status: correctness-validated (interpret-mode tests) but NOT wired into the
-model. At the flagship 8x45x80x192 shape the whole-image-per-grid-step layout
-exceeds the 16 MB VMEM scoped limit (~51 MB of live intermediates — Mosaic's
-stack allocator keeps every live buffer resident); enabling it requires
-spatial tiling with 1-px halos via manual HBM->VMEM DMA. Profiling also shows
-XLA's native 3x3 coupling path is already fast (~1.2 ms/coupling vs ~1.8 for
-the unfused 1x1s), so the headroom is small — see CLAUDE.md.
+model. At the flagship 8x45x80x192 shape both the whole-coupling and the
+half-coupling layouts exceed the 16 MB VMEM scoped limit (Mosaic's stack
+allocator keeps every live intermediate resident; ~51 MB / ~18 MB resp.);
+enabling them requires row-band tiling with 2-px halos via manual HBM->VMEM
+DMA, or bf16 in-kernel activations. Profiling also shows XLA's native 3x3
+coupling path is already fast (~1.2 ms/coupling vs ~1.8 for the unfused
+1x1s), so the headroom is small — see CLAUDE.md. The 1x1 kernels
+(coupling.py), which DO fit and ship enabled, carry the fused-coupling
+north star.
 """
 
 from __future__ import annotations
@@ -189,3 +192,69 @@ def make_fused_coupling3(clamp: float, len1: int, interpret: bool = False):
 
     inv.defvjp(inv_fwd, inv_bwd)
     return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Half-coupling kernels: one subnet (conv3x3 -> relu -> conv3x3) + affine.
+# Two calls make a full coupling; each call's working set fits VMEM at the
+# flagship second-octave shape (45x80x192), unlike the whole-coupling kernel
+# above. Forward half: y = exp(log_e(s)) * x_aff + t, (s, t) = subnet(x_in).
+# Inverse half: x_aff = (y - t) * exp(-log_e(s)).
+# ---------------------------------------------------------------------------
+
+def _half_fwd_kernel(xin_ref, xaff_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     y_ref, *, clamp: float, h: int, w: int, inverse: bool):
+    xin = xin_ref[0]
+    xaff = xaff_ref[0]
+    hmid = jnp.maximum(_conv3x3(xin, w1_ref[:], b1_ref[:], h, w), 0.0)
+    r = _conv3x3(hmid, w2_ref[:], b2_ref[:], h, w)
+    caff = xaff.shape[-1]
+    s = r[..., :caff]
+    t = r[..., caff:]
+    if inverse:
+        y_ref[0] = (xaff - t) * jnp.exp(-_log_e(s, clamp))
+    else:
+        y_ref[0] = jnp.exp(_log_e(s, clamp)) * xaff + t
+
+
+def half_coupling_3x3(sub_params: Dict, x_in: jnp.ndarray,
+                      x_aff: jnp.ndarray, clamp: float,
+                      inverse: bool = False,
+                      interpret: bool = False) -> jnp.ndarray:
+    """One fused half-coupling: subnet(x_in) -> affine on x_aff (NHWC)."""
+    n, h, w, _ = x_in.shape
+    mats = (sub_params["conv1"]["w"], sub_params["conv1"]["b"],
+            sub_params["conv2"]["w"], sub_params["conv2"]["b"])
+    spec_in = pl.BlockSpec((1, h, w, x_in.shape[-1]),
+                           lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    spec_aff = pl.BlockSpec((1, h, w, x_aff.shape[-1]),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mats]
+    return pl.pallas_call(
+        functools.partial(_half_fwd_kernel, clamp=clamp, h=h, w=w,
+                          inverse=inverse),
+        out_shape=jax.ShapeDtypeStruct(x_aff.shape, x_aff.dtype),
+        grid=(n,),
+        in_specs=[spec_in, spec_aff] + w_specs,
+        out_specs=spec_aff,
+        interpret=interpret,
+    )(x_in, x_aff, *mats)
+
+
+def glow3_forward_halves(params: Dict, x: jnp.ndarray, clamp: float,
+                         len1: int, interpret: bool = False) -> jnp.ndarray:
+    """Full 3x3 coupling as two fused half-kernels (VMEM-friendly)."""
+    x1 = x[..., :len1]
+    x2 = x[..., len1:]
+    y1 = half_coupling_3x3(params["s2"], x2, x1, clamp, False, interpret)
+    y2 = half_coupling_3x3(params["s1"], y1, x2, clamp, False, interpret)
+    return jnp.concatenate([y1, y2], axis=-1)
+
+
+def glow3_inverse_halves(params: Dict, y: jnp.ndarray, clamp: float,
+                         len1: int, interpret: bool = False) -> jnp.ndarray:
+    y1 = y[..., :len1]
+    y2 = y[..., len1:]
+    x2 = half_coupling_3x3(params["s1"], y1, y2, clamp, True, interpret)
+    x1 = half_coupling_3x3(params["s2"], x2, y1, clamp, True, interpret)
+    return jnp.concatenate([x1, x2], axis=-1)

@@ -183,3 +183,16 @@ def test_fused_inverse_backward_matches_autodiff(coupling_setup):
                     np.asarray(dp[sub][conv][leaf]),
                     np.asarray(ref_dp[sub][conv][leaf]),
                     atol=2e-3, rtol=2e-3, err_msg=f"{sub}.{conv}.{leaf}")
+
+
+def test_half_coupling_3x3_matches_xla(coupling3_setup):
+    from sin_inn_tpu.ops.pallas.coupling3x3 import (glow3_forward_halves,
+                                                    glow3_inverse_halves)
+
+    params, x, len1 = coupling3_setup
+    ref, _ = C.glow_coupling_forward(params, x, S.conv_subnet_apply, 1.2, len1)
+    fused = glow3_forward_halves(params, x, 1.2, len1, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    back = glow3_inverse_halves(params, fused, 1.2, len1, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
