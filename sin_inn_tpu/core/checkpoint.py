@@ -16,7 +16,6 @@ import re
 from typing import Any, Optional, Tuple
 
 import jax
-import numpy as np
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
 

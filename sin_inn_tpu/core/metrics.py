@@ -10,7 +10,6 @@ filenames — trainer.py:127, main.py:103).
 
 from __future__ import annotations
 
-import csv
 import json
 import os
 import time

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import os.path as path
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess as sp
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

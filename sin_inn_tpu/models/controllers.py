@@ -34,7 +34,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sin_inn_tpu.models.inr import INRSpec
 

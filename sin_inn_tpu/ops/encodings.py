@@ -33,7 +33,6 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 EPSILON = 1e-4  # reference model.py:8
 

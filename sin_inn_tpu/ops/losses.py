@@ -10,7 +10,7 @@ Equivalents of /root/reference/loss.py. Differences by design:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

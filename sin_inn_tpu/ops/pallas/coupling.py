@@ -34,7 +34,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # Pallas is TPU/Mosaic-only; the XLA fallback covers CPU tests
     from jax.experimental import pallas as pl

@@ -31,12 +31,12 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from sin_inn_tpu.ops.pallas.coupling import _log_e, pallas_available
+from sin_inn_tpu.ops.pallas.coupling import _log_e
 
 try:
     from jax.experimental import pallas as pl

@@ -11,7 +11,6 @@ kernel needed.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

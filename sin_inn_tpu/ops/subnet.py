@@ -15,7 +15,7 @@ and fuses the activations; no hand-written kernel is needed for these.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ lit_wrapper.py:61 documents the intent of a gradient-free transform).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from sin_inn_tpu.ops.warp import rotation_matrix_2d, warp_affine

@@ -17,9 +17,6 @@ so the reference's two different call conventions can both be reproduced:
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
 
 

@@ -21,7 +21,7 @@ Sharding plan (TPU-idiomatic for these workloads):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -22,8 +22,7 @@ near-set projection of ``[..., :4]`` is used here.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

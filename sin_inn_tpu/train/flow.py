@@ -16,7 +16,7 @@ see parallel/.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ import optax
 from sin_inn_tpu.core.config import FlowConfig
 from sin_inn_tpu.models import controllers as ctrl
 from sin_inn_tpu.models.inr import INRSpec, build_inr, inr_apply
-from sin_inn_tpu.ops.occlusion import occlusion_brox, occlusion_wang
+from sin_inn_tpu.ops.occlusion import occlusion_brox
 from sin_inn_tpu.ops.photometric import (bilateral_smooth, census_loss,
                                          masked_l1, ssim_loss)
 from sin_inn_tpu.ops.splat import (softsplat, softsplat_with_coverage,

@@ -27,8 +27,7 @@ from sin_inn_tpu.core import rng as R
 from sin_inn_tpu.data import flow_media
 from sin_inn_tpu.data.flow_viz import flow_to_image
 from sin_inn_tpu.data.flo import write_flo
-from sin_inn_tpu.data.sr_video import (SRVideo, make_datasets,
-                                       prefetch_to_device)
+from sin_inn_tpu.data.sr_video import SRVideo, make_datasets
 from sin_inn_tpu.io.video_io import VideoWriter
 from sin_inn_tpu.ops.occlusion import OCCLUSIONS
 from sin_inn_tpu.train import flow as FT
