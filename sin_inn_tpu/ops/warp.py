@@ -164,3 +164,71 @@ def warp_affine(img: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     dst = jnp.stack([xs, ys], axis=-1)                       # (H, W, 2)
     src = jnp.einsum("nij,hwj->nhwi", inv_a, dst) + inv_b[:, None, None, :]
     return sample_bilinear(img, src[..., 0], src[..., 1], padding="zeros")
+
+
+def resample2d_fast(img: jnp.ndarray, flow: jnp.ndarray,
+                    max_dy: int, chunk: int = 16) -> jnp.ndarray:
+    """resample2d with a scatter-free backward pass.
+
+    Forward is identical to :func:`resample2d`. The vjp w.r.t. ``img`` of a
+    bilinear gather is the transposed bilinear SCATTER of the cotangent at
+    the same sample coordinates — on TPU that scatter costs ~40 ms at Sintel
+    size (see CLAUDE.md), so here it is routed through the dense windowed
+    matmul splat (ops/splat.py). The vjp w.r.t. ``flow`` is the standard
+    4-tap finite-difference gather (cheap). ``max_dy`` bounds the vertical
+    sample displacement exactly like splat_windowed.
+    """
+    import jax
+
+    from sin_inn_tpu.ops.splat import splat_windowed
+
+    n, h, w, _ = flow.shape
+
+    def sample_coords(flow):
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=img.dtype),
+                              jnp.arange(w, dtype=img.dtype), indexing="ij")
+        new_x = xs[None] + flow[..., 0]
+        new_y = ys[None] + flow[..., 1]
+        # the reference Resample2d normalization quirk (resample2d.py:52-72):
+        # (size-1)-normalized coords sampled with align_corners=False
+        px = ((new_x / (w - 1) * 2.0 - 1.0 + 1.0) * w - 1.0) * 0.5
+        py = ((new_y / (h - 1) * 2.0 - 1.0 + 1.0) * h - 1.0) * 0.5
+        return px, py, xs, ys
+
+    @jax.custom_vjp
+    def _resample(img, flow):
+        px, py, _, _ = sample_coords(flow)
+        return sample_bilinear(img, px, py, padding="zeros")
+
+    def _fwd(img, flow):
+        return _resample(img, flow), (img, flow)
+
+    def _bwd(res, g):
+        img_r, flow_r = res
+        px, py, xs, ys = sample_coords(flow_r)
+
+        # d_img: scatter of g at the sample coords == windowed splat of g
+        # along the effective displacement field
+        eff = jnp.stack([px - xs[None], py - ys[None]], axis=-1)
+        d_img = splat_windowed(g, eff, max_dy, chunk)
+
+        # d_flow: finite-difference taps dout/dpx, dout/dpy
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        wx = px - x0
+        wy = py - y0
+        v00 = sample_bilinear(img_r, x0, y0, padding="zeros")
+        v10 = sample_bilinear(img_r, x0 + 1, y0, padding="zeros")
+        v01 = sample_bilinear(img_r, x0, y0 + 1, padding="zeros")
+        v11 = sample_bilinear(img_r, x0 + 1, y0 + 1, padding="zeros")
+        dpx = ((v10 - v00) * (1 - wy)[..., None]
+               + (v11 - v01) * wy[..., None])
+        dpy = ((v01 - v00) * (1 - wx)[..., None]
+               + (v11 - v10) * wx[..., None])
+        # chain through the normalization: dpx/dfx = w/(w-1), dpy/dfy = h/(h-1)
+        gfx = jnp.sum(g * dpx, axis=-1) * (w / (w - 1))
+        gfy = jnp.sum(g * dpy, axis=-1) * (h / (h - 1))
+        return d_img, jnp.stack([gfx, gfy], axis=-1)
+
+    _resample.defvjp(_fwd, _bwd)
+    return _resample(img, flow)

@@ -112,6 +112,9 @@ def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
     # Wang occlusion case the range map (splat of ones along the same flow,
     # occlusions.py:29-104) shares ONE scatter with the softmax splat — the
     # scatter's index sort dominates the step on TPU (see CLAUDE.md).
+    # note: resample2d_fast (scatter-free warp backward) was measured SLOWER
+    # here — the warp's image-grad scatter is only ~40 ms at Sintel size,
+    # cheaper than the windowed-matmul replacement; keep the plain warp
     warped2 = resample2d(frame1, flow21)
     metric = jnp.mean(jnp.abs(frame2 - warped2), axis=-1, keepdims=True)
     warped1 = resample2d(frame2, flow12)
