@@ -30,3 +30,36 @@ def test_aggregate_from_files(tmp_path):
     json.dump([SceneResult("a", 1.0, 10, {}).__dict__], open(f1, "w"))
     json.dump([SceneResult("b", 3.0, 30, {}).__dict__], open(f2, "w"))
     assert aggregate_from_files([str(f1), str(f2)]) == pytest.approx(2.5)
+
+
+def test_run_scenes_end_to_end(tmp_path, monkeypatch):
+    """Scale-out path: train+test two tiny scenes, aggregate AEPE."""
+    import numpy as np
+    import imageio.v2 as io
+
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.data.synthetic import moving_texture_video
+    from sin_inn_tpu.parallel.launcher import aggregate_aepe, run_scenes
+
+    monkeypatch.chdir(tmp_path)
+    root = tmp_path / "scenes"
+    for s in ("a", "b"):
+        d = root / s
+        d.mkdir(parents=True)
+        frames = (moving_texture_video(3, 10, 14, seed=ord(s)) * 255
+                  ).astype(np.uint8)
+        for i, f in enumerate(frames):
+            io.imwrite(str(d / f"frame_{i+1:04d}.png"), f)
+
+    cfg = FlowConfig(input_video=str(root / "a"), name="t", size=10,
+                     test_size=10, net="RBF", num_frequencies=8,
+                     hidden_dim=16, num_layers=2, epochs=2, batch=2,
+                     results_dir=str(tmp_path / "results"),
+                     checkpoints_dir=str(tmp_path / "ckpt"))
+    results = run_scenes(cfg, root=str(root),
+                         out_path=str(tmp_path / "host0.json"))
+    assert [r.scene for r in results] == ["a", "b"]
+    assert all(r.num_frames == 2 for r in results)
+    aepe = aggregate_aepe(results)
+    assert np.isfinite(aepe)
+    assert (tmp_path / "host0.json").exists()
