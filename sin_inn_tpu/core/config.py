@@ -67,6 +67,10 @@ class SRConfig:
     rotation: float = 5.0         # degrees
     translation: float = 5.0      # pixels
     tcr_iters: int = 5
+    # gradient-free TCR warp for reference-parity runs (the reference's
+    # transform carries no gradient — lit_wrapper.py:61 TODO); default False
+    # keeps the differentiable warp, which is the better training signal
+    tcr_stop_grad: bool = False
 
     # Inference
     temp: float = 0.8             # latent sampling temperature

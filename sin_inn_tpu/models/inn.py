@@ -33,7 +33,7 @@ import numpy as np
 from sin_inn_tpu.core.config import SRConfig
 from sin_inn_tpu.ops import coupling as C
 from sin_inn_tpu.ops import subnet as S
-from sin_inn_tpu.ops.haar import haar_squeeze, haar_unsqueeze
+from sin_inn_tpu.ops.haar import haar_log_det, haar_squeeze, haar_unsqueeze
 from sin_inn_tpu.ops.permute import (invert_permutation, make_permutation,
                                      permute_channels)
 from sin_inn_tpu.ops.squeeze import depth_to_space, space_to_depth
@@ -144,12 +144,19 @@ def init_inn(key: jax.Array, spec: Sequence[LayerSpec], c_in: int = 3,
 
 
 def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
-                 rev: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 rev: bool, with_log_det: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     zero = jnp.zeros((x.shape[0],), x.dtype)
     if layer.kind == "squeeze":
         return (depth_to_space(x) if rev else space_to_depth(x)), zero
     if layer.kind == "haar":
-        return (haar_unsqueeze(x) if rev else haar_squeeze(x)), zero
+        y = haar_unsqueeze(x) if rev else haar_squeeze(x)
+        if with_log_det:
+            # (reference archs.py:184-185); inverse negates
+            n, h, w, c = x.shape
+            ld = haar_log_det(h, w, c)
+            return y, jnp.full((n,), -ld if rev else ld, x.dtype)
+        return y, zero
     if layer.kind == "permute":
         perm = layer.perm_inv if rev else layer.perm
         return permute_channels(x, np.asarray(perm)), zero
@@ -160,7 +167,10 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
     else:
         compute = jnp.dtype(layer.compute)
     if layer.kind == "glow":
-        if layer.use_pallas:
+        # the fused Pallas kernels return y only; when the caller asks for
+        # the log-det, take the XLA path (same math) so the value is real
+        # rather than silently zero
+        if layer.use_pallas and not with_log_det:
             from sin_inn_tpu.ops.pallas.coupling import (
                 make_fused_coupling_full, make_fused_coupling_full_inv)
             # both directions run fully fused Pallas kernels, forward AND
@@ -169,8 +179,6 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
             inv = make_fused_coupling_full_inv(layer.clamp, layer.split_len1)
             if rev:
                 return inv(p, x), zero
-            # log-det comes cheap from the XLA path when requested; the
-            # fused kernel returns y only (log-det recomputed on demand)
             return fwd(p, x), zero
         subnet = partial(S.conv_subnet_apply, compute_dtype=compute)
         if rev:
@@ -201,7 +209,7 @@ def inn_apply(spec: Sequence[LayerSpec], params: Sequence[Optional[Dict]],
     if rev:
         pairs = pairs[::-1]
     for layer, p in pairs:
-        x, ld = _apply_layer(layer, p, x, rev)
+        x, ld = _apply_layer(layer, p, x, rev, with_log_det=with_log_det)
         log_det = log_det + ld
     if with_log_det:
         return x, log_det

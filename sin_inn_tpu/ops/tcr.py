@@ -14,19 +14,24 @@ lit_wrapper.py:61 documents the intent of a gradient-free transform).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sin_inn_tpu.ops.warp import rotation_matrix_2d, warp_affine
 
 
 def tcr_transform(img: jnp.ndarray, random: jnp.ndarray, angle: float,
-                  trans: float, scale: float = 1.0) -> jnp.ndarray:
+                  trans: float, scale: float = 1.0,
+                  stop_grad: bool = False) -> jnp.ndarray:
     """Apply the TCR affine transform.
 
     img: (N, H, W, C); random: (N, 3) uniforms in [0, 1);
     angle: max rotation in degrees; trans: max translation in pixels;
     scale: translation divisor (1/scale of the SR factor for LR inputs,
-    reference lit_wrapper.py:68 calls with ``scale=1/opt.scale``).
+    reference lit_wrapper.py:68 calls with ``scale=1/opt.scale``);
+    stop_grad: when True, block gradient flow through the warped branch —
+    the reference's transform is gradient-free (the TODO at
+    lit_wrapper.py:61 records that intent), so parity runs set this.
     """
     n, h, w, _ = img.shape
     dtype = img.dtype
@@ -39,4 +44,5 @@ def tcr_transform(img: jnp.ndarray, random: jnp.ndarray, angle: float,
     ty = ((2.0 * trans) * random[:, 2] - trans) / scale
     mat = mat.at[:, 0, 2].add(tx)
     mat = mat.at[:, 1, 2].add(ty)
-    return warp_affine(img, mat)
+    out = warp_affine(img, mat)
+    return jax.lax.stop_gradient(out) if stop_grad else out

@@ -85,13 +85,20 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
             frames_done += int(sup_batch["hr"].shape[0])
 
         if (epoch + 1) % cfg.print_iter == 0 or epoch == cfg.epochs - 1:
-            vm = {}
-            for vb in val.batches(cfg.val_batch_size):
+            # full val split, sample-weighted mean (reference evaluates the
+            # entire VideoValDataset via Lightning — lit_wrapper.py:79-89)
+            vm_acc: Dict[str, float] = {}
+            vn = 0
+            for vi, vb in enumerate(val.batches(cfg.val_batch_size)):
                 vm = eval_step(state.params, jax.device_put(vb),
-                               R.step_key(R.named_fold(key, "val"), epoch))
-                break
+                               R.step_key(R.named_fold(key, "val"),
+                                          epoch * 10_000 + vi))
+                nb = int(vb["hr"].shape[0])
+                for k, v in vm.items():
+                    vm_acc[k] = vm_acc.get(k, 0.0) + float(v) * nb
+                vn += nb
             last_metrics = {k: float(v) for k, v in aux.items()}
-            last_metrics.update({k: float(v) for k, v in vm.items()})
+            last_metrics.update({k: v / max(vn, 1) for k, v in vm_acc.items()})
             last_metrics["frames_per_sec"] = frames_done / max(
                 time.time() - t0, 1e-9)
             writer.log(epoch, last_metrics)
@@ -234,21 +241,25 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
                 mask_imgs.append((mm.repeat(3, -1) * 255).astype(np.uint8))
 
     mean_epe = float(np.mean(epes)) if epes else 0.0
-    flow_path = path.join(cfg.results_dir, f"flow_{tag}_epe_{mean_epe:.3f}.gif")
-    with VideoWriter(flow_path, fps=4) as vw:
+    with VideoWriter(path.join(cfg.results_dir,
+                               f"flow_{tag}_epe_{mean_epe:.3f}.gif"),
+                     fps=4) as vw:
         for f in flow_imgs:
             vw.add(f)
+    flow_path = vw.path
     import json
     with open(path.join(cfg.results_dir, f"flow_{tag}.json"), "w") as fh:
         json.dump({"epe": mean_epe, "frames": len(flow_imgs),
                    "scene": scene, "name": cfg.name}, fh)
+    occl_path = None
     if mask_imgs:
         with VideoWriter(path.join(cfg.results_dir, f"occl_{tag}.gif"),
-                         fps=4) as vw:
+                         fps=4) as ow:
             for f in mask_imgs:
-                vw.add(f)
+                ow.add(f)
+        occl_path = ow.path
     return {"epe": mean_epe, "num_frames": len(flow_imgs),
-            "flow_path": vw.path}
+            "flow_path": flow_path, "occl_path": occl_path}
 
 
 def run_flow_summarize(cfg: FlowConfig) -> float:

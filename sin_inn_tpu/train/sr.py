@@ -94,12 +94,14 @@ def sr_loss(params, spec, cfg: SRConfig, sup: Dict, unsup: Optional[Dict],
             zi = jax.random.normal(k_zi, (b, h, w, cfg.z_dims), lr_u.dtype)
             lr_zi = jnp.concatenate([lr_u, zi], axis=-1)
             tcr_lr = tcr_transform(lr_u, rand, cfg.rotation, cfg.translation,
-                                   scale=1.0 / cfg.scale)
+                                   scale=1.0 / cfg.scale,
+                                   stop_grad=cfg.tcr_stop_grad)
             tcr_lr_z = jnp.concatenate([tcr_lr, zi], axis=-1)
             tcr_hr_hat = inn_apply(spec, params, tcr_lr_z, rev=True)
             hr_hat_tcr = tcr_transform(
                 inn_apply(spec, params, lr_zi, rev=True), rand,
-                cfg.rotation, cfg.translation)
+                cfg.rotation, cfg.translation,
+                stop_grad=cfg.tcr_stop_grad)
             li = L.reconstruction(tcr_hr_hat, hr_hat_tcr)
             return carry + li, None
 
@@ -153,11 +155,10 @@ def make_infer_step(spec, cfg: SRConfig):
     """Inference: sample z at temperature, run the inverse pass, return uint8
     HR frames (lit_wrapper.py:91-128 minus the host-side encode).
 
-    Rebuilds the layer spec with the fused Pallas couplings enabled
-    (per-coupling 1.4x on v5e; no grad, so no recompute penalty). The params
-    pytree layout is identical across the two specs.
+    Uses the passed-in ``spec`` as-is; Pallas fusion is resolved once from
+    ``cfg.use_pallas`` at spec-build time ('auto' already enables the fused
+    couplings on TPU for training and inference alike).
     """
-    spec, _ = build_inn_spec(cfg, c=3)
 
     def step(params, lr, key):
         lr = _to_float(lr)

@@ -95,5 +95,10 @@ def test_flow_train_and_test_cli_flow(tmp_path, monkeypatch):
 
     res = L.run_flow_test(cfg, scene=out["scene"])
     assert os.path.exists(res["flow_path"])
+    # the returned artifact must be the FLOW gif, not the occlusion gif
+    # (round-1 bug: the occlusion VideoWriter rebinding leaked into the dict)
+    assert path.basename(res["flow_path"]).startswith("flow_")
+    assert res["occl_path"] is not None     # occl='wang' default writes one
+    assert path.basename(res["occl_path"]).startswith("occl_")
     meta = json.load(open(path.join(cfg.results_dir, "flow_scene_a_t.json")))
     assert meta["frames"] == res["num_frames"] > 0

@@ -70,3 +70,39 @@ def test_irn_split_respects_lr_dims(key):
     couplings = [l for l in spec if l.kind == "invblock"]
     assert couplings and all(l.split_len1 == min(cfg.lr_dims, 48 // 2)
                              for l in couplings)
+
+
+def test_log_det_real_on_pallas_spec(key, rng):
+    """with_log_det=True must return the true log-det even when the spec
+    enables the fused Pallas couplings (round-1 footgun: silently zero).
+    The glow layers fall back to the XLA math for the log-det request."""
+    cfg_off = tiny_cfg("SRF").replace(use_pallas="off")
+    cfg_on = tiny_cfg("SRF").replace(use_pallas="on")
+    spec_off, _ = build_inn_spec(cfg_off, c=3)
+    spec_on, _ = build_inn_spec(cfg_on, c=3)
+    params = init_inn(key, spec_off, c_in=3)
+
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    y_off, ld_off = inn_apply(spec_off, params, x, with_log_det=True)
+    y_on, ld_on = inn_apply(spec_on, params, x, with_log_det=True)
+    np.testing.assert_allclose(np.asarray(ld_on), np.asarray(ld_off),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(ld_on)))
+
+
+def test_irn_log_det_includes_haar(key, rng):
+    """IRN log-det = sum of Haar jacobians (reference archs.py:184-185) plus
+    the coupling log-scales; at zero-init the couplings contribute ~0, so the
+    total must equal the analytic Haar constant, not zero."""
+    from sin_inn_tpu.ops.haar import haar_log_det
+
+    cfg = tiny_cfg("IRN")
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(key, spec, c_in=3)
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    _, ld = inn_apply(spec, params, x, with_log_det=True)
+    expected = haar_log_det(8, 8, 3) + haar_log_det(4, 4, 12)
+    # couplings at init: H-subnet last layer zero-init => s = clamp*(2*sigmoid(0)-1) = 0
+    np.testing.assert_allclose(np.asarray(ld), expected, rtol=1e-4)

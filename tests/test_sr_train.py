@@ -132,3 +132,32 @@ def test_flow_state_checkpoint_roundtrip(key, tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.ctrl_state.mask),
                                   np.asarray(state.ctrl_state.mask))
     assert int(restored.ctrl_state.iteration) == int(state.ctrl_state.iteration)
+
+
+def test_tcr_stop_grad_blocks_warp_gradient(key):
+    """tcr_transform(stop_grad=True) reproduces the reference's gradient-free
+    transform (lit_wrapper.py:61 TODO): no gradient flows to the image."""
+    from sin_inn_tpu.ops.tcr import tcr_transform
+
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3),
+                      dtype=jnp.float32)
+    rand = jnp.asarray(np.random.RandomState(1).rand(2, 3), dtype=jnp.float32)
+
+    g_free = jax.grad(lambda im: tcr_transform(
+        im, rand, 5.0, 2.0).sum())(img)
+    g_stop = jax.grad(lambda im: tcr_transform(
+        im, rand, 5.0, 2.0, stop_grad=True).sum())(img)
+    assert float(jnp.abs(g_free).sum()) > 0.0
+    np.testing.assert_array_equal(np.asarray(g_stop), 0.0)
+
+
+def test_sr_train_step_tcr_stop_grad_mode(key, sr_setup):
+    cfg0, video, sup, unsup, val = sr_setup
+    cfg = tiny_cfg(lambda_bwd_tcr=0.1, tcr_iters=1, tcr_stop_grad=True)
+    spec, state, tx = SR.create_train_state(key, cfg)
+    step = SR.make_train_step(spec, cfg, tx)
+    sup_b = jax.device_put(sup.gather(np.arange(min(2, len(sup)))))
+    unsup_b = jax.device_put(unsup.random_batch(min(2, len(sup))))
+    state, aux = step(state, sup_b, unsup_b, jax.random.key(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["tcr"]) != 0.0
