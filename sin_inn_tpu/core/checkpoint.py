@@ -29,9 +29,15 @@ class CheckpointStore:
         return os.path.join(self.directory, f"step_{step:010d}")
 
     def save(self, step: int, state: Any) -> str:
+        """Write one checkpoint. In multi-process runs only process 0 writes
+        (state is replicated in every run mode this framework ships — DP/TP
+        keep params fully addressable per host — so a single-writer snapshot
+        is complete and avoids N processes racing on the same directory)."""
         import orbax.checkpoint as ocp
 
         path = self._path(step)
+        if jax.process_index() != 0:
+            return path
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, jax.device_get(state), force=True)
         return path

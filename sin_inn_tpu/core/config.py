@@ -87,6 +87,15 @@ class SRConfig:
     use_pallas: str = "auto"
     data_axis: str = "data"          # mesh axis the batch is sharded over
     donate_state: bool = True
+    # Multi-chip execution (first-class, not test-only): mesh_data=None means
+    # "use every visible device" when >1 are present (the capability Lightning
+    # gave the reference for free via gpus= — main.py:112); 1 forces
+    # single-device. mesh_model>1 additionally shards the glow subnet hidden
+    # channels (TP, parallel/sharding.py rules).
+    mesh_data: Optional[int] = None
+    mesh_model: int = 1
+    # call jax.distributed.initialize() first (multi-host pods)
+    distributed: bool = False
 
     def __post_init__(self):
         if self.architecture not in ("SRF", "IRN"):
@@ -204,6 +213,10 @@ class FlowConfig:
     checkpoints_dir: str = "checkpoints"
     compute_dtype: str = "float32"
     data_axis: str = "data"       # mesh axis pixel/frame grid is sharded over
+    # Multi-chip: shard the frame-pair batch over `data` (SP-analog for this
+    # workload, SURVEY §2.5). None = all visible devices when >1; 1 = off.
+    mesh_data: Optional[int] = None
+    distributed: bool = False
 
     def __post_init__(self):
         if self.edge_func not in ("exp", "gauss"):

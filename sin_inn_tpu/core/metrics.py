@@ -23,16 +23,35 @@ def _to_py(v):
         return v
 
 
+def _is_primary_process() -> bool:
+    """True unless this is a non-zero process of a multi-host run."""
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class MetricsWriter:
     def __init__(self, directory: str, run_name: str = "run",
                  use_wandb: bool = False, wandb_project: Optional[str] = None,
-                 hyperparams: Optional[Dict[str, Any]] = None):
+                 hyperparams: Optional[Dict[str, Any]] = None,
+                 primary: Optional[bool] = None):
+        """``primary=False`` turns the writer into a no-op — in multi-process
+        runs only process 0 writes logs/wandb (None = auto-detect)."""
+        if primary is None:
+            primary = _is_primary_process()
+        self.primary = primary
         self.directory = directory
+        self._t0 = time.time()
+        self._wandb = None
+        self._jsonl = None
+        if not primary:
+            self.jsonl_path = None
+            return
         os.makedirs(directory, exist_ok=True)
         self.jsonl_path = os.path.join(directory, f"{run_name}.metrics.jsonl")
         self._jsonl = open(self.jsonl_path, "a")
-        self._t0 = time.time()
-        self._wandb = None
         if use_wandb:
             try:
                 import wandb
@@ -46,6 +65,8 @@ class MetricsWriter:
                           f, indent=2, default=str)
 
     def log(self, step: int, scalars: Dict[str, Any]):
+        if not self.primary:
+            return
         rec = {"step": int(step), "time": time.time() - self._t0}
         rec.update({k: _to_py(v) for k, v in scalars.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -55,11 +76,43 @@ class MetricsWriter:
 
     def log_artifact(self, path: str, metadata: Dict[str, Any]):
         """Write a sidecar metadata JSON next to an artifact file."""
+        if not self.primary:
+            return
         with open(path + ".json", "w") as f:
             json.dump({k: _to_py(v) for k, v in metadata.items()}, f, indent=2)
 
+    def log_media(self, step: int, name: str, frames, fps: int = 4):
+        """Log a video/GIF media artifact to wandb when enabled
+        (reference trainer.py:114-131, main.py:60-69 log flow/occlusion
+        videos and source media to wandb). ``frames``: (T, H, W, C) uint8.
+
+        Local GIF artifacts are written by the callers via VideoWriter; this
+        covers the wandb side that round 1 was missing.
+        """
+        if not self.primary or self._wandb is None:
+            return
+        import numpy as np
+        import wandb
+
+        arr = np.asarray(frames)
+        if arr.ndim == 3:
+            arr = arr[None]
+        # wandb.Video wants (T, C, H, W)
+        self._wandb.log({name: wandb.Video(
+            arr.transpose(0, 3, 1, 2), fps=fps, format="gif")}, step=step)
+
+    def log_image(self, step: int, name: str, image):
+        """Log a single image to wandb when enabled (lit_wrapper-style media)."""
+        if not self.primary or self._wandb is None:
+            return
+        import numpy as np
+        import wandb
+
+        self._wandb.log({name: wandb.Image(np.asarray(image))}, step=step)
+
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._wandb is not None:
             self._wandb.finish()
 

@@ -123,7 +123,7 @@ class SRDataset:
             hr = self.video.hr[self.indices[sel]]
         return {"hr": hr, "lr": lr}
 
-    def device_cache(self, batch_size: int):
+    def device_cache(self, batch_size: int, mesh=None):
         """Pre-gather every batch and pin it in device memory (uint8).
 
         A single video's supervised set is tens of MB — far below HBM — so
@@ -132,11 +132,19 @@ class SRDataset:
         (data.py:122,134); here epoch k reuses the same device buffers.
         (The reference train loader does not shuffle — data.py:134 — so a
         fixed batch order is parity.)
+
+        With ``mesh``, each batch is DP-sharded over the ``data`` axis
+        (ragged final batches replicate) so the cache lives spread across
+        the mesh's HBM rather than on one chip.
         """
         import jax
 
-        return [jax.device_put(self.gather(np.arange(s, min(s + batch_size,
-                                                            len(self)))))
+        if mesh is not None:
+            from sin_inn_tpu.parallel.sharding import place_batch
+            put = lambda b: place_batch(mesh, b, allow_uneven=True)
+        else:
+            put = jax.device_put
+        return [put(self.gather(np.arange(s, min(s + batch_size, len(self)))))
                 for s in range(0, len(self), batch_size)]
 
     def native_prefetch(self, batch_size: int, shuffle: Optional[bool] = None):

@@ -69,10 +69,19 @@ def state_shardings(mesh: Mesh, state: Any, model_parallel: bool = False):
     return jax.tree_util.tree_map_with_path(one, state)
 
 
-def batch_shardings(mesh: Mesh, batch: Any):
-    """Shard axis 0 of every batch array over ``data``; scalars replicate."""
+def batch_shardings(mesh: Mesh, batch: Any, allow_uneven: bool = False):
+    """Shard axis 0 of every batch array over ``data``; scalars replicate.
+
+    ``allow_uneven=True`` replicates any array whose leading axis is not
+    divisible by the data-axis size instead of failing — used for val/test
+    batches whose last batch may be ragged.
+    """
+    n = mesh.shape["data"]
+
     def one(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            if allow_uneven and leaf.shape[0] % n != 0:
+                return NamedSharding(mesh, P())
             return NamedSharding(mesh, P("data"))
         return NamedSharding(mesh, P())
 
@@ -84,6 +93,6 @@ def place_state(mesh: Mesh, state: Any, model_parallel: bool = False):
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
-def place_batch(mesh: Mesh, batch: Any):
-    sh = batch_shardings(mesh, batch)
+def place_batch(mesh: Mesh, batch: Any, allow_uneven: bool = False):
+    sh = batch_shardings(mesh, batch, allow_uneven)
     return jax.tree_util.tree_map(jax.device_put, batch, sh)

@@ -30,8 +30,44 @@ from sin_inn_tpu.data.flo import write_flo
 from sin_inn_tpu.data.sr_video import SRVideo, make_datasets
 from sin_inn_tpu.io.video_io import VideoWriter
 from sin_inn_tpu.ops.occlusion import OCCLUSIONS
+from sin_inn_tpu.parallel.mesh import initialize_distributed, make_mesh
+from sin_inn_tpu.parallel.sharding import place_batch, place_state
 from sin_inn_tpu.train import flow as FT
 from sin_inn_tpu.train import sr as SR
+
+
+# ===========================================================================
+# Multi-chip plumbing shared by both pipelines
+# ===========================================================================
+
+def resolve_mesh(mesh_data: Optional[int], mesh_model: int = 1,
+                 batch_size: Optional[int] = None):
+    """Build the production mesh, or None for single-device runs.
+
+    ``mesh_data=None`` auto-uses the visible devices when more than one is
+    present (the multi-GPU capability Lightning gave the reference via
+    ``gpus=`` — /root/reference/main.py:112, video-interpolation/main.py:72),
+    shrinking the data axis to the largest divisor of ``batch_size`` so DP
+    stays exact; ``mesh_data=1`` with ``mesh_model=1`` forces single-device.
+    An *explicit* ``mesh_data`` that does not divide the batch raises.
+    """
+    model = max(int(mesh_model or 1), 1)
+    n = len(jax.devices())
+    if mesh_data is None:
+        data = n // model if n > 1 else 1
+        if batch_size is not None and data > 1:
+            while data > 1 and batch_size % data != 0:
+                data -= 1
+    else:
+        data = int(mesh_data)
+        if batch_size is not None and data > 1 and batch_size % data != 0:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by mesh data axis "
+                f"{data}; choose a divisible batch or a smaller mesh_data")
+    if data * model <= 1:
+        return None
+    return make_mesh(data=data, model=model,
+                     devices=jax.devices()[:data * model])
 
 
 # ===========================================================================
@@ -46,8 +82,19 @@ def sr_dirs(cfg: SRConfig, operation: str):
 
 def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
                  use_wandb: bool = False) -> Dict:
-    """SR training driver (reference main.py:85-118 + lit_wrapper loop)."""
+    """SR training driver (reference main.py:85-118 + lit_wrapper loop).
+
+    Multi-chip is first-class: with >1 visible device (or explicit
+    ``cfg.mesh_data``/``cfg.mesh_model``) the state is placed on a mesh
+    (params replicated, optional TP over glow subnet hidden channels) and
+    every batch is DP-sharded over ``data`` — XLA inserts the grad psum over
+    ICI. Single-device runs take the exact same code path with mesh=None.
+    """
     compile_cache.enable()
+    if cfg.distributed:
+        initialize_distributed()
+    mesh = resolve_mesh(cfg.mesh_data, cfg.mesh_model,
+                        batch_size=cfg.batch_size)
     video = video or SRVideo.from_dirs(cfg)
     sup, unsup, val = make_datasets(video, cfg)
 
@@ -67,6 +114,8 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     if restored is not None:
         state = jax.tree_util.tree_map(jnp.asarray, restored)
         start_epoch = int(ckpt_step)
+    if mesh is not None:
+        state = place_state(mesh, state, model_parallel=cfg.mesh_model > 1)
 
     step_key = R.named_fold(key, "train")
     use_tcr = cfg.lambda_bwd_tcr > 0
@@ -75,10 +124,14 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     frames_done = 0
     # the supervised set of a single video fits in HBM: pin all batches on
     # device once; each epoch replays them with zero host work
-    cached = sup.device_cache(cfg.batch_size)
+    cached = sup.device_cache(cfg.batch_size, mesh=mesh)
+    place = ((lambda b: place_batch(mesh, b)) if mesh is not None
+             else jax.device_put)
+    place_eval = ((lambda b: place_batch(mesh, b, allow_uneven=True))
+                  if mesh is not None else jax.device_put)
     for epoch in range(start_epoch, cfg.epochs):
         for sup_batch in cached:
-            unsup_batch = (jax.device_put(
+            unsup_batch = (place(
                 unsup.random_batch(sup_batch["hr"].shape[0]))
                 if use_tcr else None)
             state, aux = step(state, sup_batch, unsup_batch, step_key)
@@ -90,7 +143,7 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
             vm_acc: Dict[str, float] = {}
             vn = 0
             for vi, vb in enumerate(val.batches(cfg.val_batch_size)):
-                vm = eval_step(state.params, jax.device_put(vb),
+                vm = eval_step(state.params, place_eval(vb),
                                R.step_key(R.named_fold(key, "val"),
                                           epoch * 10_000 + vi))
                 nb = int(vb["hr"].shape[0])
@@ -151,12 +204,22 @@ def flow_ckpt_dir(cfg: FlowConfig, scene: str) -> str:
 
 
 def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
-                   use_wandb: bool = False) -> Dict:
-    """Flow training driver (reference video-interpolation/main.py:52-80)."""
+                   use_wandb: bool = False, val_media=None) -> Dict:
+    """Flow training driver (reference video-interpolation/main.py:52-80).
+
+    Multi-chip: the frame-pair batch is DP-sharded over the mesh ``data``
+    axis (the SP-analog for this workload, SURVEY §2.5); params replicate.
+    At ``val_iter`` cadence a held-out validation pass computes val/EPE vs GT
+    when GT flow is available (reference trainer.py:93-98 validation_step
+    via the val loader of data.py:92-104), in addition to the train metrics.
+    """
     compile_cache.enable()
+    if cfg.distributed:
+        initialize_distributed()
+    mesh = resolve_mesh(cfg.mesh_data, batch_size=cfg.batch)
     if media is None:
-        media, _, scene = flow_media.get_video(cfg.input_video, cfg.size,
-                                               cfg.size, cfg.end, cfg.step)
+        media, val_media, scene = flow_media.get_video(
+            cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step)
     key = R.root_key(cfg.random_seed)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         R.named_fold(key, "init"), cfg)
@@ -172,17 +235,29 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     if restored is not None:
         state = jax.tree_util.tree_map(jnp.asarray, restored)
         start_epoch = int(ckpt_step)
+    if mesh is not None:
+        state = place_state(mesh, state)
+
+    # held-out val pass (val/EPE) only when GT flow exists and validation is
+    # enabled — mirrors the reference's default-off validation (main.py:55-56)
+    do_val = (val_media is not None and getattr(val_media, "gt_available", False)
+              and cfg.effective_val_iter <= cfg.epochs)
+    if do_val:
+        infer = FT.make_flow_infer(spec, cfg, ctrl_cfg)
+        vh, vw_ = val_media.video.shape[1:3]
 
     rng = np.random.RandomState(cfg.random_seed)
     save_every = max(cfg.epochs // 100, 1)
     last: Dict = {}
     t0 = time.time()
     frames_done = 0
+    place = ((lambda b: place_batch(mesh, b, allow_uneven=True))
+             if mesh is not None else jax.device_put)
     # pin all frame-pair batches in HBM once; epochs replay them in shuffled
     # order (batch composition fixed — the whole-video coverage per epoch is
     # identical, only the pairing randomness of the reference's reshuffling
     # DataLoader differs)
-    cached = [jax.device_put(b) for b in media.batches(cfg.batch)]
+    cached = [place(b) for b in media.batches(cfg.batch)]
     for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(cached))
         for bi in order:
@@ -192,6 +267,17 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
         if (epoch + 1) % cfg.effective_val_iter == 0 or epoch == cfg.epochs - 1:
             last = {k: float(v) for k, v in m.items()}
             last["frames_per_sec"] = frames_done / max(time.time() - t0, 1e-9)
+            if do_val:
+                epe_sum, n = 0.0, 0
+                for vb in val_media.batches(cfg.test_batch):
+                    f12, _ = infer(state.params, consts, state.ctrl_state,
+                                   place(vb["times"]),
+                                   jnp.asarray(vb["scale"]), vh, vw_)
+                    nb = int(vb["times"].shape[0])
+                    epe_sum += float(FT.epe(
+                        f12, place(vb["gt_flow"]))) * nb
+                    n += nb
+                last["val_epe"] = epe_sum / max(n, 1)
             writer.log(epoch, last)
         if (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1:
             store.save(epoch + 1, state)

@@ -125,3 +125,66 @@ def test_flow_sp_matches_single_device():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as G
     G.dryrun_multichip(8)
+
+
+def test_sr_train_loop_dp_matches_single(tmp_path):
+    """The PRODUCTION loop (run_sr_train) trains DP-sharded on the mesh and
+    matches the single-device loop's loss trajectory (round-1 gap: mesh was
+    test-only; now mesh_data is a first-class config field)."""
+    from sin_inn_tpu.core.config import SRConfig as C
+    from sin_inn_tpu.data.synthetic import synthetic_sr_video
+    from sin_inn_tpu.train import loop as L
+
+    base = dict(scale=2, num_coupling=1, lr_window=1, fps=30,
+                architecture="IRN", hidden_channels=8, dense_gc=8,
+                batch_size=4, val_batch_size=4, epochs=2, save_iter=100,
+                print_iter=1, donate_state=False)
+    cfg1 = C(**base, working_dir=str(tmp_path / "one"), mesh_data=1)
+    cfg4 = C(**base, working_dir=str(tmp_path / "four"), mesh_data=4)
+    video = synthetic_sr_video(cfg1, h=16, w=16)
+
+    out1 = L.run_sr_train(cfg1, video=video)
+    out4 = L.run_sr_train(cfg4, video=video)
+    assert out4["metrics"]["loss"] == pytest.approx(
+        out1["metrics"]["loss"], rel=1e-3)
+    # params actually live on 4 devices
+    leaf = [p for p in jax.tree_util.tree_leaves(out4["state"].params)][0]
+    assert len(leaf.sharding.device_set) == 4
+
+
+def test_flow_train_loop_dp_with_val_epe(tmp_path):
+    """run_flow_train on the mesh + held-out val/EPE at val_iter cadence
+    (reference trainer.py:93-98 validation_step)."""
+    from sin_inn_tpu.core.config import FlowConfig as FC
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.data.synthetic import moving_texture_video
+    from sin_inn_tpu.train import loop as L
+
+    frames = moving_texture_video(5, 8, 8)
+    gt = np.zeros((4, 8, 8, 2), np.float32)
+    media = FlowMedia(frames, flow=gt)
+    cfg = FC(net="RBF", num_frequencies=8, hidden_dim=16, num_layers=2,
+             epochs=2, batch=4, val_iter=1, test_batch=4,
+             checkpoints_dir=str(tmp_path / "ck"),
+             results_dir=str(tmp_path / "res"), mesh_data=4)
+    out = L.run_flow_train(cfg, media=media, scene="s", val_media=media)
+    assert np.isfinite(out["metrics"]["loss"])
+    assert "val_epe" in out["metrics"]
+    assert np.isfinite(out["metrics"]["val_epe"])
+    leaf = jax.tree_util.tree_leaves(out["state"].params)[0]
+    assert len(leaf.sharding.device_set) == 4
+
+
+def test_resolve_mesh_auto_divisor_policy():
+    from sin_inn_tpu.train.loop import resolve_mesh
+
+    # batch 4 on 8 devices -> data axis shrinks to 4
+    m = resolve_mesh(None, 1, batch_size=4)
+    assert m is not None and m.shape["data"] == 4
+    # batch 1 -> single device (None)
+    assert resolve_mesh(None, 1, batch_size=1) is None
+    # explicit indivisible mesh raises
+    with pytest.raises(ValueError):
+        resolve_mesh(8, 1, batch_size=4)
+    # explicit 1x1 -> None
+    assert resolve_mesh(1, 1, batch_size=4) is None
