@@ -96,18 +96,15 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
     return flows[..., :2], flows[..., 2:], stash
 
 
-def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
-              ctrl_state, batch: Dict) -> Tuple[jnp.ndarray, Dict]:
-    """Bidirectional photometric training loss (trainer.py:47-87)."""
-    frame1 = batch["frame1"]
-    frame2 = batch["frame2"]
-    times = batch["times"]
-    scale = batch["scale"]
+def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
+                          frame2: jnp.ndarray, flow12: jnp.ndarray,
+                          flow21: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+    """The model-free part of the training loss (trainer.py:47-87): occlusion
+    masks -> backward warp metric -> softmax splat both directions ->
+    L1/census/SSIM/bilateral-smooth. Split out from :func:`flow_loss` so the
+    torch parity harness can pin the loss math against an independent
+    re-derivation of the reference formulas with fixed flows."""
     b, h, w, _ = frame1.shape
-
-    flow12, flow21, stash = flow_forward(
-        spec, params, consts, ctrl_cfg, ctrl_state, times, h, w, scale)
-
     # Forward-splat each frame toward the other (trainer.py:61-68). For the
     # Wang occlusion case the range map (splat of ones along the same flow,
     # occlusions.py:29-104) shares ONE scatter with the softmax splat — the
@@ -157,8 +154,7 @@ def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
 
     aux = {"loss": loss, "l1": l1, "census": census, "ssim": ssim,
            "smooth": smooth,
-           "psnr": L.psnr(jnp.clip(softmax2, 0, 1), frame2),
-           "stash": stash}
+           "psnr": L.psnr(jnp.clip(softmax2, 0, 1), frame2)}
 
     # Per-point photometric error map for the spatial controller: the
     # intended spatially-resolved signal behind net.stash_iteration(loss)
@@ -166,6 +162,22 @@ def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
     err = (jnp.abs(softmax1 - frame1) * mask1).mean(-1) \
         + (jnp.abs(softmax2 - frame2) * mask2).mean(-1)
     aux["point_loss"] = (err / 2.0).reshape(-1)
+    return loss, aux
+
+
+def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
+              ctrl_state, batch: Dict) -> Tuple[jnp.ndarray, Dict]:
+    """Bidirectional photometric training loss (trainer.py:47-87)."""
+    frame1 = batch["frame1"]
+    frame2 = batch["frame2"]
+    times = batch["times"]
+    scale = batch["scale"]
+    b, h, w, _ = frame1.shape
+
+    flow12, flow21, stash = flow_forward(
+        spec, params, consts, ctrl_cfg, ctrl_state, times, h, w, scale)
+    loss, aux = photometric_flow_loss(cfg, frame1, frame2, flow12, flow21)
+    aux["stash"] = stash
 
     if "gt_flow" in batch:
         epe = jnp.mean(jnp.sqrt(jnp.sum(
