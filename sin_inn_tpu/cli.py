@@ -52,6 +52,28 @@ def _sr_parser(sub):
     ap.add_argument("--tcr_iters", type=int, default=5)
     ap.add_argument("-t", "--temp", type=float, default=0.8)
     ap.add_argument("--wandb", action="store_true")
+    # runtime surface (round-2: every perf/runtime knob is CLI-reachable)
+    ap.add_argument("--val_batch_size", type=int, default=40)
+    ap.add_argument("--hidden_channels", type=int, default=256)
+    ap.add_argument("--dense_gc", type=int, default=32)
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=["float32", "bfloat16", "float32_highest"])
+    ap.add_argument("--use_pallas", default="auto",
+                    choices=["auto", "on", "off"])
+    ap.add_argument("--mesh_data", type=int, default=None,
+                    help="data-parallel mesh axis (default: all devices)")
+    ap.add_argument("--mesh_model", type=int, default=1,
+                    help="tensor-parallel mesh axis over subnet hidden")
+    ap.add_argument("--distributed", action="store_true",
+                    help="jax.distributed.initialize() first (multi-host)")
+    ap.add_argument("--tcr_stop_grad", action="store_true",
+                    help="gradient-free TCR warp (reference parity)")
+    ap.add_argument("--auto_lr", action="store_true",
+                    help="LR range test before training (auto_lr_find)")
+    ap.add_argument("--auto_batch", action="store_true",
+                    help="probe the largest fitting batch size")
+    ap.add_argument("--save_images", action="store_true",
+                    help="sr test: dump PNG frames instead of a video")
 
 
 def sr_config_from_args(a) -> SRConfig:
@@ -69,6 +91,12 @@ def sr_config_from_args(a) -> SRConfig:
         rotation=a.rotation, translation=a.translation,
         tcr_iters=a.tcr_iters, temp=a.temp, working_dir=a.working_dir,
         resume_state=a.resume_state,
+        val_batch_size=a.val_batch_size, hidden_channels=a.hidden_channels,
+        dense_gc=a.dense_gc, compute_dtype=a.compute_dtype,
+        use_pallas=a.use_pallas, mesh_data=a.mesh_data,
+        mesh_model=a.mesh_model, distributed=a.distributed,
+        tcr_stop_grad=a.tcr_stop_grad, auto_lr=a.auto_lr,
+        auto_batch=a.auto_batch,
     )
 
 
@@ -100,6 +128,21 @@ def _flow_parser(sub):
     ap.add_argument("--occl", default="wang", choices=["brox", "wang", "none"])
     ap.add_argument("--occl-thresh", default=0.7, type=float)
     ap.add_argument("--wandb", action="store_true")
+    # runtime surface
+    ap.add_argument("--spatial-res", type=int, default=50,
+                    help="spatially-adaptive controller grid resolution")
+    ap.add_argument("--num-frequencies", type=int, default=256)
+    ap.add_argument("--hidden-dim", type=int, default=256)
+    ap.add_argument("--num-layers", type=int, default=3)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16", "float32_highest"])
+    ap.add_argument("--splat-max-dy", type=int, default=None,
+                    help="enable the windowed MATMUL splat, |dy|<=N px")
+    ap.add_argument("--splat-chunk", type=int, default=16)
+    ap.add_argument("--mesh-data", type=int, default=None)
+    ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--flow-dir", default=None,
+                    help="precomputed GT/pseudo-GT flow dir (.flo/.npy)")
 
 
 def flow_config_from_args(a) -> FlowConfig:
@@ -114,6 +157,11 @@ def flow_config_from_args(a) -> FlowConfig:
         edge_constant=a.edge_constant, edge_func=a.edge_func,
         occl=None if a.occl == "none" else a.occl,
         occl_thresh=a.occl_thresh,
+        spatial_res=a.spatial_res, num_frequencies=a.num_frequencies,
+        hidden_dim=a.hidden_dim, num_layers=a.num_layers,
+        compute_dtype=a.compute_dtype, splat_max_dy=a.splat_max_dy,
+        splat_chunk=a.splat_chunk, mesh_data=a.mesh_data,
+        distributed=a.distributed, flow_dir=a.flow_dir,
     )
 
 
@@ -158,7 +206,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if a.operation == "train":
             L.run_sr_train(cfg, use_wandb=a.wandb)
         else:
-            print(L.run_sr_test(cfg))
+            print(L.run_sr_test(cfg, save_images=a.save_images))
     elif a.command == "flow":
         from sin_inn_tpu.train import loop as L
 

@@ -96,6 +96,10 @@ class SRConfig:
     mesh_model: int = 1
     # call jax.distributed.initialize() first (multi-host pods)
     distributed: bool = False
+    # auto-tuning before training (reference main.py:108-109 enables
+    # Lightning's auto_lr_find / auto_scale_batch_size)
+    auto_lr: bool = False
+    auto_batch: bool = False
 
     def __post_init__(self):
         if self.architecture not in ("SRF", "IRN"):
@@ -217,6 +221,10 @@ class FlowConfig:
     # workload, SURVEY §2.5). None = all visible devices when >1; 1 = off.
     mesh_data: Optional[int] = None
     distributed: bool = False
+    # precomputed GT/pseudo-GT flow directory (.flo/.npy per frame pair) —
+    # the honest replacement for the reference's in-loop RAFT run
+    # (video-interpolation/data.py:32-62); see also data.flow_media.FLOW_PRODUCERS
+    flow_dir: Optional[str] = None
 
     def __post_init__(self):
         if self.edge_func not in ("exp", "gauss"):

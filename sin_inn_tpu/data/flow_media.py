@@ -82,8 +82,10 @@ class FlowMedia:
             yield self.sample(order[s:s + batch_size])
 
 
-def load_images(root: str, size: int = 200) -> FlowMedia:
-    """Images dataset (data.py:67-89)."""
+def load_images(root: str, size: int = 200,
+                flow_dir: Optional[str] = None) -> FlowMedia:
+    """Images dataset (data.py:67-89). An explicit ``flow_dir`` overrides the
+    Sintel ``../../flow/<scene>`` auto-discovery convention."""
     import imageio.v2 as io
 
     files = sorted(f for f in os.listdir(root) if f.endswith(".png"))
@@ -97,13 +99,12 @@ def load_images(root: str, size: int = 200) -> FlowMedia:
     video = _resize_frames(frames, size).astype(np.float32) / 255.0
 
     scene = path.splitext(path.basename(root))[0]
-    flow_dir = path.join(root, "../../flow")
+    sintel_dir = path.join(root, "../../flow", scene)
+    lookup = flow_dir if flow_dir else sintel_dir
     flow = None
-    if path.isdir(path.join(flow_dir, scene)):
+    if path.isdir(lookup):
         rescale = size / h0
-        flows = [read_flo(path.join(flow_dir, scene, f"frame_{i+1:04d}.flo"))
-                 for i in range(num - 1)]
-        flows = np.stack(flows)
+        flows = load_flow_dir(lookup, num - 1)
         flow = _resize_frames(flows, size) * rescale
     return FlowMedia(video, flow)
 
@@ -140,14 +141,77 @@ def load_flow_dir(flow_dir: str, num: int) -> np.ndarray:
     return np.stack(flows)
 
 
+def generate_pseudo_gt(video: np.ndarray, producer, out_dir: str) -> np.ndarray:
+    """Synthesize pseudo-GT flow over consecutive frame pairs.
+
+    The pluggable replacement for the reference's in-loop RAFT run
+    (/root/reference/video-interpolation/data.py:32-62, which imported a
+    hard-coded external RAFT checkout through ``torch.nn.DataParallel``).
+
+    ``producer`` is either
+      * a callable ``(frame1, frame2) -> (H, W, 2) float array`` (frames are
+        (H, W, 3) float32 in [0, 1]), or
+      * a subprocess command template string containing ``{f1} {f2} {out}``
+        placeholders — invoked once per pair with PNG paths and an output
+        ``.flo`` path (so any external flow tool can plug in).
+
+    Results are written to ``out_dir`` as ``frame_%04d.flo`` — the exact
+    layout :func:`load_flow_dir` (the default precomputed-flow impl) reads —
+    and returned as an (N-1, H, W, 2) array.
+    """
+    from sin_inn_tpu.data.flo import write_flo
+
+    os.makedirs(out_dir, exist_ok=True)
+    flows = []
+    for i in range(len(video) - 1):
+        f1, f2 = video[i], video[i + 1]
+        if callable(producer):
+            fl = np.asarray(producer(f1, f2), np.float32)
+        else:
+            import subprocess
+            import tempfile
+
+            import imageio.v2 as io
+
+            with tempfile.TemporaryDirectory() as td:
+                p1 = path.join(td, "f1.png")
+                p2 = path.join(td, "f2.png")
+                po = path.join(out_dir, f"frame_{i+1:04d}.flo")
+                io.imwrite(p1, (np.clip(f1, 0, 1) * 255).astype(np.uint8))
+                io.imwrite(p2, (np.clip(f2, 0, 1) * 255).astype(np.uint8))
+                cmd = producer.format(f1=p1, f2=p2, out=po)
+                subprocess.run(cmd, shell=True, check=True)
+                fl = read_flo(po)
+        if fl.shape != f1.shape[:2] + (2,):
+            raise ValueError(
+                f"producer returned {fl.shape}, want {f1.shape[:2] + (2,)}")
+        write_flo(path.join(out_dir, f"frame_{i+1:04d}.flo"), fl)
+        flows.append(fl)
+    return np.stack(flows)
+
+
+def attach_pseudo_gt(media: FlowMedia, producer, out_dir: str) -> FlowMedia:
+    """Attach producer-generated pseudo-GT flow to an existing FlowMedia
+    (reuses files already in ``out_dir`` when complete — the reference
+    regenerated RAFT flow every run)."""
+    num = len(media.video) - 1
+    try:
+        flow = load_flow_dir(out_dir, num)
+    except FileNotFoundError:
+        flow = generate_pseudo_gt(media.video, producer, out_dir)
+    media.flow = flow.astype(np.float32)
+    return media
+
+
 def get_video(input_video: str, size: int, test_size: int,
               end: Optional[int] = None, step: Optional[int] = None,
               flow_dir: Optional[str] = None):
     """(trainset, testset, scene) dispatcher (data.py:107-119)."""
     if path.isdir(input_video):
-        trainset = load_images(input_video, size=size)
+        trainset = load_images(input_video, size=size, flow_dir=flow_dir)
         testset = (trainset if test_size == size
-                   else load_images(input_video, size=test_size))
+                   else load_images(input_video, size=test_size,
+                                    flow_dir=flow_dir))
     else:
         trainset = load_video_clip(input_video, end, step or 10, size, flow_dir)
         testset = (trainset if test_size == size else

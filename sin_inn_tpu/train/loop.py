@@ -93,12 +93,29 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     compile_cache.enable()
     if cfg.distributed:
         initialize_distributed()
-    mesh = resolve_mesh(cfg.mesh_data, cfg.mesh_model,
-                        batch_size=cfg.batch_size)
     video = video or SRVideo.from_dirs(cfg)
     sup, unsup, val = make_datasets(video, cfg)
 
     key = R.root_key(cfg.random_seed)
+
+    # auto-tuning (reference main.py:108-109: Lightning auto_scale_batch_size
+    # then auto_lr_find, before the real fit)
+    if cfg.auto_batch:
+        from sin_inn_tpu.train.tuner import find_batch_size
+        mk = lambda b: jax.device_put(
+            sup.gather(np.arange(b) % max(len(sup), 1)))
+        bs = find_batch_size(cfg, mk, R.named_fold(key, "tune"),
+                             start=cfg.batch_size)
+        cfg = cfg.replace(batch_size=bs)
+    if cfg.auto_lr:
+        from sin_inn_tpu.train.tuner import find_lr
+        probe = jax.device_put(
+            sup.gather(np.arange(cfg.batch_size) % max(len(sup), 1)))
+        lr = find_lr(cfg, probe, R.named_fold(key, "tune"))
+        cfg = cfg.replace(learning_rate=lr)
+
+    mesh = resolve_mesh(cfg.mesh_data, cfg.mesh_model,
+                        batch_size=cfg.batch_size)
     spec, state, tx = SR.create_train_state(R.named_fold(key, "init"), cfg)
     step = SR.make_train_step(spec, cfg, tx)
     eval_step = SR.make_eval_step(spec, cfg)
@@ -165,8 +182,13 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
 
 
 def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,
-                state=None, spec=None, save_video: Optional[str] = None) -> str:
-    """SR inference driver (reference main.py:120-137 + infer)."""
+                state=None, spec=None, save_video: Optional[str] = None,
+                save_images: bool = False) -> str:
+    """SR inference driver (reference main.py:120-137 + infer).
+
+    ``save_images=True`` dumps PNG frames to a directory instead of encoding
+    a video (reference lit_wrapper.py:117-122 — whose own ``save_path`` was
+    an undefined-variable bug; here it is a first-class mode)."""
     video = video or SRVideo.from_dirs(cfg)
     _, unsup, _ = make_datasets(video, cfg)
     key = R.root_key(cfg.random_seed)
@@ -182,16 +204,28 @@ def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,
 
     infer = SR.make_infer_step(spec, cfg)
     exp_dir = sr_dirs(cfg, "test")
-    out = save_video or path.join(
-        exp_dir, f"{cfg.architecture}_{cfg.suffix}_t{cfg.temp}.avi")
     unsup.shuffle = False
     infer_key = R.named_fold(key, "infer")
-    with VideoWriter(out, fps=30) as vw:
+
+    def frame_iter():
         for i, batch in enumerate(unsup.batches(cfg.val_batch_size)):
             frames = infer(state.params, jax.device_put(batch["lr"]),
                            R.step_key(infer_key, i))
-            for f in np.asarray(frames):
-                vw.add(f)
+            yield from np.asarray(frames)
+
+    if save_images:
+        from sin_inn_tpu.io.video_io import write_frames
+        img_dir = path.join(exp_dir,
+                            f"{cfg.architecture}_{cfg.suffix}_t{cfg.temp}")
+        write_frames(img_dir, frame_iter(),
+                     prefix=f"{cfg.architecture}_{cfg.suffix}")
+        return img_dir
+
+    out = save_video or path.join(
+        exp_dir, f"{cfg.architecture}_{cfg.suffix}_t{cfg.temp}.avi")
+    with VideoWriter(out, fps=30) as vw:
+        for f in frame_iter():
+            vw.add(f)
     return vw.path
 
 
@@ -219,7 +253,8 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     mesh = resolve_mesh(cfg.mesh_data, batch_size=cfg.batch)
     if media is None:
         media, val_media, scene = flow_media.get_video(
-            cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step)
+            cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
+            flow_dir=cfg.flow_dir)
     key = R.root_key(cfg.random_seed)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         R.named_fold(key, "init"), cfg)
@@ -292,8 +327,9 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
     render predicted flow + occlusion masks, compute EPE vs GT when present,
     write artifacts with metadata sidecars."""
     if media is None:
-        _, media, scene = flow_media.get_video(cfg.input_video, cfg.size,
-                                               cfg.test_size, cfg.end, cfg.step)
+        _, media, scene = flow_media.get_video(
+            cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
+            flow_dir=cfg.flow_dir)
     key = R.root_key(cfg.random_seed)
     if state is None:
         spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
@@ -370,7 +406,8 @@ def run_flow_sintel(cfg: FlowConfig, outroot: str = "sintel_submission"):
     for scene in sorted(os.listdir(root)):
         scene_cfg = cfg.replace(input_video=path.join(root, scene))
         _, media, scene_name = flow_media.get_video(
-            scene_cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step)
+            scene_cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
+            flow_dir=scene_cfg.flow_dir)
         key = R.root_key(cfg.random_seed)
         spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
             R.named_fold(key, "init"), scene_cfg)

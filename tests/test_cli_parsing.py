@@ -61,3 +61,44 @@ def test_prepare_parse():
 def test_scene_space_parse():
     a = parse(["scene-space", "gather", "--scene-dir", "/x", "--frame", "3"])
     assert a.operation == "gather" and a.frame == 3
+
+
+def test_sr_runtime_flags():
+    a = parse(["sr", "train", "--compute_dtype", "bfloat16",
+               "--use_pallas", "on", "--mesh_data", "4", "--mesh_model", "2",
+               "--val_batch_size", "16", "--hidden_channels", "128",
+               "--dense_gc", "16", "--tcr_stop_grad", "--auto_lr",
+               "--auto_batch", "--distributed"])
+    cfg = cli.sr_config_from_args(a)
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.use_pallas == "on"
+    assert cfg.mesh_data == 4 and cfg.mesh_model == 2
+    assert cfg.val_batch_size == 16
+    assert cfg.hidden_channels == 128 and cfg.dense_gc == 16
+    assert cfg.tcr_stop_grad and cfg.auto_lr and cfg.auto_batch
+    assert cfg.distributed
+
+
+def test_sr_save_images_flag():
+    a = parse(["sr", "test", "--save_images"])
+    assert a.save_images
+
+
+def test_sr_bad_compute_dtype_rejected():
+    with pytest.raises(SystemExit):
+        parse(["sr", "train", "--compute_dtype", "float16"])
+
+
+def test_flow_runtime_flags():
+    a = parse(["flow", "train", "--splat-max-dy", "64", "--splat-chunk", "8",
+               "--spatial-res", "25", "--mesh-data", "2",
+               "--compute-dtype", "bfloat16", "--num-frequencies", "32",
+               "--hidden-dim", "64", "--num-layers", "2",
+               "--flow-dir", "/flows"])
+    cfg = cli.flow_config_from_args(a)
+    assert cfg.splat_max_dy == 64 and cfg.splat_chunk == 8
+    assert cfg.spatial_res == 25 and cfg.mesh_data == 2
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.num_frequencies == 32 and cfg.hidden_dim == 64
+    assert cfg.num_layers == 2
+    assert cfg.flow_dir == "/flows"

@@ -99,3 +99,52 @@ def test_flow_media_with_gt(rng):
     b = m.sample(np.asarray([1]))
     assert "gt_flow" in b
     np.testing.assert_array_equal(b["gt_flow"][0], flow[1])
+
+
+def test_pseudo_gt_producer_callable(tmp_path):
+    """Pluggable pseudo-GT hook (reference ran RAFT in-loop, data.py:32-62):
+    a callable producer generates .flo files once, reused on re-attach."""
+    import numpy as np
+    from sin_inn_tpu.data.flow_media import (FlowMedia, attach_pseudo_gt,
+                                             load_flow_dir)
+
+    video = np.random.RandomState(0).rand(4, 8, 10, 3).astype(np.float32)
+    media = FlowMedia(video)
+    assert not media.gt_available
+
+    calls = []
+
+    def producer(f1, f2):
+        calls.append(1)
+        return np.full(f1.shape[:2] + (2,), 0.5, np.float32)
+
+    out = str(tmp_path / "flows")
+    attach_pseudo_gt(media, producer, out)
+    assert media.gt_available
+    assert media.flow.shape == (3, 8, 10, 2)
+    assert len(calls) == 3
+    # files on disk follow the load_flow_dir layout and are reused
+    assert load_flow_dir(out, 3).shape == (3, 8, 10, 2)
+    media2 = attach_pseudo_gt(FlowMedia(video), producer, out)
+    assert len(calls) == 3            # no regeneration
+    np.testing.assert_allclose(media2.flow, media.flow)
+
+
+def test_pseudo_gt_producer_subprocess(tmp_path):
+    """Subprocess command-template producer: any external tool plugs in."""
+    import sys
+
+    import numpy as np
+    from sin_inn_tpu.data.flow_media import FlowMedia, generate_pseudo_gt
+
+    video = np.random.RandomState(1).rand(3, 6, 8, 3).astype(np.float32)
+    helper = tmp_path / "fake_flow.py"
+    helper.write_text(
+        "import sys, numpy as np\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from sin_inn_tpu.data.flo import write_flo\n"
+        "write_flo(sys.argv[3], np.ones((6, 8, 2), np.float32))\n")
+    cmd = f"{sys.executable} {helper} {{f1}} {{f2}} {{out}}"
+    flow = generate_pseudo_gt(video, cmd, str(tmp_path / "out"))
+    assert flow.shape == (2, 6, 8, 2)
+    np.testing.assert_allclose(flow, 1.0)

@@ -161,3 +161,35 @@ def test_sr_train_step_tcr_stop_grad_mode(key, sr_setup):
     state, aux = step(state, sup_b, unsup_b, jax.random.key(0))
     assert np.isfinite(float(aux["loss"]))
     assert float(aux["tcr"]) != 0.0
+
+
+def test_sr_test_save_images_mode(key, tmp_path, sr_setup):
+    """save_images inference mode (reference lit_wrapper.py:117-122, whose
+    own save_path was an undefined-variable bug)."""
+    from sin_inn_tpu.train import loop as L
+
+    cfg0, video, sup, unsup, val = sr_setup
+    cfg = cfg0.replace(working_dir=str(tmp_path / "exp"), val_batch_size=4)
+    spec, state, tx = SR.create_train_state(key, cfg)
+    out_dir = L.run_sr_test(cfg, video=video, state=state, spec=spec,
+                            save_images=True)
+    files = sorted(os.listdir(out_dir))
+    assert files and all(f.endswith(".png") for f in files)
+    assert len(files) == len(unsup)
+
+
+def test_sr_train_auto_lr_and_batch(tmp_path):
+    """--auto_lr/--auto_batch wire train/tuner.py into the production loop
+    (reference main.py:108-109 auto_lr_find/auto_scale_batch_size)."""
+    from sin_inn_tpu.core.config import SRConfig
+    from sin_inn_tpu.data.synthetic import synthetic_sr_video
+    from sin_inn_tpu.train import loop as L
+
+    cfg = SRConfig(scale=2, num_coupling=1, lr_window=1, fps=30,
+                   architecture="IRN", hidden_channels=8, dense_gc=8,
+                   batch_size=2, val_batch_size=4, epochs=1, save_iter=10,
+                   print_iter=1, auto_lr=True, auto_batch=True,
+                   working_dir=str(tmp_path / "exp"), mesh_data=1)
+    video = synthetic_sr_video(cfg, h=16, w=16)
+    out = L.run_sr_train(cfg, video=video)
+    assert np.isfinite(out["metrics"]["loss"])
