@@ -215,9 +215,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             out = L.run_flow_train(cfg, use_wandb=a.wandb)
             L.run_flow_test(cfg, state=out["state"], spec=out["spec"],
                             consts=out["consts"], ctrl_cfg=out["ctrl_cfg"],
-                            scene=out["scene"])
+                            scene=out["scene"], use_wandb=a.wandb)
         elif a.operation == "test":
-            print(L.run_flow_test(cfg))
+            print(L.run_flow_test(cfg, use_wandb=a.wandb))
         elif a.operation == "summarize":
             L.run_flow_summarize(cfg)
         else:

@@ -81,6 +81,12 @@ class MetricsWriter:
         with open(path + ".json", "w") as f:
             json.dump({k: _to_py(v) for k, v in metadata.items()}, f, indent=2)
 
+    @property
+    def wants_media(self) -> bool:
+        """True when media logging would actually reach wandb — callers can
+        skip rendering sample frames otherwise."""
+        return self.primary and self._wandb is not None
+
     def log_media(self, step: int, name: str, frames, fps: int = 4):
         """Log a video/GIF media artifact to wandb when enabled
         (reference trainer.py:114-131, main.py:60-69 log flow/occlusion

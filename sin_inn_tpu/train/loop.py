@@ -137,6 +137,7 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     step_key = R.named_fold(key, "train")
     use_tcr = cfg.lambda_bwd_tcr > 0
     last_metrics: Dict = {}
+    sample_infer = None
     t0 = time.time()
     frames_done = 0
     # the supervised set of a single video fits in HBM: pin all batches on
@@ -167,6 +168,16 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
                 for k, v in vm.items():
                     vm_acc[k] = vm_acc.get(k, 0.0) + float(v) * nb
                 vn += nb
+            # SR sample-frame media (wandb) — one reconstructed HR frame
+            if writer.wants_media:
+                if sample_infer is None:
+                    sample_infer = SR.make_infer_step(spec, cfg)
+                vb0 = next(iter(val.batches(1)))
+                fr = sample_infer(state.params, place_eval(vb0["lr"]),
+                                  R.step_key(R.named_fold(key, "media"),
+                                             epoch))
+                writer.log_image(epoch, "media/sample_hr",
+                                 np.asarray(fr)[0])
             last_metrics = {k: float(v) for k, v in aux.items()}
             last_metrics.update({k: v / max(vn, 1) for k, v in vm_acc.items()})
             last_metrics["frames_per_sec"] = frames_done / max(
@@ -273,6 +284,14 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     if mesh is not None:
         state = place_state(mesh, state)
 
+    # source / GT-flow media at run start (reference main.py:60-69)
+    if writer.wants_media:
+        src = (np.clip(media.video, 0.0, 1.0) * 255).astype(np.uint8)
+        writer.log_media(0, "media/source", src, fps=4)
+        if getattr(media, "gt_available", False):
+            writer.log_media(0, "media/gt_flow", np.stack(
+                [flow_to_image(f) for f in media.flow]), fps=4)
+
     # held-out val pass (val/EPE) only when GT flow exists and validation is
     # enabled — mirrors the reference's default-off validation (main.py:55-56)
     do_val = (val_media is not None and getattr(val_media, "gt_available", False)
@@ -322,10 +341,12 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
 
 
 def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
-                  state=None, spec=None, consts=None, ctrl_cfg=None) -> Dict:
+                  state=None, spec=None, consts=None, ctrl_cfg=None,
+                  use_wandb: bool = False, writer=None) -> Dict:
     """Flow test driver (reference trainer.py:100-132 + main.py:83-93):
     render predicted flow + occlusion masks, compute EPE vs GT when present,
-    write artifacts with metadata sidecars."""
+    write artifacts with metadata sidecars. With wandb enabled the predicted
+    flow and occlusion videos are logged as media (trainer.py:114-131)."""
     if media is None:
         _, media, scene = flow_media.get_video(
             cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
@@ -380,6 +401,20 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
             for f in mask_imgs:
                 ow.add(f)
         occl_path = ow.path
+
+    # wandb media parity (reference trainer.py:114-131 wandb.Video path)
+    own_writer = writer is None and use_wandb
+    if own_writer:
+        writer = MetricsWriter(cfg.results_dir, run_name=f"test_{tag}",
+                               use_wandb=True, wandb_project="optical_flow")
+    if writer is not None:
+        writer.log_artifact(flow_path, {"epe": mean_epe, "scene": scene})
+        if writer.wants_media:
+            writer.log_media(0, f"flow/{tag}", np.stack(flow_imgs), fps=4)
+            if mask_imgs:
+                writer.log_media(0, f"occl/{tag}", np.stack(mask_imgs), fps=4)
+        if own_writer:
+            writer.close()
     return {"epe": mean_epe, "num_frames": len(flow_imgs),
             "flow_path": flow_path, "occl_path": occl_path}
 

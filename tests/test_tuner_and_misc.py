@@ -78,3 +78,102 @@ def test_metrics_writer(tmp_path):
     assert json.loads(lines[1])["loss"] == 1.25
     assert json.load(open(tmp_path / "art.gif.json"))["epe"] == 2.5
     assert json.load(open(tmp_path / "r.config.json"))["lr"] == 1e-4
+
+
+class _FakeWandbRun:
+    def __init__(self):
+        self.logged = []
+
+    def log(self, payload, step=None):
+        self.logged.append((step, payload))
+
+    def finish(self):
+        pass
+
+
+class _FakeWandb:
+    """Minimal wandb stand-in capturing Video/Image media calls."""
+
+    def __init__(self):
+        self.run = _FakeWandbRun()
+
+    def init(self, **kw):
+        return self.run
+
+    class Video:
+        def __init__(self, arr, fps=4, format=None):
+            self.shape = arr.shape
+
+    class Image:
+        def __init__(self, arr):
+            self.shape = arr.shape
+
+
+def test_wandb_media_logging(monkeypatch, tmp_path):
+    """Media parity (reference trainer.py:114-131, main.py:60-69): with wandb
+    enabled, flow train logs source video media and flow test logs predicted
+    flow + occlusion videos."""
+    import sys
+
+    import numpy as np
+
+    fake = _FakeWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.data.synthetic import moving_texture_video
+    from sin_inn_tpu.train import loop as L
+
+    frames = moving_texture_video(4, 8, 8)
+    media = FlowMedia(frames, flow=np.zeros((3, 8, 8, 2), np.float32))
+    cfg = FlowConfig(net="RBF", num_frequencies=8, hidden_dim=16,
+                     num_layers=2, epochs=1, batch=3, mesh_data=1,
+                     checkpoints_dir=str(tmp_path / "ck"),
+                     results_dir=str(tmp_path / "res"))
+    out = L.run_flow_train(cfg, media=media, scene="s", use_wandb=True,
+                           val_media=media)
+    keys = [k for _, payload in fake.run.logged for k in payload]
+    assert "media/source" in keys
+    assert "media/gt_flow" in keys
+
+    L.run_flow_test(cfg, media=media, scene="s", state=out["state"],
+                    spec=out["spec"], consts=out["consts"],
+                    ctrl_cfg=out["ctrl_cfg"], use_wandb=True)
+    keys = [k for _, payload in fake.run.logged for k in payload]
+    assert any(k.startswith("flow/") for k in keys)
+    assert any(k.startswith("occl/") for k in keys)
+
+
+def test_wandb_sr_sample_media(monkeypatch, tmp_path):
+    import sys
+
+    import numpy as np
+
+    fake = _FakeWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from sin_inn_tpu.core.config import SRConfig
+    from sin_inn_tpu.data.synthetic import synthetic_sr_video
+    from sin_inn_tpu.train import loop as L
+
+    cfg = SRConfig(scale=2, num_coupling=1, lr_window=1, fps=30,
+                   architecture="IRN", hidden_channels=8, dense_gc=8,
+                   batch_size=4, val_batch_size=4, epochs=1, save_iter=10,
+                   print_iter=1, mesh_data=1,
+                   working_dir=str(tmp_path / "exp"))
+    video = synthetic_sr_video(cfg, h=16, w=16)
+    L.run_sr_train(cfg, video=video, use_wandb=True)
+    keys = [k for _, payload in fake.run.logged for k in payload]
+    assert "media/sample_hr" in keys
+
+
+def test_metrics_writer_non_primary_is_noop(tmp_path):
+    from sin_inn_tpu.core.metrics import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path / "m"), run_name="r", primary=False)
+    w.log(0, {"a": 1.0})
+    w.log_artifact(str(tmp_path / "x.gif"), {"b": 2})
+    w.close()
+    import os
+    assert not os.path.exists(str(tmp_path / "m"))
