@@ -171,7 +171,7 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
 
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
-               splat_max_dy=None):
+               splat_max_dy=None, splat_chunk: int = 8):
     """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size."""
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
@@ -182,7 +182,8 @@ def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
     from sin_inn_tpu.core.config import FlowConfig
     from sin_inn_tpu.train import flow as FT
 
-    cfg = FlowConfig(net=net, epochs=5000, splat_max_dy=splat_max_dy)
+    cfg = FlowConfig(net=net, epochs=5000, splat_max_dy=splat_max_dy,
+                     splat_chunk=splat_chunk)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         jax.random.key(0), cfg)
     step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
@@ -212,12 +213,13 @@ def main():
     ap.add_argument("--net", default="RBF")
     ap.add_argument("--splat-max-dy", type=int, default=None,
                     help="enable the windowed matmul splat in the flow bench")
+    ap.add_argument("--splat-chunk", type=int, default=8)
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     if args.pipeline == "flow":
         fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net,
-                         args.splat_max_dy)
+                         args.splat_max_dy, args.splat_chunk)
         print(json.dumps({
             "metric": "flow train frames/sec/chip (436x1024 INR step)",
             "value": round(fps, 3),

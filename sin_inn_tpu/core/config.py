@@ -207,10 +207,11 @@ class FlowConfig:
     controller_epsilon: float = 1e-3
     random_seed: int = 0
     # Windowed matmul splat: bounds |flow_y| taps to +-splat_max_dy px and
-    # replaces the TPU scatter with dense MXU contractions (6x faster fwd,
-    # 3.4x grad at Sintel size — see ops/splat.py). None = exact scatter.
+    # replaces the TPU scatter with dense MXU contractions; its backward is
+    # the hand-derived 4-tap gather adjoint (ops/splat.py). None = exact
+    # scatter. Full step at Sintel size: 4.3 f/s exact -> 12.3 f/s windowed.
     splat_max_dy: Optional[int] = None
-    splat_chunk: int = 16
+    splat_chunk: int = 8          # 8 measured fastest with the fused backward
 
     # Runtime
     results_dir: str = "results"

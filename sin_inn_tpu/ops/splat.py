@@ -110,7 +110,27 @@ def softsplat_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
 
 
 def splat_windowed(values: jnp.ndarray, flow: jnp.ndarray,
-                   max_dy: int, chunk: int = 8) -> jnp.ndarray:
+                   max_dy: int, chunk: int = 8,
+                   fused_backward: bool = True) -> jnp.ndarray:
+    """Windowed matmul splat with a hand-derived gather backward.
+
+    ``fused_backward=True`` (default) replaces autodiff-through-the-scan
+    (which rematerializes every dense row block and differentiates the
+    einsums — 105 ms at Sintel size) with the analytic adjoint: the VJP of a
+    scatter w.r.t. its values is the 4-tap bilinear GATHER of the cotangent
+    at the target coords, and the flow VJP is the input-weighted
+    finite-difference gather — exactly the reference's two CUDA grad kernels
+    (softsplat.py:55-106 updateGradInput / updateGradFlow), as pure gathers
+    with the same window/bounds masking as the forward. Measured 105 -> 21 ms
+    for the full backward at 3x436x1024 (see CLAUDE.md).
+    """
+    if fused_backward:
+        return _splat_windowed_fused(max_dy, chunk, values, flow)
+    return _splat_windowed_impl(values, flow, max_dy, chunk)
+
+
+def _splat_windowed_impl(values: jnp.ndarray, flow: jnp.ndarray,
+                         max_dy: int, chunk: int = 8) -> jnp.ndarray:
     """Dense matmul-form splat: exact in x, y-windowed to ``|dy| <= max_dy``.
 
     The TPU has no fast scatter (XLA's sorted scatter serializes: ~225 ms for
@@ -215,6 +235,80 @@ def splat_windowed(values: jnp.ndarray, flow: jnp.ndarray,
               to_chunks(ax), to_chunks(values))
     out_pad, _ = jax.lax.scan(row_step, out_pad, inputs)
     return out_pad[:, max_dy:max_dy + h]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _splat_windowed_fused(max_dy, chunk, values, flow):
+    return _splat_windowed_impl(values, flow, max_dy, chunk)
+
+
+def _splat_windowed_fused_fwd(max_dy, chunk, values, flow):
+    return _splat_windowed_impl(values, flow, max_dy, chunk), (values, flow)
+
+
+def _splat_windowed_fused_bwd(max_dy, chunk, res, g):
+    """Analytic adjoint of the windowed bilinear scatter.
+
+    For source pixel p at (y, x) with target (ox, oy) = (x, y) + flow(p) and
+    taps (r0+dy, c0+dx), the forward adds v(p) * wy * wx to each in-window
+    tap, so
+      d v(p)      = sum_taps wy wx g[tap]                (updateGradInput)
+      d flow_x(p) = sum_ch v sum_taps wy (dwx/dax) g[tap] (updateGradFlow)
+      d flow_y(p) = sum_ch v sum_taps (dwy/day) wx g[tap]
+    with the same validity mask as the forward: image bounds AND the
+    K = 2*max_dy + chunk + 1 target-row window anchored at the pixel's row
+    chunk. Four masked gathers of ``g`` — no scatter, no remat.
+    """
+    from sin_inn_tpu.ops.warp import _gather_2d
+
+    values, flow = res
+    n, h, w, c = values.shape
+    dtype = values.dtype
+    k = 2 * max_dy + chunk + 1
+
+    ys = jnp.arange(h, dtype=dtype)[None, :, None]
+    xs = jnp.arange(w, dtype=dtype)[None, None, :]
+    ox = xs + flow[..., 0]
+    oy = ys + flow[..., 1]
+    r0 = jnp.floor(oy)
+    ay = oy - r0
+    c0 = jnp.floor(ox)
+    ax = ox - c0
+
+    # target-row window of each source row's chunk (forward anchors the
+    # K-row window at chunk_start - max_dy)
+    chunk_start = (jnp.arange(h, dtype=jnp.int32) // chunk * chunk)
+    win_lo = (chunk_start - max_dy).astype(dtype)[None, :, None]
+    win_hi = win_lo + (k - 1)
+
+    d_values = jnp.zeros_like(values)
+    d_ax = jnp.zeros((n, h, w), dtype)
+    d_ay = jnp.zeros((n, h, w), dtype)
+
+    for dy, dx in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        ri = r0 + dy
+        ci = c0 + dx
+        valid = ((ri >= 0) & (ri <= h - 1) & (ci >= 0) & (ci <= w - 1)
+                 & (ri >= win_lo) & (ri <= win_hi))
+        g_tap = _gather_2d(g, jnp.clip(ci, 0, w - 1).astype(jnp.int32),
+                           jnp.clip(ri, 0, h - 1).astype(jnp.int32))
+        g_tap = g_tap * valid.astype(dtype)[..., None]       # (N, H, W, C)
+        wy = ay if dy else (1.0 - ay)
+        wx = ax if dx else (1.0 - ax)
+        d_values = d_values + (wy * wx)[..., None] * g_tap
+        gv = jnp.sum(g_tap * values, axis=-1)                # (N, H, W)
+        d_ax = d_ax + (wy if dx else -wy) * gv
+        d_ay = d_ay + (wx if dy else -wx) * gv
+
+    d_flow = jnp.stack([d_ax, d_ay], axis=-1)
+    return d_values, d_flow
+
+
+_splat_windowed_fused.defvjp(_splat_windowed_fused_fwd,
+                             _splat_windowed_fused_bwd)
 
 
 def softsplat_windowed_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,

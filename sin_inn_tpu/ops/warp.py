@@ -167,16 +167,22 @@ def warp_affine(img: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
 
 
 def resample2d_fast(img: jnp.ndarray, flow: jnp.ndarray,
-                    max_dy: int, chunk: int = 16) -> jnp.ndarray:
-    """resample2d with a scatter-free backward pass.
+                    max_dy: int, chunk: int = 8) -> jnp.ndarray:
+    """resample2d with a scatter-free backward pass w.r.t. the image.
 
     Forward is identical to :func:`resample2d`. The vjp w.r.t. ``img`` of a
     bilinear gather is the transposed bilinear SCATTER of the cotangent at
-    the same sample coordinates — on TPU that scatter costs ~40 ms at Sintel
-    size (see CLAUDE.md), so here it is routed through the dense windowed
-    matmul splat (ops/splat.py). The vjp w.r.t. ``flow`` is the standard
-    4-tap finite-difference gather (cheap). ``max_dy`` bounds the vertical
-    sample displacement exactly like splat_windowed.
+    the same sample coordinates — routed here through the dense windowed
+    matmul splat (ops/splat.py). Measured at Sintel size (3x436x1024,
+    +-50 px flows): full grad 262 ms (scatter) -> 215 ms (this op).
+
+    Use this when you differentiate a warp w.r.t. the *image* operand. The
+    shipped train steps never do — in the Wang path the warped operands are
+    constant frames (XLA dead-code-eliminates the image-grad scatter), and
+    the Brox mask is a boolean with zero gradient — so the plain
+    :func:`resample2d` stays the default there. The vjp w.r.t. ``flow`` is
+    the standard 4-tap finite-difference gather (cheap). ``max_dy`` bounds
+    the vertical sample displacement exactly like splat_windowed.
     """
     import jax
 

@@ -107,8 +107,10 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     b, h, w, _ = frame1.shape
     # Forward-splat each frame toward the other (trainer.py:61-68). For the
     # Wang occlusion case the range map (splat of ones along the same flow,
-    # occlusions.py:29-104) shares ONE scatter with the softmax splat — the
-    # scatter's index sort dominates the step on TPU (see CLAUDE.md).
+    # occlusions.py:29-104) shares ONE pass with the softmax splat. The two
+    # directions run as separate passes on purpose: stacking them into a 2b
+    # batch was measured SLOWER (12.3 -> 11.8 f/s at Sintel size — the
+    # doubled per-chunk working set hurts more than the halved overhead).
     # note: resample2d_fast (scatter-free warp backward) was measured SLOWER
     # here — the warp's image-grad scatter is only ~40 ms at Sintel size,
     # cheaper than the windowed-matmul replacement; keep the plain warp
