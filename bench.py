@@ -7,11 +7,12 @@ update — the reference's whole lit_wrapper.py:29-77 hot loop) on the flagship
 UncondSRFlow-equivalent INN at scale 4 with the 21-frame LR window, batch 8 at
 640x360 — the reference's documented 1080Ti config (main.py:25-27).
 
-vs_baseline: ratio against a torch-CPU proxy of the same workload (the
-reference trainer is CUDA/Lightning; this image has CPU torch only), measured
-at reduced spatial size and extrapolated linearly in pixel count — conv
-throughput is ~linear in pixels, and the extrapolation direction is
-conservative (larger images amortize overheads, favoring the baseline).
+vs_baseline: MEASURED apples-to-apples ratio against a torch-CPU replica of
+the reference per-step work (the reference trainer is CUDA/Lightning; this
+image has CPU torch only): both sides run the SAME reduced common shape
+(~1/4 linear size, batch 1) — no extrapolation. Conservative for the TPU,
+which a tiny shape underutilizes. The replica's math is weight-portable and
+parity-pinned by tests/test_parity_torch.py.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 """
@@ -233,14 +234,17 @@ def main():
     vs_baseline = 0.0
     if not args.no_baseline:
         try:
-            # measure the torch proxy at ~1/4 linear size (rounded to the
-            # INN's /8 divisibility), extrapolate by pixels
+            # MEASURED apples-to-apples ratio at one common shape: run the
+            # torch-CPU replica of the reference trainer AND this framework
+            # at the same reduced size (~1/4 linear, /8-divisible) and same
+            # batch 1 — no extrapolation. Conservative for the TPU (a tiny
+            # shape underutilizes the chip).
             bh = max(args.height // 4 // 8 * 8, 8)
             bw = max(args.width // 4 // 8 * 8, 8)
             base_small = bench_torch_cpu_baseline(bh, bw)
             if base_small:
-                base_full = base_small * (bh * bw) / (args.height * args.width)
-                vs_baseline = fps / base_full
+                tpu_small = bench_tpu(1, bh, bw, max(args.steps, 10))
+                vs_baseline = tpu_small / base_small
         except Exception as e:  # noqa: BLE001 - bench must still report
             print(f"baseline failed: {e}", file=sys.stderr)
 

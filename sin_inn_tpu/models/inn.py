@@ -78,7 +78,7 @@ def build_srf_spec(cfg: SRConfig, c: int) -> Tuple[List[LayerSpec], int]:
                 "glow", clamp=cfg.clamp_srf, split_len1=c // 2,
                 kernel=kernel, hidden=cfg.hidden_channels,
                 compute=cfg.compute_dtype,
-                use_pallas=use_pallas and kernel == 1))
+                use_pallas=use_pallas))
             perm = make_permutation(c, seed=kk)  # archs.py:65-68 (seed=kk)
             spec.append(LayerSpec(
                 "permute", perm=tuple(perm.tolist()),
@@ -171,12 +171,31 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
         # the log-det, take the XLA path (same math) so the value is real
         # rather than silently zero
         if layer.use_pallas and not with_log_det:
-            from sin_inn_tpu.ops.pallas.coupling import (
-                make_fused_coupling_full, make_fused_coupling_full_inv)
             # both directions run fully fused Pallas kernels, forward AND
+            # 1x1 subnets: whole-row-tile fused kernels, forward AND
             # hand-derived backward (residual = the coupling input only)
-            fwd = make_fused_coupling_full(layer.clamp, layer.split_len1)
-            inv = make_fused_coupling_full_inv(layer.clamp, layer.split_len1)
+            if layer.kernel == 1:
+                from sin_inn_tpu.ops.pallas.coupling import (
+                    make_fused_coupling_full, make_fused_coupling_full_inv)
+                fwd = make_fused_coupling_full(layer.clamp, layer.split_len1)
+                inv = make_fused_coupling_full_inv(layer.clamp,
+                                                   layer.split_len1)
+            else:
+                # 3x3 couplings stay on XLA: the row-band-tiled fused kernels
+                # (ops/pallas/coupling3x3.py, interpret-validated with fused
+                # hand-derived backwards) were MEASURED SLOWER in training —
+                # 150-156 f/s vs 174 f/s XLA at the flagship config. Small
+                # Cin (24/96) wastes MXU lanes in the K=Cin matmul form,
+                # Mosaic cannot lower the lane-misaligned im2col concat, and
+                # the banded backward recomputes (band+6)/band rows. XLA's
+                # im2col convs win; kept here as the measured decision.
+                subnet = partial(S.conv_subnet_apply, compute_dtype=compute)
+                if rev:
+                    return C.glow_coupling_inverse(
+                        p, x, subnet, layer.clamp, layer.split_len1), zero
+                y, ld = C.glow_coupling_forward(
+                    p, x, subnet, layer.clamp, layer.split_len1)
+                return y, (ld if with_log_det else zero)
             if rev:
                 return inv(p, x), zero
             return fwd(p, x), zero

@@ -15,16 +15,31 @@ Backward integrates via custom_vjp with XLA-recomputed gradients (same remat
 trade as jax.checkpoint); a hand-derived fused backward (as done for the 1x1
 case) is a future step.
 
-Status: correctness-validated (interpret-mode tests) but NOT wired into the
-model. At the flagship 8x45x80x192 shape both the whole-coupling and the
-half-coupling layouts exceed the 16 MB VMEM scoped limit (Mosaic's stack
-allocator keeps every live intermediate resident; ~51 MB / ~18 MB resp.);
-enabling them requires row-band tiling with 2-px halos via manual HBM->VMEM
-DMA, or bf16 in-kernel activations. Profiling also shows XLA's native 3x3
-coupling path is already fast (~1.2 ms/coupling vs ~1.8 for the unfused
-1x1s), so the headroom is small — see CLAUDE.md. The 1x1 kernels
-(coupling.py), which DO fit and ship enabled, carry the fused-coupling
-north star.
+Status (round 2): RETIRED from the training path, by measurement. The
+row-band tiled half-coupling kernels below (forward, inverse, AND a
+hand-derived fused backward — the full VMEM-OOM fix the round-1 note asked
+for, halo provided by passing the input under three shifted block index
+maps) are correctness-validated against XLA to 5e-4 including all weight
+gradients, and they compile and run at flagship shapes. They LOSE to XLA:
+
+  * full SR train step: 150 f/s (band_bwd=4, all 3x3 on Pallas, needs the
+    scoped-VMEM limit raised to 20 MB) / 156 f/s (band_bwd=8, second-octave
+    couplings only) vs 174 f/s with 3x3 couplings on XLA;
+  * forward alone: oct1 (W=160, Cin=24) 4.62 ms vs 3.32 XLA; oct2 (W=80,
+    Cin=96) 2.39 vs 2.52 — only the wide-channel octave ever wins, barely.
+
+Root causes, measured: (a) the 9-shifted-matmul conv form contracts over
+K=Cin, and Cin=24/96 runs the 128-lane MXU at 19%/75% utilization while
+XLA's im2col conv contracts over K=9*Cin; (b) Mosaic cannot lower the
+lane-misaligned window concat needed to build im2col inside the kernel
+("result/input offset mismatch on non-concat dimension"); (c) the banded
+backward must recompute (band+6)/band rows per band — 1.75x at band=8 —
+and VMEM caps the band. The fusion savings (HBM round-trips of h1/h2)
+are smaller than those losses at these shapes.
+
+The kernels remain here, tested in interpret mode, as the measured record
+and for shapes where they do win (Cin >= 128 couplings). The 1x1 kernels
+(coupling.py) ship enabled and carry the fused-coupling north star.
 """
 
 from __future__ import annotations
@@ -258,3 +273,389 @@ def glow3_inverse_halves(params: Dict, y: jnp.ndarray, clamp: float,
     x2 = half_coupling_3x3(params["s1"], y1, y2, clamp, True, interpret)
     x1 = half_coupling_3x3(params["s2"], x2, y1, clamp, True, interpret)
     return jnp.concatenate([x1, x2], axis=-1)
+
+
+# ===========================================================================
+# Row-band tiled half-coupling: fwd, inverse, and HAND-DERIVED fused backward
+# ===========================================================================
+#
+# The whole-image kernels above exceed the 16 MB VMEM limit at flagship
+# shapes. Here each grid step processes one (image, row-band) pair. The 3x3
+# halo problem (BlockSpec windows cannot overlap) is solved by passing the
+# SAME input three times with index maps j-1 / j / j+1 (clamped): the kernel
+# concatenates [prev[-4:], cur, next[:4]] and masks the out-of-image bands to
+# zero, giving every band a 4-row halo — enough for the deepest backward
+# chain (dx needs gz rows +-1, gz needs gr rows +-2, gr needs h rows +-3,
+# h needs x rows +-4). Weight/bias grads accumulate across the sequential
+# TPU grid into constant-indexed blocks (same pattern as the 1x1 backward).
+
+_BAND = 8           # fwd rows per band; must be >= 2 (halo)
+_BAND_BWD = 8       # bwd rows per band; must be >= 4 (halo). The bwd kernel
+                    # recomputes (band+6) rows to produce band rows of
+                    # gradients, so larger bands amortize the halo recompute;
+                    # 8 fits the 16 MB scoped-VMEM limit at the shapes that
+                    # use this kernel (oct2: W=80; oct1 stays on XLA)
+
+
+def _conv3x3_rows_valid(x: jnp.ndarray, wk: jnp.ndarray,
+                        b) -> jnp.ndarray:
+    """3x3 conv, VALID in rows, SAME(zero) in width.
+
+    x: (R, W, Cin) -> (R-2, W, Cout). wk: (3, 3, Cin, Cout).
+    """
+    r, wdt, cin = x.shape
+    cout = wk.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros(((r - 2) * wdt, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = xp[dy:dy + r - 2, dx:dx + wdt].reshape((r - 2) * wdt, cin)
+            acc = acc + jnp.dot(win, wk[dy, dx],
+                                preferred_element_type=jnp.float32)
+    out = acc.reshape(r - 2, wdt, cout)
+    return out if b is None else out + b
+
+
+def _conv3x3_prepadded(xp: jnp.ndarray, wk: jnp.ndarray, b) -> jnp.ndarray:
+    """Like :func:`_conv3x3_rows_valid` but on an input whose WIDTH is
+    already zero-padded by 1 on each side (so the caller can share the
+    padded buffer with the weight-grad windows).
+
+    Used when Cin is MXU-sized (>= 128): nine K=Cin matmuls waste nothing.
+    """
+    r, wdt_p, cin = xp.shape
+    wdt = wdt_p - 2
+    cout = wk.shape[-1]
+    acc = jnp.zeros(((r - 2) * wdt, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = xp[dy:dy + r - 2, dx:dx + wdt].reshape((r - 2) * wdt, cin)
+            acc = acc + jnp.dot(win, wk[dy, dx],
+                                preferred_element_type=jnp.float32)
+    out = acc.reshape(r - 2, wdt, cout)
+    return out if b is None else out + b
+
+
+def _conv3x3_im2col(xp: jnp.ndarray, wflat: jnp.ndarray, b) -> jnp.ndarray:
+    """3x3 conv as ONE matmul over a (rows*W, 9*Cin) im2col matrix.
+
+    The MXU pads the contraction dim to 128 lanes: with Cin=24/96 (the SRF
+    coupling splits) nine K=Cin matmuls run at 19-75% lane utilization, while
+    K=9*Cin (216/864) wastes almost nothing — measured 1.4x on the oct1
+    forward. xp is width-padded by 1; wflat is wk.reshape(9*Cin, Cout)
+    (dy-major, then dx, then cin — matching the concat order here).
+    """
+    r, wdt_p, cin = xp.shape
+    wdt = wdt_p - 2
+    cols = [xp[dy:dy + r - 2, dx:dx + wdt]
+            for dy in range(3) for dx in range(3)]
+    im = jnp.concatenate(cols, axis=-1).reshape((r - 2) * wdt, 9 * cin)
+    out = jnp.dot(im, wflat, preferred_element_type=jnp.float32)
+    out = out.reshape(r - 2, wdt, wflat.shape[-1])
+    return out if b is None else out + b
+
+
+def _conv3x3T_rows_valid(g: jnp.ndarray, wk: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint (input-grad) of the SAME 3x3 conv, VALID in rows.
+
+    g: (R, W, Cout) cotangent rows [a-1, a+R-1); returns (R-2, W, Cin) =
+    dx rows [a, a+R-2): dx[q] = sum_k g[q-1+k] @ wk[2-k].T (width mirrored).
+    """
+    r, wdt, cout = g.shape
+    cin = wk.shape[2]
+    gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros(((r - 2) * wdt, cin), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = gp[dy:dy + r - 2, dx:dx + wdt].reshape((r - 2) * wdt, cout)
+            acc = acc + jnp.dot(
+                win, wk[2 - dy, 2 - dx].T, preferred_element_type=jnp.float32)
+    return acc.reshape(r - 2, wdt, cin)
+
+
+def _assemble_halo(prev, cur, nxt, j, nbands, halo):
+    """[prev[-halo:], cur, next[:halo]] with out-of-image bands zeroed."""
+    top = jnp.where(j == 0, 0.0, 1.0).astype(cur.dtype)
+    bot = jnp.where(j == nbands - 1, 0.0, 1.0).astype(cur.dtype)
+    return jnp.concatenate(
+        [prev[-halo:] * top, cur, nxt[:halo] * bot], axis=0)
+
+
+def _mask_outside_rows(x: jnp.ndarray, start_global, h_real: int):
+    """Zero rows whose global index falls outside the real image [0, h_real).
+
+    Chained SAME convs zero-pad the INTERMEDIATE activation at the image
+    boundary; a halo row of h computed from zero-padded x still carries the
+    conv bias through the ReLU, so it must be masked explicitly."""
+    rows = x.shape[0]
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + start_global
+    return jnp.where((gidx >= 0) & (gidx < h_real), x, 0.0)
+
+
+def _half_band_fwd_kernel(xin_p, xin_c, xin_n, xaff_ref,
+                          w1_ref, b1_ref, w2_ref, b2_ref, y_ref,
+                          *, clamp: float, nbands: int, inverse: bool,
+                          band: int, h_real: int):
+    j = pl.program_id(1)
+    xin = _assemble_halo(xin_p[0], xin_c[0], xin_n[0], j, nbands, 2)
+    xin_w = jnp.pad(xin, ((0, 0), (1, 1), (0, 0)))
+    # xin rows [s-2, s+B+2) -> h rows [s-1, s+B+1) -> r rows [s, s+B)
+    hmid = jnp.maximum(_conv3x3_prepadded(xin_w, w1_ref[:], b1_ref[:]), 0.0)
+    hmid = _mask_outside_rows(hmid, j * band - 1, h_real)
+    h_w = jnp.pad(hmid, ((0, 0), (1, 1), (0, 0)))
+    r = _conv3x3_prepadded(h_w, w2_ref[:], b2_ref[:])
+    xaff = xaff_ref[0]
+    caff = xaff.shape[-1]
+    s = r[..., :caff]
+    t = r[..., caff:]
+    if inverse:
+        y_ref[0] = (xaff - t) * jnp.exp(-_log_e(s, clamp))
+    else:
+        y_ref[0] = jnp.exp(_log_e(s, clamp)) * xaff + t
+
+
+def _le_prime(s: jnp.ndarray, clamp: float) -> jnp.ndarray:
+    return (2.0 / math.pi) / (1.0 + (s / clamp) ** 2)
+
+
+def _half_band_bwd_kernel(xin_p, xin_c, xin_n, xaff_p, xaff_c, xaff_n,
+                          g_p, g_c, g_n,
+                          w1_ref, b1_ref, w2_ref, b2_ref,
+                          w2t_ref, w1t_ref,
+                          dxin_ref, dxaff_ref,
+                          dw1_ref, db1_ref, dw2_ref, db2_ref,
+                          *, clamp: float, nbands: int, inverse: bool,
+                          band: int, h_real: int):
+    """Fused VJP of one half-coupling band.
+
+    Recomputes the subnet on extended rows, forms the affine cotangents on a
+    +-2-row extension (so the two transposed convs land exactly on the band),
+    and accumulates weight grads over the band's own output rows only.
+    w2t/w1t are the flip-transposed kernels for the transposed convs,
+    prepared outside so the kernel runs plain windowed matmuls.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    xin8 = _assemble_halo(xin_p[0], xin_c[0], xin_n[0], j, nbands, 4)
+    xaff2 = _assemble_halo(xaff_p[0], xaff_c[0], xaff_n[0], j, nbands, 2)
+    g2 = _assemble_halo(g_p[0], g_c[0], g_n[0], j, nbands, 2)
+
+    # ---- recompute subnet on extended rows ----
+    # xin8 rows [s-4, s+B+4) -> h6 rows [s-3, s+B+3) -> r4 rows [s-2, s+B+2)
+    # width-padded buffers are built ONCE and shared between the conv
+    # recompute and the weight-grad windows (VMEM stack is the scarce
+    # resource: every extra pad buffer counts against the 16 MB scoped limit)
+    xin_w = jnp.pad(xin8, ((0, 0), (1, 1), (0, 0)))
+    z6 = _conv3x3_prepadded(xin_w, w1_ref[:], b1_ref[:])
+    h6 = _mask_outside_rows(jnp.maximum(z6, 0.0), j * band - 3, h_real)
+    h_w = jnp.pad(h6, ((0, 0), (1, 1), (0, 0)))
+    r4 = _conv3x3_prepadded(h_w, w2_ref[:], b2_ref[:])
+    caff = xaff2.shape[-1]
+    s4 = r4[..., :caff]
+    t4 = r4[..., caff:]
+    le4 = _log_e(s4, clamp)
+    lp4 = _le_prime(s4, clamp)
+
+    # ---- affine cotangents on the extended (+-2) rows ----
+    if inverse:
+        einv4 = jnp.exp(-le4)
+        xout4 = (xaff2 - t4) * einv4       # xaff here is y_aff
+        gs4 = -g2 * xout4 * lp4
+        gt4 = -g2 * einv4
+        dxaff_band = (g2 * einv4)[2:2 + band]
+    else:
+        e4 = jnp.exp(le4)
+        gs4 = g2 * xaff2 * e4 * lp4
+        gt4 = g2
+        dxaff_band = (g2 * e4)[2:2 + band]
+    gr4 = jnp.concatenate([gs4, gt4], axis=-1)          # rows [s-2, s+B+2)
+
+    # ---- transposed convs back to the band ----
+    gr_w = jnp.pad(gr4, ((0, 0), (1, 1), (0, 0)))
+    gh3 = _conv3x3_prepadded(gr_w, w2t_ref[:], None)    # rows [s-1, s+B+1)
+    # relu'(z) == (h > 0) except at masked rows, where gz is re-masked below
+    # anyway — avoids keeping z6 live alongside h6
+    gz3 = jnp.where(h6[2:-2] > 0.0, gh3, 0.0)
+    # h rows outside the image are conv2's zero PADDING (constants): no
+    # gradient flows through them into conv1 or the weights
+    gz3 = _mask_outside_rows(gz3, j * band - 1, h_real)
+    gz_w = jnp.pad(gz3, ((0, 0), (1, 1), (0, 0)))
+    dxin_ref[0] = _conv3x3_prepadded(gz_w, w1t_ref[:],
+                                     None).astype(dxin_ref.dtype)
+    dxaff_ref[0] = dxaff_band.astype(dxaff_ref.dtype)
+
+    # ---- weight/bias grads over THIS band's output rows only ----
+    gz_band = gz3[1:1 + band]                           # rows [s, s+B)
+    gr_band = gr4[2:2 + band]
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    wdt = gz_band.shape[1]
+    cin = xin8.shape[-1]
+    hid = h6.shape[-1]
+    gzf = gz_band.reshape(band * wdt, hid)
+    grf = gr_band.reshape(band * wdt, gr_band.shape[-1])
+    for dy in range(3):
+        for dx in range(3):
+            # x row (s + p + dy - 1) = xin8 local row p + dy + 3
+            xwin = xin_w[dy + 3:dy + 3 + band, dx:dx + wdt]
+            dw1_ref[dy, dx] += jnp.dot(
+                xwin.reshape(band * wdt, cin).T, gzf,
+                preferred_element_type=jnp.float32)
+            # h row (s + p + dy - 1) = h6 local row p + dy + 2
+            hwin = h_w[dy + 2:dy + 2 + band, dx:dx + wdt]
+            dw2_ref[dy, dx] += jnp.dot(
+                hwin.reshape(band * wdt, hid).T, grf,
+                preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(gzf, axis=0, keepdims=True)
+    db2_ref[:] += jnp.sum(grf, axis=0, keepdims=True)
+
+
+def _band_specs(w: int, c: int, band: int, nbands: int):
+    """(prev, cur, next) specs for a (N, H, W, C) array banded over rows."""
+    def mk(off):
+        return pl.BlockSpec(
+            (1, band, w, c),
+            lambda i, j, off=off: (i, jnp.clip(j + off, 0, nbands - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+    return mk(-1), mk(0), mk(1)
+
+
+def _pad_rows(x: jnp.ndarray, band: int) -> jnp.ndarray:
+    h = x.shape[1]
+    h_pad = (h + band - 1) // band * band
+    if h_pad == h:
+        return x
+    return jnp.pad(x, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+
+
+def _half_banded_prim(sub_params: Dict, x_in: jnp.ndarray, x_aff: jnp.ndarray,
+                      clamp: float, inverse: bool, interpret: bool,
+                      band: int = _BAND) -> jnp.ndarray:
+    n, h_real, w, _ = x_in.shape
+    x_in = _pad_rows(x_in, band)
+    x_aff = _pad_rows(x_aff, band)
+    h = x_in.shape[1]
+    nbands = h // band
+    mats = (sub_params["conv1"]["w"], sub_params["conv1"]["b"],
+            sub_params["conv2"]["w"], sub_params["conv2"]["b"])
+    xin_specs = _band_specs(w, x_in.shape[-1], band, nbands)
+    aff_spec = pl.BlockSpec((1, band, w, x_aff.shape[-1]),
+                            lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mats]
+    out = pl.pallas_call(
+        functools.partial(_half_band_fwd_kernel, clamp=clamp, nbands=nbands,
+                          inverse=inverse, band=band, h_real=h_real),
+        out_shape=jax.ShapeDtypeStruct(x_aff.shape, x_aff.dtype),
+        grid=(n, nbands),
+        in_specs=list(xin_specs) + [aff_spec] + w_specs,
+        out_specs=aff_spec,
+        interpret=interpret,
+    )(x_in, x_in, x_in, x_aff, *mats)
+    return out[:, :h_real]
+
+
+def _half_banded_bwd(sub_params: Dict, x_in: jnp.ndarray, x_aff: jnp.ndarray,
+                     g: jnp.ndarray, clamp: float, inverse: bool,
+                     interpret: bool, band: int = _BAND_BWD):
+    n, h_real, w, cin = x_in.shape
+    x_in = _pad_rows(x_in, band)
+    x_aff = _pad_rows(x_aff, band)
+    g = _pad_rows(g, band)
+    h = x_in.shape[1]
+    caff = x_aff.shape[-1]
+    nbands = h // band
+    w1 = sub_params["conv1"]["w"]
+    w2 = sub_params["conv2"]["w"]
+    hid = w1.shape[-1]
+    cout = w2.shape[-1]
+    # flip-transposed kernels for the transposed convs, built in XLA once
+    w2t = w2[::-1, ::-1].transpose(0, 1, 3, 2)
+    w1t = w1[::-1, ::-1].transpose(0, 1, 3, 2)
+    mats = (w1, sub_params["conv1"]["b"],
+            w2, sub_params["conv2"]["b"], w2t, w1t)
+    xin_specs = _band_specs(w, cin, band, nbands)
+    aff_specs = _band_specs(w, caff, band, nbands)
+    g_specs = _band_specs(w, caff, band, nbands)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mats]
+    band_out = lambda c: (jax.ShapeDtypeStruct((n, h, w, c), x_in.dtype),
+                          pl.BlockSpec((1, band, w, c),
+                                       lambda i, j: (i, j, 0, 0),
+                                       memory_space=pltpu.VMEM))
+    acc = lambda shape: (jax.ShapeDtypeStruct(shape, jnp.float32),
+                         pl.BlockSpec(shape, lambda i, j: tuple(
+                             0 for _ in shape), memory_space=pltpu.VMEM))
+    outs = [band_out(cin), band_out(caff),
+            acc((3, 3, cin, hid)), acc((1, hid)),
+            acc((3, 3, hid, cout)), acc((1, cout))]
+    res = pl.pallas_call(
+        functools.partial(_half_band_bwd_kernel, clamp=clamp, nbands=nbands,
+                          inverse=inverse, band=band, h_real=h_real),
+        out_shape=tuple(o[0] for o in outs),
+        grid=(n, nbands),
+        in_specs=list(xin_specs) + list(aff_specs) + list(g_specs) + w_specs,
+        out_specs=tuple(o[1] for o in outs),
+        interpret=interpret,
+    )(x_in, x_in, x_in, x_aff, x_aff, x_aff, g, g, g, *mats)
+    dxin, dxaff, dw1, db1, dw2, db2 = res
+    dsub = {"conv1": {"w": dw1, "b": db1[0]},
+            "conv2": {"w": dw2, "b": db2[0]}}
+    return dsub, dxin[:, :h_real], dxaff[:, :h_real]
+
+
+@functools.lru_cache(maxsize=None)
+def make_half_banded(clamp: float, inverse: bool, interpret: bool = False):
+    """Differentiable banded half-coupling with fused Pallas fwd AND bwd."""
+
+    @jax.custom_vjp
+    def half(sub_params, x_in, x_aff):
+        return _half_banded_prim(sub_params, x_in, x_aff, clamp, inverse,
+                                 interpret)
+
+    def half_fwd(sub_params, x_in, x_aff):
+        return half(sub_params, x_in, x_aff), (sub_params, x_in, x_aff)
+
+    def half_bwd(res, g):
+        sub_params, x_in, x_aff = res
+        return _half_banded_bwd(sub_params, x_in, x_aff, g, clamp, inverse,
+                                interpret)
+
+    half.defvjp(half_fwd, half_bwd)
+    return half
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_coupling3_banded(clamp: float, len1: int,
+                                interpret: bool = False):
+    """(forward, inverse) for the full 3x3 coupling from banded halves.
+
+    Every pass — forward, inverse, and both backwards — is a fused Pallas
+    kernel (row padding handled inside each half); intermediates cross HBM
+    only at the half boundary (y1), which autodiff stores as the residual
+    (no recompute of the first half).
+    """
+    h_fwd = make_half_banded(clamp, False, interpret)
+    h_inv = make_half_banded(clamp, True, interpret)
+
+    def fwd(params, x):
+        x1 = x[..., :len1]
+        x2 = x[..., len1:]
+        y1 = h_fwd(params["s2"], x2, x1)
+        y2 = h_fwd(params["s1"], y1, x2)
+        return jnp.concatenate([y1, y2], axis=-1)
+
+    def inv(params, y):
+        y1 = y[..., :len1]
+        y2 = y[..., len1:]
+        x2 = h_inv(params["s1"], y1, y2)
+        x1 = h_inv(params["s2"], x2, y1)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+    return fwd, inv

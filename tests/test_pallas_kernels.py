@@ -196,3 +196,77 @@ def test_half_coupling_3x3_matches_xla(coupling3_setup):
                                atol=1e-4, rtol=1e-4)
     back = glow3_inverse_halves(params, fused, 1.2, len1, interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_banded_3x3_coupling_matches_xla():
+    """Row-band tiled 3x3 coupling (fwd, inv, fused bwd) == XLA reference.
+    Interpret mode on CPU; uses the exact-atan check tolerance (the kernel's
+    A&S polynomial differs from XLA atan by ~1e-7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sin_inn_tpu.ops import coupling as C
+    from sin_inn_tpu.ops import subnet as S
+    from sin_inn_tpu.ops.pallas.coupling3x3 import make_fused_coupling3_banded
+
+    clamp, len1 = 1.2, 8
+    c = 20
+    key = jax.random.key(0)
+    k1, k2, kx = jax.random.split(key, 3)
+    params = {
+        "s1": S.conv_subnet_init(k1, len1, 2 * (c - len1), 3, hidden=16),
+        "s2": S.conv_subnet_init(k2, c - len1, 2 * len1, 3, hidden=16),
+    }
+    # H=11 deliberately not a band multiple (band=8) to cover row padding
+    x = jax.random.normal(kx, (2, 11, 16, c), jnp.float32) * 0.5
+
+    fwd, inv = make_fused_coupling3_banded(clamp, len1, interpret=True)
+
+    y_ref, _ = C.glow_coupling_forward(params, x, S.conv_subnet_apply,
+                                       clamp, len1)
+    y_pal = fwd(params, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    x_rec = inv(params, y_pal)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+    # gradients: fused bwd kernel vs autodiff of the XLA coupling
+    def loss_ref(p, xx):
+        y, _ = C.glow_coupling_forward(p, xx, S.conv_subnet_apply, clamp, len1)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_pal(p, xx):
+        return jnp.sum(jnp.sin(fwd(p, xx)))
+
+    gr_p, gr_x = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gp_p, gp_x = jax.grad(loss_pal, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gr_x),
+                               rtol=5e-4, atol=5e-5)
+    for sub in ("s1", "s2"):
+        for conv in ("conv1", "conv2"):
+            for leaf in ("w", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(gp_p[sub][conv][leaf]),
+                    np.asarray(gr_p[sub][conv][leaf]),
+                    rtol=5e-4, atol=5e-5,
+                    err_msg=f"{sub}.{conv}.{leaf}")
+
+    # inverse-direction gradients
+    def loss_ref_inv(p, yy):
+        return jnp.sum(jnp.sin(C.glow_coupling_inverse(
+            p, yy, S.conv_subnet_apply, clamp, len1)))
+
+    def loss_pal_inv(p, yy):
+        return jnp.sum(jnp.sin(inv(p, yy)))
+
+    gr_p, gr_y = jax.grad(loss_ref_inv, argnums=(0, 1))(params, y_ref)
+    gp_p, gp_y = jax.grad(loss_pal_inv, argnums=(0, 1))(params, y_ref)
+    np.testing.assert_allclose(np.asarray(gp_y), np.asarray(gr_y),
+                               rtol=5e-4, atol=5e-5)
+    for sub in ("s1", "s2"):
+        for conv in ("conv1", "conv2"):
+            np.testing.assert_allclose(
+                np.asarray(gp_p[sub][conv]["w"]),
+                np.asarray(gr_p[sub][conv]["w"]),
+                rtol=5e-4, atol=5e-5, err_msg=f"inv {sub}.{conv}.w")
