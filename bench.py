@@ -35,6 +35,7 @@ def bench_tpu(batch: int, h: int, w: int, steps: int, arch: str = "SRF"):
     from sin_inn_tpu.core.config import SRConfig
     from sin_inn_tpu.core import rng as R
     from sin_inn_tpu.train import sr as SR
+    from sin_inn_tpu.train.loop import resolve_mesh
 
     cfg = SRConfig(architecture=arch, scale=4, num_coupling=4, lr_window=10,
                    batch_size=batch)
@@ -48,6 +49,14 @@ def bench_tpu(batch: int, h: int, w: int, steps: int, arch: str = "SRF"):
         "lr": jnp.asarray(rng.randint(0, 255, (batch, lr_h, lr_w, cfg.lr_dims),
                                       dtype=np.uint8)),
     }
+    # multi-chip: same policy as the production loops — DP-shard the batch
+    # over every visible device when >1 are present (per-chip throughput is
+    # reported either way)
+    mesh = resolve_mesh(None, 1, batch_size=batch)
+    if mesh is not None:
+        from sin_inn_tpu.parallel.sharding import place_batch, place_state
+        state = place_state(mesh, state)
+        batch_data = place_batch(mesh, batch_data)
     key = jax.random.key(1)
 
     # warmup (compile); fetch the VALUE — on relayed-TPU backends
@@ -63,7 +72,8 @@ def bench_tpu(batch: int, h: int, w: int, steps: int, arch: str = "SRF"):
         state, aux = step(state, batch_data, None, key)
     float(aux["loss"])
     dt = time.perf_counter() - t0
-    return batch * steps / dt
+    n_chips = mesh.size if mesh is not None else 1
+    return batch * steps / dt / n_chips
 
 
 def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
