@@ -138,7 +138,7 @@ def _flow_parser(sub):
                     choices=["float32", "bfloat16", "float32_highest"])
     ap.add_argument("--splat-max-dy", type=int, default=None,
                     help="enable the windowed MATMUL splat, |dy|<=N px")
-    ap.add_argument("--splat-chunk", type=int, default=16)
+    ap.add_argument("--splat-chunk", type=int, default=8)
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--flow-dir", default=None,
@@ -212,10 +212,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         cfg = flow_config_from_args(a)
         if a.operation == "train":
-            out = L.run_flow_train(cfg, use_wandb=a.wandb)
+            out = L.run_flow_train(cfg, use_wandb=a.wandb, keep_writer=True)
             L.run_flow_test(cfg, state=out["state"], spec=out["spec"],
                             consts=out["consts"], ctrl_cfg=out["ctrl_cfg"],
-                            scene=out["scene"], use_wandb=a.wandb)
+                            scene=out["scene"], writer=out["writer"])
+            out["writer"].close()
         elif a.operation == "test":
             print(L.run_flow_test(cfg, use_wandb=a.wandb))
         elif a.operation == "summarize":

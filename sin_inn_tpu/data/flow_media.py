@@ -103,8 +103,12 @@ def load_images(root: str, size: int = 200,
     lookup = flow_dir if flow_dir else sintel_dir
     flow = None
     if path.isdir(lookup):
-        rescale = size / h0
         flows = load_flow_dir(lookup, num - 1)
+        # rescale by the flow files' OWN resolution, not the frames': an
+        # explicit flow_dir may hold producer-generated flow already at the
+        # training size (generate_pseudo_gt), in which case this is a no-op,
+        # while Sintel GT at the source resolution gets the size/h ratio
+        rescale = size / flows.shape[1]
         flow = _resize_frames(flows, size) * rescale
     return FlowMedia(video, flow)
 

@@ -167,40 +167,30 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
     else:
         compute = jnp.dtype(layer.compute)
     if layer.kind == "glow":
-        # the fused Pallas kernels return y only; when the caller asks for
-        # the log-det, take the XLA path (same math) so the value is real
-        # rather than silently zero
-        if layer.use_pallas and not with_log_det:
-            # both directions run fully fused Pallas kernels, forward AND
-            # 1x1 subnets: whole-row-tile fused kernels, forward AND
-            # hand-derived backward (residual = the coupling input only)
-            if layer.kernel == 1:
-                from sin_inn_tpu.ops.pallas.coupling import (
-                    make_fused_coupling_full, make_fused_coupling_full_inv)
-                fwd = make_fused_coupling_full(layer.clamp, layer.split_len1)
+        # Fused Pallas kernels serve the 1x1-subnet couplings: forward AND
+        # hand-derived backward, both directions. The kernels return y only,
+        # so a log-det request takes the XLA path (same math) rather than
+        # silently returning zero. 3x3 couplings stay on XLA BY MEASUREMENT:
+        # the row-band-tiled fused kernels (ops/pallas/coupling3x3.py,
+        # interpret-validated incl. fused backwards) ran at 150-156 f/s vs
+        # 174 f/s XLA at the flagship config — small Cin wastes MXU lanes in
+        # the K=Cin matmul form, Mosaic cannot lower the lane-misaligned
+        # im2col concat, and the banded backward recomputes (band+6)/band
+        # rows. Full record in that module's docstring.
+        if layer.use_pallas and layer.kernel == 1 and not with_log_det:
+            from sin_inn_tpu.ops.pallas.coupling import (
+                make_fused_coupling_full, make_fused_coupling_full_inv)
+            if rev:
                 inv = make_fused_coupling_full_inv(layer.clamp,
                                                    layer.split_len1)
-            else:
-                # 3x3 couplings stay on XLA: the row-band-tiled fused kernels
-                # (ops/pallas/coupling3x3.py, interpret-validated with fused
-                # hand-derived backwards) were MEASURED SLOWER in training —
-                # 150-156 f/s vs 174 f/s XLA at the flagship config. Small
-                # Cin (24/96) wastes MXU lanes in the K=Cin matmul form,
-                # Mosaic cannot lower the lane-misaligned im2col concat, and
-                # the banded backward recomputes (band+6)/band rows. XLA's
-                # im2col convs win; kept here as the measured decision.
-                subnet = partial(S.conv_subnet_apply, compute_dtype=compute)
-                if rev:
-                    return C.glow_coupling_inverse(
-                        p, x, subnet, layer.clamp, layer.split_len1), zero
-                y, ld = C.glow_coupling_forward(
-                    p, x, subnet, layer.clamp, layer.split_len1)
-                return y, (ld if with_log_det else zero)
-            if rev:
                 return inv(p, x), zero
+            fwd = make_fused_coupling_full(layer.clamp, layer.split_len1)
             return fwd(p, x), zero
         subnet = partial(S.conv_subnet_apply, compute_dtype=compute)
         if rev:
+            if with_log_det:
+                return C.glow_coupling_inverse_ld(
+                    p, x, subnet, layer.clamp, layer.split_len1)
             return C.glow_coupling_inverse(p, x, subnet,
                                            layer.clamp, layer.split_len1), zero
         return C.glow_coupling_forward(p, x, subnet,
@@ -208,6 +198,9 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
     if layer.kind == "invblock":
         subnet = partial(S.dense_block_apply, compute_dtype=compute)
         if rev:
+            if with_log_det:
+                return C.inv_block_inverse_ld(
+                    p, x, subnet, layer.clamp, layer.split_len1)
             return C.inv_block_inverse(p, x, subnet,
                                        layer.clamp, layer.split_len1), zero
         return C.inv_block_forward(p, x, subnet,

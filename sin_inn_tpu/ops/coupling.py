@@ -63,18 +63,29 @@ def glow_coupling_forward(params: Dict, x: jnp.ndarray, subnet: Subnet,
 
 def glow_coupling_inverse(params: Dict, y: jnp.ndarray, subnet: Subnet,
                           clamp: float, len1: int) -> jnp.ndarray:
+    return glow_coupling_inverse_ld(params, y, subnet, clamp, len1)[0]
+
+
+def glow_coupling_inverse_ld(params: Dict, y: jnp.ndarray, subnet: Subnet,
+                             clamp: float, len1: int
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse + its per-sample log|det J| (= -forward log-det)."""
     y1, y2 = y[..., :len1], y[..., len1:]
     len2 = y.shape[-1] - len1
 
     r1 = subnet(params["s1"], y1)
     s1, t1 = r1[..., :len2], r1[..., len2:]
-    x2 = (y2 - t1) * jnp.exp(-glow_log_e(s1, clamp))
+    log_e1 = glow_log_e(s1, clamp)
+    x2 = (y2 - t1) * jnp.exp(-log_e1)
 
     r2 = subnet(params["s2"], x2)
     s2, t2 = r2[..., :len1], r2[..., len1:]
-    x1 = (y1 - t2) * jnp.exp(-glow_log_e(s2, clamp))
+    log_e2 = glow_log_e(s2, clamp)
+    x1 = (y1 - t2) * jnp.exp(-log_e2)
 
-    return jnp.concatenate([x1, x2], axis=-1)
+    log_det = -(jnp.sum(log_e1, axis=(1, 2, 3))
+                + jnp.sum(log_e2, axis=(1, 2, 3)))
+    return jnp.concatenate([x1, x2], axis=-1), log_det
 
 
 def inv_block_forward(params: Dict, x: jnp.ndarray, subnet: Subnet,
@@ -93,10 +104,18 @@ def inv_block_forward(params: Dict, x: jnp.ndarray, subnet: Subnet,
 def inv_block_inverse(params: Dict, y: jnp.ndarray, subnet: Subnet,
                       clamp: float, len1: int) -> jnp.ndarray:
     """InvBlockExp inverse (reference archs.py:155-158)."""
+    return inv_block_inverse_ld(params, y, subnet, clamp, len1)[0]
+
+
+def inv_block_inverse_ld(params: Dict, y: jnp.ndarray, subnet: Subnet,
+                         clamp: float, len1: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """InvBlockExp inverse + per-sample log|det J| (= -forward log-det)."""
     y1, y2 = y[..., :len1], y[..., len1:]
 
     s = clamp * (jax.nn.sigmoid(subnet(params["H"], y1)) * 2.0 - 1.0)
     x2 = (y2 - subnet(params["G"], y1)) * jnp.exp(-s)
     x1 = y1 - subnet(params["F"], x2)
 
-    return jnp.concatenate([x1, x2], axis=-1)
+    return (jnp.concatenate([x1, x2], axis=-1),
+            -jnp.sum(s, axis=(1, 2, 3)))

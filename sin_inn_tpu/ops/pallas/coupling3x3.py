@@ -297,31 +297,17 @@ _BAND_BWD = 8       # bwd rows per band; must be >= 4 (halo). The bwd kernel
                     # use this kernel (oct2: W=80; oct1 stays on XLA)
 
 
-def _conv3x3_rows_valid(x: jnp.ndarray, wk: jnp.ndarray,
-                        b) -> jnp.ndarray:
-    """3x3 conv, VALID in rows, SAME(zero) in width.
-
-    x: (R, W, Cin) -> (R-2, W, Cout). wk: (3, 3, Cin, Cout).
-    """
-    r, wdt, cin = x.shape
-    cout = wk.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
-    acc = jnp.zeros(((r - 2) * wdt, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            win = xp[dy:dy + r - 2, dx:dx + wdt].reshape((r - 2) * wdt, cin)
-            acc = acc + jnp.dot(win, wk[dy, dx],
-                                preferred_element_type=jnp.float32)
-    out = acc.reshape(r - 2, wdt, cout)
-    return out if b is None else out + b
-
-
 def _conv3x3_prepadded(xp: jnp.ndarray, wk: jnp.ndarray, b) -> jnp.ndarray:
-    """Like :func:`_conv3x3_rows_valid` but on an input whose WIDTH is
-    already zero-padded by 1 on each side (so the caller can share the
-    padded buffer with the weight-grad windows).
+    """3x3 conv, VALID in rows, SAME(zero-padded) in width, as nine shifted
+    matmuls over a width-prepadded input (the caller shares the padded
+    buffer with the weight-grad windows — VMEM stack is the scarce
+    resource). Transposed convs reuse this with pre-flip-transposed kernels.
 
-    Used when Cin is MXU-sized (>= 128): nine K=Cin matmuls waste nothing.
+    Note: the im2col single-matmul form (K=9*Cin, which is what makes XLA's
+    convs faster at small Cin) cannot be built in-kernel — Mosaic rejects
+    the lane-misaligned window concat ("result/input offset mismatch on
+    non-concat dimension"). That limitation is why these kernels lose to
+    XLA at Cin=24/96 and are retired from training (see module docstring).
     """
     r, wdt_p, cin = xp.shape
     wdt = wdt_p - 2
@@ -334,43 +320,6 @@ def _conv3x3_prepadded(xp: jnp.ndarray, wk: jnp.ndarray, b) -> jnp.ndarray:
                                 preferred_element_type=jnp.float32)
     out = acc.reshape(r - 2, wdt, cout)
     return out if b is None else out + b
-
-
-def _conv3x3_im2col(xp: jnp.ndarray, wflat: jnp.ndarray, b) -> jnp.ndarray:
-    """3x3 conv as ONE matmul over a (rows*W, 9*Cin) im2col matrix.
-
-    The MXU pads the contraction dim to 128 lanes: with Cin=24/96 (the SRF
-    coupling splits) nine K=Cin matmuls run at 19-75% lane utilization, while
-    K=9*Cin (216/864) wastes almost nothing — measured 1.4x on the oct1
-    forward. xp is width-padded by 1; wflat is wk.reshape(9*Cin, Cout)
-    (dy-major, then dx, then cin — matching the concat order here).
-    """
-    r, wdt_p, cin = xp.shape
-    wdt = wdt_p - 2
-    cols = [xp[dy:dy + r - 2, dx:dx + wdt]
-            for dy in range(3) for dx in range(3)]
-    im = jnp.concatenate(cols, axis=-1).reshape((r - 2) * wdt, 9 * cin)
-    out = jnp.dot(im, wflat, preferred_element_type=jnp.float32)
-    out = out.reshape(r - 2, wdt, wflat.shape[-1])
-    return out if b is None else out + b
-
-
-def _conv3x3T_rows_valid(g: jnp.ndarray, wk: jnp.ndarray) -> jnp.ndarray:
-    """Adjoint (input-grad) of the SAME 3x3 conv, VALID in rows.
-
-    g: (R, W, Cout) cotangent rows [a-1, a+R-1); returns (R-2, W, Cin) =
-    dx rows [a, a+R-2): dx[q] = sum_k g[q-1+k] @ wk[2-k].T (width mirrored).
-    """
-    r, wdt, cout = g.shape
-    cin = wk.shape[2]
-    gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0)))
-    acc = jnp.zeros(((r - 2) * wdt, cin), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            win = gp[dy:dy + r - 2, dx:dx + wdt].reshape((r - 2) * wdt, cout)
-            acc = acc + jnp.dot(
-                win, wk[2 - dy, 2 - dx].T, preferred_element_type=jnp.float32)
-    return acc.reshape(r - 2, wdt, cin)
 
 
 def _assemble_halo(prev, cur, nxt, j, nbands, halo):

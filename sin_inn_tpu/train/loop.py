@@ -143,10 +143,14 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     # the supervised set of a single video fits in HBM: pin all batches on
     # device once; each epoch replays them with zero host work
     cached = sup.device_cache(cfg.batch_size, mesh=mesh)
-    place = ((lambda b: place_batch(mesh, b)) if mesh is not None
-             else jax.device_put)
-    place_eval = ((lambda b: place_batch(mesh, b, allow_uneven=True))
-                  if mesh is not None else jax.device_put)
+    # allow_uneven: ragged final batches (len(sup) % batch_size != 0)
+    # replicate instead of crashing device_put's divisibility check
+    place = ((lambda b: place_batch(mesh, b, allow_uneven=True))
+             if mesh is not None else jax.device_put)
+    # val batches are static across the run: pin them on device once, like
+    # the train batches (the host has one core; re-gathering every print
+    # cadence is wasted work)
+    val_cached = val.device_cache(cfg.val_batch_size, mesh=mesh)
     for epoch in range(start_epoch, cfg.epochs):
         for sup_batch in cached:
             unsup_batch = (place(
@@ -160,8 +164,8 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
             # entire VideoValDataset via Lightning — lit_wrapper.py:79-89)
             vm_acc: Dict[str, float] = {}
             vn = 0
-            for vi, vb in enumerate(val.batches(cfg.val_batch_size)):
-                vm = eval_step(state.params, place_eval(vb),
+            for vi, vb in enumerate(val_cached):
+                vm = eval_step(state.params, vb,
                                R.step_key(R.named_fold(key, "val"),
                                           epoch * 10_000 + vi))
                 nb = int(vb["hr"].shape[0])
@@ -172,8 +176,7 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
             if writer.wants_media:
                 if sample_infer is None:
                     sample_infer = SR.make_infer_step(spec, cfg)
-                vb0 = next(iter(val.batches(1)))
-                fr = sample_infer(state.params, place_eval(vb0["lr"]),
+                fr = sample_infer(state.params, val_cached[0]["lr"][:1],
                                   R.step_key(R.named_fold(key, "media"),
                                              epoch))
                 writer.log_image(epoch, "media/sample_hr",
@@ -249,7 +252,8 @@ def flow_ckpt_dir(cfg: FlowConfig, scene: str) -> str:
 
 
 def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
-                   use_wandb: bool = False, val_media=None) -> Dict:
+                   use_wandb: bool = False, val_media=None,
+                   keep_writer: bool = False) -> Dict:
     """Flow training driver (reference video-interpolation/main.py:52-80).
 
     Multi-chip: the frame-pair batch is DP-sharded over the mesh ``data``
@@ -335,9 +339,15 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
             writer.log(epoch, last)
         if (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1:
             store.save(epoch + 1, state)
-    writer.close()
-    return {"state": state, "spec": spec, "consts": consts,
-            "ctrl_cfg": ctrl_cfg, "metrics": last, "scene": scene}
+    out = {"state": state, "spec": spec, "consts": consts,
+           "ctrl_cfg": ctrl_cfg, "metrics": last, "scene": scene}
+    if keep_writer:
+        # caller will log test-phase media into the SAME run (the reference
+        # logs test media into the training logger, trainer.py:114-131)
+        out["writer"] = writer
+    else:
+        writer.close()
+    return out
 
 
 def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",

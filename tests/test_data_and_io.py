@@ -148,3 +148,38 @@ def test_pseudo_gt_producer_subprocess(tmp_path):
     flow = generate_pseudo_gt(video, cmd, str(tmp_path / "out"))
     assert flow.shape == (2, 6, 8, 2)
     np.testing.assert_allclose(flow, 1.0)
+
+
+def test_flow_dir_rescale_uses_flow_resolution(tmp_path):
+    """Explicit --flow-dir flows already at the training size must NOT be
+    rescaled by the frames' source resolution (round-2 review finding);
+    Sintel-style GT at the source resolution still gets size/h scaling."""
+    import imageio.v2 as io
+    import numpy as np
+    from sin_inn_tpu.data.flo import write_flo
+    from sin_inn_tpu.data.flow_media import load_images
+
+    scene = tmp_path / "frames" / "sc"
+    scene.mkdir(parents=True)
+    frames = (np.random.RandomState(0).rand(3, 24, 32, 3) * 255).astype(
+        np.uint8)
+    for i, f in enumerate(frames):
+        io.imwrite(str(scene / f"frame_{i+1:04d}.png"), f)
+
+    # producer-style flow at the TRAINING size (12 rows): magnitudes kept
+    d_train = tmp_path / "flow_train_res"
+    d_train.mkdir()
+    for i in range(2):
+        write_flo(str(d_train / f"frame_{i+1:04d}.flo"),
+                  np.full((12, 16, 2), 3.0, np.float32))
+    m = load_images(str(scene), size=12, flow_dir=str(d_train))
+    np.testing.assert_allclose(m.flow, 3.0, atol=1e-5)
+
+    # GT-style flow at the SOURCE size (24 rows): rescaled by 12/24
+    d_src = tmp_path / "flow_src_res"
+    d_src.mkdir()
+    for i in range(2):
+        write_flo(str(d_src / f"frame_{i+1:04d}.flo"),
+                  np.full((24, 32, 2), 3.0, np.float32))
+    m2 = load_images(str(scene), size=12, flow_dir=str(d_src))
+    np.testing.assert_allclose(m2.flow, 1.5, atol=1e-5)

@@ -106,3 +106,19 @@ def test_irn_log_det_includes_haar(key, rng):
     expected = haar_log_det(8, 8, 3) + haar_log_det(4, 4, 12)
     # couplings at init: H-subnet last layer zero-init => s = clamp*(2*sigmoid(0)-1) = 0
     np.testing.assert_allclose(np.asarray(ld), expected, rtol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["SRF", "IRN"])
+def test_inverse_log_det_negates_forward(key, rng, arch):
+    """log|det| of the inverse pass = -(forward log|det|) — couplings AND
+    haar terms included (round-2 review fix: the inverse used to return
+    only the negated haar terms)."""
+    cfg = tiny_cfg(arch).replace(use_pallas="off")
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(key, spec, c_in=3)
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    y, ld_f = inn_apply(spec, params, x, with_log_det=True)
+    _, ld_r = inn_apply(spec, params, y, rev=True, with_log_det=True)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_r), 0.0, atol=1e-3)
+    if arch == "SRF":
+        assert float(jnp.abs(ld_f).sum()) > 0.0

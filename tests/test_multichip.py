@@ -188,3 +188,23 @@ def test_resolve_mesh_auto_divisor_policy():
         resolve_mesh(8, 1, batch_size=4)
     # explicit 1x1 -> None
     assert resolve_mesh(1, 1, batch_size=4) is None
+
+
+def test_sr_train_loop_dp_ragged_tcr(tmp_path):
+    """Ragged final supervised batch + TCR on the mesh: the unsup batch of
+    the ragged size must replicate instead of crashing device_put
+    (round-2 review finding)."""
+    from sin_inn_tpu.core.config import SRConfig as C
+    from sin_inn_tpu.data.synthetic import synthetic_sr_video
+    from sin_inn_tpu.train import loop as L
+
+    cfg = C(scale=2, num_coupling=1, lr_window=1, fps=30,
+            architecture="IRN", hidden_channels=8, dense_gc=8,
+            batch_size=4, val_batch_size=4, epochs=1, save_iter=10,
+            print_iter=1, lambda_bwd_tcr=0.1, tcr_iters=1,
+            working_dir=str(tmp_path / "w"), mesh_data=4)
+    # default synthetic length -> 18 sup samples -> 4+4+4+4+2 (ragged last)
+    video = synthetic_sr_video(cfg, h=16, w=16)
+    out = L.run_sr_train(cfg, video=video)
+    assert np.isfinite(out["metrics"]["loss"])
+    assert out["metrics"]["tcr"] != 0.0
