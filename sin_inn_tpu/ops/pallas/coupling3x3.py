@@ -1,19 +1,14 @@
-"""Fused Pallas TPU kernel for GLOW couplings with 3x3-conv subnets.
+"""Fused Pallas TPU kernels for GLOW couplings with 3x3-conv subnets.
 
 Companion to :mod:`sin_inn_tpu.ops.pallas.coupling` (the 1x1 case): the SRF
-graph alternates 3x3 and 1x1 subnets (/root/reference/archs.py:54-59). At the
-flagship shapes one batch item's activations fit VMEM comfortably
-(45x80x192 f32 = 2.8 MB; subnet weights ~2.7 MB), so the kernel processes one
-image per grid step with every intermediate VMEM-resident.
-
-The 3x3 SAME conv is realized as 9 shifted matmuls over a zero-padded VMEM
+graph alternates 3x3 and 1x1 subnets (/root/reference/archs.py:54-59). The
+3x3 SAME conv is realized as 9 shifted matmuls over a zero-padded VMEM
 buffer: acc += x_pad[dy:dy+H, dx:dx+W] @ W[dy, dx] — each a (H*W, Cin) x
-(Cin, Cout) MXU contraction; no im2col materialization, no HBM traffic
-between the two convs, the ReLU, or the affine coupling math.
-
-Backward integrates via custom_vjp with XLA-recomputed gradients (same remat
-trade as jax.checkpoint); a hand-derived fused backward (as done for the 1x1
-case) is a future step.
+(Cin, Cout) MXU contraction, with no HBM traffic between the two convs, the
+ReLU, or the affine coupling math. Three generations live here: the
+whole-image kernels (VMEM-OOM at flagship shapes, kept for small inputs),
+the half-coupling kernels, and the row-band tiled half-coupling kernels
+with a hand-derived fused backward.
 
 Status (round 2): RETIRED from the training path, by measurement. The
 row-band tiled half-coupling kernels below (forward, inverse, AND a
