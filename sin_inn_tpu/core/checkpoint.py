@@ -53,11 +53,39 @@ class CheckpointStore:
     def restore(self, target: Any, step: Optional[int] = None
                 ) -> Tuple[Optional[Any], Optional[int]]:
         """Restore into the structure of ``target``. Returns (state, step) or
-        (None, None) when no checkpoint exists."""
+        (None, None) when no checkpoint exists.
+
+        Multi-process: save() writes from process 0 only, so on hosts
+        without a shared filesystem the other processes would see no
+        checkpoint and resume from scratch — divergent step counts deadlock
+        the collectives. Process 0's (step, state) is therefore broadcast to
+        every process, making resume consistent regardless of where the
+        files live."""
         import orbax.checkpoint as ocp
 
         if step is None:
             step = self.latest_step()
+
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            step_arr = multihost_utils.broadcast_one_to_all(
+                np.int64(step if step is not None else -1))
+            step = int(step_arr)
+            if step < 0:
+                return None, None
+            if jax.process_index() == 0:
+                with ocp.PyTreeCheckpointer() as ckptr:
+                    restored = ckptr.restore(
+                        self._path(step),
+                        args=ocp.args.PyTreeRestore(
+                            item=jax.device_get(target)))
+            else:
+                restored = jax.device_get(target)   # placeholder structure
+            restored = multihost_utils.broadcast_one_to_all(restored)
+            return restored, step
+
         if step is None:
             return None, None
         with ocp.PyTreeCheckpointer() as ckptr:

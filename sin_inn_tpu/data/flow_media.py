@@ -172,6 +172,7 @@ def generate_pseudo_gt(video: np.ndarray, producer, out_dir: str) -> np.ndarray:
         if callable(producer):
             fl = np.asarray(producer(f1, f2), np.float32)
         else:
+            import shlex
             import subprocess
             import tempfile
 
@@ -180,11 +181,16 @@ def generate_pseudo_gt(video: np.ndarray, producer, out_dir: str) -> np.ndarray:
             with tempfile.TemporaryDirectory() as td:
                 p1 = path.join(td, "f1.png")
                 p2 = path.join(td, "f2.png")
-                po = path.join(out_dir, f"frame_{i+1:04d}.flo")
+                # the tool writes to a TEMP path; the validated result is
+                # copied into out_dir below — a failing producer never
+                # leaves partial frame_%04d.flo files behind
+                po = path.join(td, "out.flo")
                 io.imwrite(p1, (np.clip(f1, 0, 1) * 255).astype(np.uint8))
                 io.imwrite(p2, (np.clip(f2, 0, 1) * 255).astype(np.uint8))
-                cmd = producer.format(f1=p1, f2=p2, out=po)
-                subprocess.run(cmd, shell=True, check=True)
+                # argv list, no shell: paths with spaces stay one argument
+                argv = [a.format(f1=p1, f2=p2, out=po)
+                        for a in shlex.split(producer)]
+                subprocess.run(argv, check=True)
                 fl = read_flo(po)
         if fl.shape != f1.shape[:2] + (2,):
             raise ValueError(

@@ -53,6 +53,10 @@ def resolve_mesh(mesh_data: Optional[int], mesh_model: int = 1,
     """
     model = max(int(mesh_model or 1), 1)
     n = len(jax.devices())
+    if model > 1 and n // model < 1:
+        # an explicit TP request that cannot be satisfied must not silently
+        # degrade to single-device
+        raise ValueError(f"mesh_model={model} exceeds the {n} visible devices")
     if mesh_data is None:
         data = n // model if n > 1 else 1
         if batch_size is not None and data > 1:
@@ -124,8 +128,7 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     store = CheckpointStore(path.join(exp_dir, "checkpoints"))
     writer = MetricsWriter(exp_dir, run_name=cfg.exp_name,
                            use_wandb=use_wandb, wandb_project="sin-inn",
-                           hyperparams=vars(cfg) if hasattr(cfg, "__dict__")
-                           else cfg.__dict__)
+                           hyperparams=cfg.__dict__)
     start_epoch = 0
     restored, ckpt_step = store.restore(state)
     if restored is not None:
@@ -162,7 +165,9 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
         if (epoch + 1) % cfg.print_iter == 0 or epoch == cfg.epochs - 1:
             # full val split, sample-weighted mean (reference evaluates the
             # entire VideoValDataset via Lightning — lit_wrapper.py:79-89)
-            vm_acc: Dict[str, float] = {}
+            # accumulate per-batch metrics ON DEVICE; one host fetch per
+            # metric at the end (each float() is a ~27 ms relay sync)
+            vm_acc: Dict = {}
             vn = 0
             for vi, vb in enumerate(val_cached):
                 vm = eval_step(state.params, vb,
@@ -170,10 +175,10 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
                                           epoch * 10_000 + vi))
                 nb = int(vb["hr"].shape[0])
                 for k, v in vm.items():
-                    vm_acc[k] = vm_acc.get(k, 0.0) + float(v) * nb
+                    vm_acc[k] = vm_acc.get(k, 0.0) + v * nb
                 vn += nb
             # SR sample-frame media (wandb) — one reconstructed HR frame
-            if writer.wants_media:
+            if writer.wants_media and val_cached:
                 if sample_infer is None:
                     sample_infer = SR.make_infer_step(spec, cfg)
                 fr = sample_infer(state.params, val_cached[0]["lr"][:1],
@@ -182,7 +187,8 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
                 writer.log_image(epoch, "media/sample_hr",
                                  np.asarray(fr)[0])
             last_metrics = {k: float(v) for k, v in aux.items()}
-            last_metrics.update({k: v / max(vn, 1) for k, v in vm_acc.items()})
+            last_metrics.update(
+                {k: float(v) / max(vn, 1) for k, v in vm_acc.items()})
             last_metrics["frames_per_sec"] = frames_done / max(
                 time.time() - t0, 1e-9)
             writer.log(epoch, last_metrics)
@@ -249,6 +255,16 @@ def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,
 
 def flow_ckpt_dir(cfg: FlowConfig, scene: str) -> str:
     return path.join(cfg.checkpoints_dir, scene, cfg.name)
+
+
+def _scene_flow_dir(flow_dir, scene: str):
+    """Multi-scene drivers treat an explicit flow_dir as a ROOT of per-scene
+    subdirectories (like the Sintel ../../flow/<scene> convention); one flat
+    .flo dir must not be attached to every scene."""
+    if not flow_dir:
+        return None
+    sub = path.join(flow_dir, scene)
+    return sub if path.isdir(sub) else None
 
 
 def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
@@ -326,16 +342,17 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
             last = {k: float(v) for k, v in m.items()}
             last["frames_per_sec"] = frames_done / max(time.time() - t0, 1e-9)
             if do_val:
-                epe_sum, n = 0.0, 0
+                # device-side accumulation; ONE scalar fetch for the whole
+                # val split (per-pair float() syncs cost ~27 ms each)
+                epe_sum, n = jnp.zeros(()), 0
                 for vb in val_media.batches(cfg.test_batch):
                     f12, _ = infer(state.params, consts, state.ctrl_state,
                                    place(vb["times"]),
                                    jnp.asarray(vb["scale"]), vh, vw_)
                     nb = int(vb["times"].shape[0])
-                    epe_sum += float(FT.epe(
-                        f12, place(vb["gt_flow"]))) * nb
+                    epe_sum = epe_sum + FT.epe(f12, place(vb["gt_flow"])) * nb
                     n += nb
-                last["val_epe"] = epe_sum / max(n, 1)
+                last["val_epe"] = float(epe_sum) / max(n, 1)
             writer.log(epoch, last)
         if (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1:
             store.save(epoch + 1, state)
@@ -420,9 +437,14 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
     if writer is not None:
         writer.log_artifact(flow_path, {"epe": mean_epe, "scene": scene})
         if writer.wants_media:
-            writer.log_media(0, f"flow/{tag}", np.stack(flow_imgs), fps=4)
+            # log PAST the training epochs: wandb drops non-monotonic steps,
+            # so step=0 after a training run would be silently discarded
+            media_step = cfg.epochs
+            writer.log_media(media_step, f"flow/{tag}",
+                             np.stack(flow_imgs), fps=4)
             if mask_imgs:
-                writer.log_media(0, f"occl/{tag}", np.stack(mask_imgs), fps=4)
+                writer.log_media(media_step, f"occl/{tag}",
+                                 np.stack(mask_imgs), fps=4)
         if own_writer:
             writer.close()
     return {"epe": mean_epe, "num_frames": len(flow_imgs),
@@ -435,7 +457,8 @@ def run_flow_summarize(cfg: FlowConfig) -> float:
     root = path.dirname(cfg.input_video)
     epe_accum, frame_accum = 0.0, 0
     for scene in sorted(os.listdir(root)):
-        scene_cfg = cfg.replace(input_video=path.join(root, scene))
+        scene_cfg = cfg.replace(input_video=path.join(root, scene),
+                                flow_dir=_scene_flow_dir(cfg.flow_dir, scene))
         out = run_flow_test(scene_cfg)
         epe_accum += out["epe"] * out["num_frames"]
         frame_accum += out["num_frames"]
@@ -449,7 +472,8 @@ def run_flow_sintel(cfg: FlowConfig, outroot: str = "sintel_submission"):
     root = path.dirname(cfg.input_video)
     sub = "clean" if cfg.name.endswith("clean") else "final"
     for scene in sorted(os.listdir(root)):
-        scene_cfg = cfg.replace(input_video=path.join(root, scene))
+        scene_cfg = cfg.replace(input_video=path.join(root, scene),
+                                flow_dir=_scene_flow_dir(cfg.flow_dir, scene))
         _, media, scene_name = flow_media.get_video(
             scene_cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
             flow_dir=scene_cfg.flow_dir)
