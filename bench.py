@@ -182,7 +182,7 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
 
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
-               splat_max_dy=None, splat_chunk: int = 8):
+               splat_max_dy=None, splat_chunk: int = 2):
     """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size."""
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
@@ -224,7 +224,7 @@ def main():
     ap.add_argument("--net", default="RBF")
     ap.add_argument("--splat-max-dy", type=int, default=None,
                     help="enable the windowed matmul splat in the flow bench")
-    ap.add_argument("--splat-chunk", type=int, default=8)
+    ap.add_argument("--splat-chunk", type=int, default=2)
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 

@@ -138,7 +138,7 @@ def _flow_parser(sub):
                     choices=["float32", "bfloat16", "float32_highest"])
     ap.add_argument("--splat-max-dy", type=int, default=None,
                     help="enable the windowed MATMUL splat, |dy|<=N px")
-    ap.add_argument("--splat-chunk", type=int, default=8)
+    ap.add_argument("--splat-chunk", type=int, default=2)
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--flow-dir", default=None,

@@ -211,7 +211,8 @@ class FlowConfig:
     # the hand-derived 4-tap gather adjoint (ops/splat.py). None = exact
     # scatter. Full step at Sintel size: 4.3 f/s exact -> 12.3 f/s windowed.
     splat_max_dy: Optional[int] = None
-    splat_chunk: int = 8          # 8 measured fastest with the fused backward
+    splat_chunk: int = 2          # 2 measured fastest with the fused backward
+                              # (56/59/64 ms fwd+grad at chunk 2/4/8)
 
     # Runtime
     results_dir: str = "results"
