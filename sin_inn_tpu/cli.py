@@ -143,6 +143,10 @@ def _flow_parser(sub):
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--flow-dir", default=None,
                     help="precomputed GT/pseudo-GT flow dir (.flo/.npy)")
+    ap.add_argument("--flow-producer", default=None,
+                    help="pseudo-GT producer when no GT exists: "
+                         "'raft:<ckpt.pth>[@iters]' (TPU-native RAFT), "
+                         "'py:<module>:<fn>', or a '{f1} {f2} {out}' command")
 
 
 def flow_config_from_args(a) -> FlowConfig:
@@ -162,6 +166,7 @@ def flow_config_from_args(a) -> FlowConfig:
         compute_dtype=a.compute_dtype, splat_max_dy=a.splat_max_dy,
         splat_chunk=a.splat_chunk, mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,
+        flow_producer=a.flow_producer,
     )
 
 

@@ -227,6 +227,10 @@ class FlowConfig:
     # the honest replacement for the reference's in-loop RAFT run
     # (video-interpolation/data.py:32-62); see also data.flow_media.FLOW_PRODUCERS
     flow_dir: Optional[str] = None
+    # pseudo-GT producer spec when no GT flow exists: 'raft:<ckpt.pth>[@iters]'
+    # (the TPU-native RAFT port, models/raft.py), 'py:<module>:<fn>', or a
+    # '{f1} {f2} {out}' subprocess template (data.flow_media.resolve_producer)
+    flow_producer: Optional[str] = None
 
     def __post_init__(self):
         if self.edge_func not in ("exp", "gauss"):

@@ -200,6 +200,50 @@ def generate_pseudo_gt(video: np.ndarray, producer, out_dir: str) -> np.ndarray:
     return np.stack(flows)
 
 
+def _raft_producer_factory(arg: str):
+    from sin_inn_tpu.models.raft import make_raft_producer
+
+    ckpt, _, iters = arg.partition("@")
+    return make_raft_producer(ckpt, iters=int(iters) if iters else 20)
+
+
+def _py_producer_factory(arg: str):
+    import importlib
+
+    mod, _, fn = arg.rpartition(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+#: producer-spec schemes for --flow-producer (see :func:`resolve_producer`)
+FLOW_PRODUCERS = {
+    "raft": _raft_producer_factory,   # raft:<ckpt.pth>[@iters] — JAX RAFT
+    "py": _py_producer_factory,       # py:<module>:<function>  — custom callable
+}
+
+
+def resolve_producer(spec):
+    """Turn a producer spec into the callable/template
+    :func:`generate_pseudo_gt` accepts.
+
+    Specs: ``raft:<ckpt.pth>[@iters]`` (the TPU-native RAFT port,
+    models/raft.py — the reference's external RAFT run,
+    video-interpolation/data.py:32-62, as a first-class producer),
+    ``py:<module>:<function>`` (any importable callable), or a subprocess
+    command template containing ``{f1} {f2} {out}`` placeholders.
+    Already-callable specs pass through.
+    """
+    if callable(spec):
+        return spec
+    scheme, _, arg = spec.partition(":")
+    if arg and scheme in FLOW_PRODUCERS:
+        return FLOW_PRODUCERS[scheme](arg)
+    if "{f1}" in spec and "{f2}" in spec and "{out}" in spec:
+        return spec
+    raise ValueError(
+        f"flow producer spec {spec!r} is neither a registered scheme "
+        f"({sorted(FLOW_PRODUCERS)}) nor a {{f1}}/{{f2}}/{{out}} template")
+
+
 def attach_pseudo_gt(media: FlowMedia, producer, out_dir: str) -> FlowMedia:
     """Attach producer-generated pseudo-GT flow to an existing FlowMedia
     (reuses files already in ``out_dir`` when complete — the reference

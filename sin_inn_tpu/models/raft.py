@@ -1,0 +1,432 @@
+"""RAFT optical-flow inference in JAX — the TPU-native pseudo-GT producer.
+
+The reference's ``VideoClip`` dataset shells out to an external RAFT checkout
+to synthesize pseudo-ground-truth flow before training
+(/root/reference/video-interpolation/data.py:32-62: hard-coded
+``sys.path`` import, ``torch.nn.DataParallel``, 20 iterations). This module
+replaces that external dependency with a first-class implementation of the
+same public architecture (Teed & Deng, "RAFT: Recurrent All-Pairs Field
+Transforms for Optical Flow", ECCV 2020) that
+
+  * runs as ONE jitted XLA program per frame pair (the recurrent update is a
+    ``lax.scan``; the all-pairs correlation volume is a single MXU matmul);
+  * imports the official pretrained checkpoints (``raft-things.pth`` etc.)
+    directly from their torch ``state_dict`` via :func:`load_torch_weights`;
+  * plugs into the flow pipeline's pluggable pseudo-GT hook
+    (:func:`sin_inn_tpu.data.flow_media.generate_pseudo_gt`) through
+    :func:`make_raft_producer`.
+
+Only the full "Basic" model (the variant the reference runs) is implemented;
+``--small`` is not. Dropout is irrelevant at inference and omitted.
+
+Layout conventions: NHWC activations, HWIO conv kernels. Parameters are a
+flat ``dict[str, jnp.ndarray]`` keyed by the official torch module paths
+(``fnet.conv1.weight`` ...) so the checkpoint importer is a pure
+transpose-and-strip pass and the parity test can diff key sets directly.
+Numerics are pinned against an independent torch replica of the official
+modules in ``tests/test_raft.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sin_inn_tpu.ops.subnet import conv2d
+from sin_inn_tpu.ops.warp import sample_bilinear
+
+Params = Dict[str, jnp.ndarray]
+
+# correlation pyramid (official defaults for the Basic model)
+CORR_LEVELS = 4
+CORR_RADIUS = 4
+HDIM = 128   # GRU hidden
+CDIM = 128   # context
+
+
+# ---------------------------------------------------------------------------
+# Parameter schema + init (documents the exact official shapes)
+# ---------------------------------------------------------------------------
+
+def _encoder_schema(prefix: str, norm: str) -> Dict[str, Tuple[int, ...]]:
+    """BasicEncoder parameter shapes. ``norm``: 'instance' (fnet — the
+    official InstanceNorm2d is affine-free, so it contributes NO parameters)
+    or 'batch' (cnet — folded inference BatchNorm: weight/bias/mean/var)."""
+    s: Dict[str, Tuple[int, ...]] = {}
+
+    def conv(name, kh, kw, cin, cout):
+        s[f"{prefix}.{name}.weight"] = (kh, kw, cin, cout)
+        s[f"{prefix}.{name}.bias"] = (cout,)
+
+    def bn(name, c):
+        if norm == "batch":
+            s[f"{prefix}.{name}.weight"] = (c,)
+            s[f"{prefix}.{name}.bias"] = (c,)
+            s[f"{prefix}.{name}.running_mean"] = (c,)
+            s[f"{prefix}.{name}.running_var"] = (c,)
+
+    conv("conv1", 7, 7, 3, 64)
+    bn("norm1", 64)
+    dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
+    for li, (cin, cout, stride) in enumerate(dims, start=1):
+        for bi in range(2):
+            b_cin = cin if bi == 0 else cout
+            b_stride = stride if bi == 0 else 1
+            base = f"layer{li}.{bi}"
+            conv(f"{base}.conv1", 3, 3, b_cin, cout)
+            conv(f"{base}.conv2", 3, 3, cout, cout)
+            bn(f"{base}.norm1", cout)
+            bn(f"{base}.norm2", cout)
+            if b_stride != 1:
+                conv(f"{base}.downsample.0", 1, 1, b_cin, cout)
+                bn(f"{base}.downsample.1", cout)
+    conv("conv2", 1, 1, 128, 256)
+    return s
+
+
+def _update_schema() -> Dict[str, Tuple[int, ...]]:
+    s: Dict[str, Tuple[int, ...]] = {}
+    p = "update_block"
+    corr_planes = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2   # 324
+
+    def conv(name, kh, kw, cin, cout):
+        s[f"{p}.{name}.weight"] = (kh, kw, cin, cout)
+        s[f"{p}.{name}.bias"] = (cout,)
+
+    # BasicMotionEncoder
+    conv("encoder.convc1", 1, 1, corr_planes, 256)
+    conv("encoder.convc2", 3, 3, 256, 192)
+    conv("encoder.convf1", 7, 7, 2, 128)
+    conv("encoder.convf2", 3, 3, 128, 64)
+    conv("encoder.conv", 3, 3, 192 + 64, 126)
+    # SepConvGRU (input = context 128 + motion 128 = 256; hidden 128)
+    for g in ("convz1", "convr1", "convq1"):
+        conv(f"gru.{g}", 1, 5, HDIM + 256, HDIM)
+    for g in ("convz2", "convr2", "convq2"):
+        conv(f"gru.{g}", 5, 1, HDIM + 256, HDIM)
+    # FlowHead
+    conv("flow_head.conv1", 3, 3, HDIM, 256)
+    conv("flow_head.conv2", 3, 3, 256, 2)
+    # convex-upsampling mask head
+    conv("mask.0", 3, 3, HDIM, 256)
+    conv("mask.2", 1, 1, 256, 64 * 9)
+    return s
+
+
+def param_schema() -> Dict[str, Tuple[int, ...]]:
+    s = {}
+    s.update(_encoder_schema("fnet", "instance"))
+    s.update(_encoder_schema("cnet", "batch"))
+    s.update(_update_schema())
+    return s
+
+
+def init_raft(key: jax.Array) -> Params:
+    """Random params with the official shapes (for tests; real use imports a
+    pretrained checkpoint via :func:`load_torch_weights`)."""
+    params: Params = {}
+    for name, shape in param_schema().items():
+        key, sub = jax.random.split(key)
+        if name.endswith("running_var"):
+            params[name] = jax.random.uniform(sub, shape, jnp.float32, 0.5, 1.5)
+        elif name.endswith(("bias", "running_mean")):
+            params[name] = 0.1 * jax.random.normal(sub, shape, jnp.float32)
+        elif len(shape) == 1:       # norm weight
+            params[name] = jax.random.uniform(sub, shape, jnp.float32, 0.5, 1.5)
+        else:
+            fan_in = shape[0] * shape[1] * shape[2]
+            params[name] = (jax.random.normal(sub, shape, jnp.float32)
+                            / math.sqrt(fan_in))
+    return params
+
+
+def load_torch_weights(path: str) -> Params:
+    """Import an official RAFT checkpoint (torch ``state_dict``) —
+    e.g. ``raft-things.pth`` from the public princeton-vl/RAFT release.
+
+    Strips the ``module.`` DataParallel prefix, transposes conv kernels
+    OIHW -> HWIO, and drops batch-norm ``num_batches_tracked`` counters.
+    Validates every expected key/shape so a wrong/truncated file fails loudly.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if not isinstance(sd, dict):
+        raise ValueError(f"{path}: expected a state_dict")
+    if "state_dict" in sd and not any(k.startswith(("module.", "fnet."))
+                                      for k in sd):
+        sd = sd["state_dict"]
+
+    params: Params = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(v.detach().cpu().numpy(), np.float32)
+        if arr.ndim == 4:                       # conv OIHW -> HWIO
+            arr = arr.transpose(2, 3, 1, 0)
+        params[k] = jnp.asarray(arr)
+
+    schema = param_schema()
+    missing = sorted(set(schema) - set(params))
+    if missing:
+        raise ValueError(f"{path}: missing RAFT params (is this the --small "
+                         f"model?): {missing[:5]} (+{max(len(missing)-5,0)})")
+    for name, shape in schema.items():
+        if tuple(params[name].shape) != shape:
+            raise ValueError(f"{path}: {name} has shape "
+                             f"{tuple(params[name].shape)}, want {shape}")
+    return {k: v for k, v in params.items() if k in schema}
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Affine-free InstanceNorm2d (torch defaults: no affine, biased var)."""
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mu) * lax.rsqrt(var + eps)
+
+
+def _norm(p: Params, prefix: str, x: jnp.ndarray, norm: str) -> jnp.ndarray:
+    if norm == "instance":
+        return _instance_norm(x)
+    # folded inference-mode BatchNorm2d
+    w = p[f"{prefix}.weight"]
+    b = p[f"{prefix}.bias"]
+    mean = p[f"{prefix}.running_mean"]
+    var = p[f"{prefix}.running_var"]
+    return (x - mean) * lax.rsqrt(var + 1e-5) * w + b
+
+
+def _conv(p: Params, name: str, x: jnp.ndarray, stride: int = 1,
+          pad: Tuple[int, int] | None = None) -> jnp.ndarray:
+    """Conv with torch-style symmetric padding (k//2 by default). Explicit
+    padding (not XLA SAME) so strided convs match torch window placement."""
+    w = p[f"{name}.weight"]
+    kh, kw = w.shape[0], w.shape[1]
+    ph, pw = (kh // 2, kw // 2) if pad is None else pad
+    return conv2d(x, w, p[f"{name}.bias"], stride=stride,
+                  padding=((ph, ph), (pw, pw)))
+
+
+def _res_block(p: Params, prefix: str, x: jnp.ndarray, stride: int,
+               norm: str) -> jnp.ndarray:
+    y = jax.nn.relu(_norm(p, f"{prefix}.norm1",
+                          _conv(p, f"{prefix}.conv1", x, stride=stride), norm))
+    y = jax.nn.relu(_norm(p, f"{prefix}.norm2",
+                          _conv(p, f"{prefix}.conv2", y), norm))
+    if stride != 1:
+        x = _norm(p, f"{prefix}.downsample.1",
+                  _conv(p, f"{prefix}.downsample.0", x, stride=stride), norm)
+    return jax.nn.relu(x + y)
+
+
+def _encoder(p: Params, prefix: str, x: jnp.ndarray, norm: str) -> jnp.ndarray:
+    """BasicEncoder: 1/8-resolution 256-dim features."""
+    x = jax.nn.relu(_norm(p, f"{prefix}.norm1",
+                          _conv(p, f"{prefix}.conv1", x, stride=2), norm))
+    for li, stride in ((1, 1), (2, 2), (3, 2)):
+        x = _res_block(p, f"{prefix}.layer{li}.0", x, stride, norm)
+        x = _res_block(p, f"{prefix}.layer{li}.1", x, 1, norm)
+    return _conv(p, f"{prefix}.conv2", x)
+
+
+def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch avg_pool2d(k=2, s=2): floors odd spatial dims (VALID window)."""
+    out = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+                            "VALID")
+    return out * 0.25
+
+
+def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
+    """All-pairs correlation pyramid.
+
+    fmap1/fmap2: (B, H, W, 256) at 1/8 res. Level i: (B*H*W, H/2^i, W/2^i, 1).
+    The full volume is one batched matmul — the op the official code builds
+    with a reshaped ``torch.matmul`` and we feed straight to the MXU.
+    """
+    b, h, w, c = fmap1.shape
+    corr = jnp.einsum("bxc,byc->bxy", fmap1.reshape(b, h * w, c),
+                      fmap2.reshape(b, h * w, c)) / math.sqrt(c)
+    corr = corr.reshape(b * h * w, h, w, 1)
+    pyramid = [corr]
+    for _ in range(CORR_LEVELS - 1):
+        pyramid.append(_avg_pool2(pyramid[-1]))
+    return pyramid
+
+
+def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample a (2r+1)^2 neighborhood around ``coords`` at every level.
+
+    coords: (B, H, W, 2) as (x, y) at 1/8 res. Returns (B, H, W, 324) with the
+    official channel order: per level, x-offset slow / y-offset fast (the
+    official meshgrid(dy, dx) quirk), levels concatenated coarse-last.
+    """
+    b, h, w, _ = coords.shape
+    r = CORR_RADIUS
+    n = 2 * r + 1
+    offs = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    ox = jnp.broadcast_to(offs[:, None], (n, n))     # slow axis -> x offset
+    oy = jnp.broadcast_to(offs[None, :], (n, n))     # fast axis -> y offset
+    flat = coords.reshape(b * h * w, 1, 1, 2)
+    out = []
+    for i, corr in enumerate(pyramid):
+        cx = flat[..., 0] / (2 ** i) + ox
+        cy = flat[..., 1] / (2 ** i) + oy
+        # official bilinear_sampler: align_corners=True == raw pixel coords,
+        # zeros padding
+        samp = sample_bilinear(corr, cx, cy, padding="zeros")
+        out.append(samp.reshape(b, h, w, n * n))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _sep_conv_gru(p: Params, net: jnp.ndarray, inp: jnp.ndarray) -> jnp.ndarray:
+    g = "update_block.gru"
+    for suffix, pad in (("1", (0, 2)), ("2", (2, 0))):
+        hx = jnp.concatenate([net, inp], axis=-1)
+        z = jax.nn.sigmoid(_conv(p, f"{g}.convz{suffix}", hx, pad=pad))
+        r = jax.nn.sigmoid(_conv(p, f"{g}.convr{suffix}", hx, pad=pad))
+        q = jnp.tanh(_conv(p, f"{g}.convq{suffix}",
+                           jnp.concatenate([r * net, inp], axis=-1), pad=pad))
+        net = (1.0 - z) * net + z * q
+    return net
+
+
+def _motion_encoder(p: Params, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+    e = "update_block.encoder"
+    cor = jax.nn.relu(_conv(p, f"{e}.convc1", corr))
+    cor = jax.nn.relu(_conv(p, f"{e}.convc2", cor))
+    flo = jax.nn.relu(_conv(p, f"{e}.convf1", flow))
+    flo = jax.nn.relu(_conv(p, f"{e}.convf2", flo))
+    out = jax.nn.relu(_conv(p, f"{e}.conv",
+                            jnp.concatenate([cor, flo], axis=-1)))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def _update_block(p: Params, net, inp, corr, flow):
+    motion = _motion_encoder(p, flow, corr)
+    net = _sep_conv_gru(p, net, jnp.concatenate([inp, motion], axis=-1))
+    dflow = _conv(p, "update_block.flow_head.conv2",
+                  jax.nn.relu(_conv(p, "update_block.flow_head.conv1", net)))
+    mask = 0.25 * _conv(p, "update_block.mask.2",
+                        jax.nn.relu(_conv(p, "update_block.mask.0", net)))
+    return net, mask, dflow
+
+
+def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Learned convex 8x upsampling. flow (B,H,W,2), mask (B,H,W,576).
+
+    Official channel layout (from ``mask.view(N,1,9,8,8,H,W)``): channel
+    c = k*64 + dy*8 + dx, with k enumerating the 3x3 unfold window row-major.
+    """
+    b, h, w, _ = flow.shape
+    flow8 = 8.0 * flow
+    # 3x3 unfold via shifted zero-padded slices: taps[k] = flow8 shifted so
+    # taps[k][y, x] = flow8[y + ky - 1, x + kx - 1], k = ky*3 + kx
+    padded = jnp.pad(flow8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = jnp.stack([padded[:, ky:ky + h, kx:kx + w, :]
+                      for ky in range(3) for kx in range(3)], axis=3)
+    m = jax.nn.softmax(mask.reshape(b, h, w, 9, 64), axis=3)
+    up = jnp.einsum("bhwkd,bhwkc->bhwdc", m, taps)     # (B,H,W,64,2)
+    up = up.reshape(b, h, w, 8, 8, 2)
+    # d = dy*8+dx; full-res pixel (8y+dy, 8x+dx)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def _coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    return jnp.broadcast_to(jnp.stack([xs, ys], axis=-1)[None], (b, h, w, 2))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
+              iters: int = 20) -> jnp.ndarray:
+    """Flow from image1 to image2 at full resolution.
+
+    image1/image2: (B, H, W, 3) in [0, 255], H and W multiples of 8 (use
+    :func:`pad_to_multiple` otherwise). Returns (B, H, W, 2) pixel flow
+    (dx, dy) — the channel convention the rest of the framework uses.
+    The recurrent refinement is a ``lax.scan`` so the program stays one
+    compiled step regardless of ``iters`` (the reference ran 20).
+    """
+    x1 = 2.0 * (image1 / 255.0) - 1.0
+    x2 = 2.0 * (image2 / 255.0) - 1.0
+
+    # official fnet runs both images as one batch — InstanceNorm makes that
+    # equivalent to two separate calls; batch them for one MXU pass
+    fmaps = _encoder(params, "fnet", jnp.concatenate([x1, x2], 0), "instance")
+    fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+    pyramid = build_corr_pyramid(fmap1, fmap2)
+
+    cnet = _encoder(params, "cnet", x1, "batch")
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    b, h, w, _ = fmap1.shape
+    coords0 = _coords_grid(b, h, w)
+
+    def step(carry, _):
+        net, coords1, _ = carry
+        corr = lookup_corr(pyramid, coords1)
+        flow = coords1 - coords0
+        net, mask, dflow = _update_block(params, net, inp, corr, flow)
+        # carry the mask (only the final iteration's is consumed) instead of
+        # stacking iters copies of a (B,H,W,576) tensor through the scan
+        return (net, coords1 + dflow, mask), None
+
+    mask0 = jnp.zeros((b, h, w, 64 * 9), jnp.float32)
+    (net, coords1, mask), _ = lax.scan(step, (net, coords0, mask0), None,
+                                       length=iters)
+    return upsample_flow_convex(coords1 - coords0, mask)
+
+
+def pad_to_multiple(img: jnp.ndarray, mult: int = 8):
+    """Replicate-pad (B, H, W, C) up to the next multiple (the official
+    ``InputPadder``, sintel mode: split padding between both sides)."""
+    _, h, w, _ = img.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+    return jnp.pad(img, pads, mode="edge"), pads
+
+
+def unpad(x: jnp.ndarray, pads) -> jnp.ndarray:
+    _, (t, b), (l, r), _ = pads
+    return x[:, t:x.shape[1] - b if b else None,
+             l:x.shape[2] - r if r else None, :]
+
+
+def make_raft_producer(ckpt_path: str, iters: int = 20, batch: int = 1):
+    """A pseudo-GT flow producer backed by this module.
+
+    Returns a callable ``(frame1, frame2) -> (H, W, 2)`` (frames float [0,1])
+    compatible with :func:`sin_inn_tpu.data.flow_media.generate_pseudo_gt` —
+    the drop-in replacement for the reference's external RAFT run
+    (video-interpolation/data.py:32-62, 20 iterations there too).
+    """
+    params = load_torch_weights(ckpt_path)
+
+    def producer(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
+        f1 = jnp.asarray(frame1, jnp.float32)[None] * 255.0
+        f2 = jnp.asarray(frame2, jnp.float32)[None] * 255.0
+        f1, pads = pad_to_multiple(f1)
+        f2, _ = pad_to_multiple(f2)
+        flow = raft_flow(params, f1, f2, iters=iters)
+        return np.asarray(unpad(flow, pads)[0])
+
+    return producer

@@ -267,6 +267,21 @@ def _scene_flow_dir(flow_dir, scene: str):
     return sub if path.isdir(sub) else None
 
 
+def _maybe_pseudo_gt(cfg: FlowConfig, media, scene: str):
+    """Attach producer-generated pseudo-GT flow when the media has no GT —
+    the reference's pre-train RAFT pass (video-interpolation/data.py:32-62)
+    as a cached, pluggable pre-pass. Results land in a per-scene,
+    size-suffixed dir under checkpoints so train/test sizes don't collide
+    and reruns reuse the .flo files instead of recomputing."""
+    if (media is None or not cfg.flow_producer
+            or getattr(media, "gt_available", False)):
+        return media
+    producer = flow_media.resolve_producer(cfg.flow_producer)
+    out = path.join(cfg.checkpoints_dir, "pseudo_gt",
+                    f"{scene}_h{media.video.shape[1]}")
+    return flow_media.attach_pseudo_gt(media, producer, out)
+
+
 def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                    use_wandb: bool = False, val_media=None,
                    keep_writer: bool = False) -> Dict:
@@ -286,6 +301,9 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
         media, val_media, scene = flow_media.get_video(
             cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
             flow_dir=cfg.flow_dir)
+    same = val_media is media
+    media = _maybe_pseudo_gt(cfg, media, scene)
+    val_media = media if same else _maybe_pseudo_gt(cfg, val_media, scene)
     key = R.root_key(cfg.random_seed)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         R.named_fold(key, "init"), cfg)
@@ -378,6 +396,7 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
         _, media, scene = flow_media.get_video(
             cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
             flow_dir=cfg.flow_dir)
+    media = _maybe_pseudo_gt(cfg, media, scene)
     key = R.root_key(cfg.random_seed)
     if state is None:
         spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(

@@ -94,7 +94,8 @@ def test_flow_runtime_flags():
                "--spatial-res", "25", "--mesh-data", "2",
                "--compute-dtype", "bfloat16", "--num-frequencies", "32",
                "--hidden-dim", "64", "--num-layers", "2",
-               "--flow-dir", "/flows"])
+               "--flow-dir", "/flows",
+               "--flow-producer", "raft:ck.pth@8"])
     cfg = cli.flow_config_from_args(a)
     assert cfg.splat_max_dy == 64 and cfg.splat_chunk == 8
     assert cfg.spatial_res == 25 and cfg.mesh_data == 2
@@ -102,3 +103,17 @@ def test_flow_runtime_flags():
     assert cfg.num_frequencies == 32 and cfg.hidden_dim == 64
     assert cfg.num_layers == 2
     assert cfg.flow_dir == "/flows"
+    assert cfg.flow_producer == "raft:ck.pth@8"
+
+
+def test_resolve_producer_specs():
+    from sin_inn_tpu.data import flow_media as fm
+
+    # template passthrough, py: scheme, callables, and bad specs
+    tpl = "mytool {f1} {f2} {out}"
+    assert fm.resolve_producer(tpl) == tpl
+    fn = fm.resolve_producer("py:operator:add")
+    assert fn(2, 3) == 5
+    assert fm.resolve_producer(fn) is fn
+    with pytest.raises(ValueError, match="producer spec"):
+        fm.resolve_producer("not-a-spec")

@@ -103,3 +103,27 @@ def test_flow_learns_true_flow_on_shift_sequence(key):
         state, m = step(state, consts, batch)
     assert float(m["epe"]) < epe0 * 0.5
     assert float(m["psnr"]) > float(m0["psnr"])
+
+
+def test_flow_train_loop_with_pseudo_gt_producer(tmp_path, rng):
+    """run_flow_train wires cfg.flow_producer through _maybe_pseudo_gt: a
+    GT-less media gets producer flow attached (cached as .flo files under
+    checkpoints/pseudo_gt) and the train metrics gain 'epe'."""
+    import os
+
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train.loop import run_flow_train
+
+    video = rng.rand(3, 12, 16, 3).astype(np.float32)
+    media = FlowMedia(video)
+    assert not media.gt_available
+    cfg = tiny_cfg(net="RBF").replace(
+        epochs=2, flow_producer="py:flow_producer_helper:unit_flow",
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        results_dir=str(tmp_path / "res"))
+    out = run_flow_train(cfg, media=media, scene="prodscene")
+    assert media.gt_available and media.flow.shape == (2, 12, 16, 2)
+    assert np.allclose(media.flow[..., 0], 1.0)
+    assert "epe" in out["metrics"]
+    flo_dir = tmp_path / "ckpt" / "pseudo_gt" / "prodscene_h12"
+    assert sorted(os.listdir(flo_dir)) == ["frame_0001.flo", "frame_0002.flo"]
