@@ -190,7 +190,7 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
 
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
-               splat_max_dy=None, splat_chunk: int = 2):
+               splat_max_dy=None, splat_chunk: int = 2, splat_max_dx=None):
     """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size."""
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
@@ -202,7 +202,7 @@ def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
     from sin_inn_tpu.train import flow as FT
 
     cfg = FlowConfig(net=net, epochs=5000, splat_max_dy=splat_max_dy,
-                     splat_chunk=splat_chunk)
+                     splat_chunk=splat_chunk, splat_max_dx=splat_max_dx)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         jax.random.key(0), cfg)
     step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
@@ -233,12 +233,15 @@ def main():
     ap.add_argument("--splat-max-dy", type=int, default=None,
                     help="enable the windowed matmul splat in the flow bench")
     ap.add_argument("--splat-chunk", type=int, default=2)
+    ap.add_argument("--splat-max-dx", type=int, default=None,
+                    help="with --splat-max-dy: column-windowed metric warps")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     if args.pipeline == "flow":
         fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net,
-                         args.splat_max_dy, args.splat_chunk)
+                         args.splat_max_dy, args.splat_chunk,
+                         args.splat_max_dx)
         print(json.dumps({
             "metric": "flow train frames/sec/chip (436x1024 INR step)",
             "value": round(fps, 3),

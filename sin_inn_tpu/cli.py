@@ -139,6 +139,10 @@ def _flow_parser(sub):
     ap.add_argument("--splat-max-dy", type=int, default=None,
                     help="enable the windowed MATMUL splat, |dy|<=N px")
     ap.add_argument("--splat-chunk", type=int, default=2)
+    ap.add_argument("--splat-max-dx", type=int, default=None,
+                    help="with --splat-max-dy: column-windowed metric warps,"
+                         " |dx|<=N px")
+    ap.add_argument("--splat-col-chunk", type=int, default=256)
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--flow-dir", default=None,
@@ -164,7 +168,8 @@ def flow_config_from_args(a) -> FlowConfig:
         spatial_res=a.spatial_res, num_frequencies=a.num_frequencies,
         hidden_dim=a.hidden_dim, num_layers=a.num_layers,
         compute_dtype=a.compute_dtype, splat_max_dy=a.splat_max_dy,
-        splat_chunk=a.splat_chunk, mesh_data=a.mesh_data,
+        splat_chunk=a.splat_chunk, splat_max_dx=a.splat_max_dx,
+        splat_col_chunk=a.splat_col_chunk, mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,
         flow_producer=a.flow_producer,
     )

@@ -213,6 +213,14 @@ class FlowConfig:
     splat_max_dy: Optional[int] = None
     splat_chunk: int = 2          # 2 measured fastest with the fused backward
                               # (56/59/64 ms fwd+grad at chunk 2/4/8)
+    # Horizontal window bound |flow_x| <= splat_max_dx for the METRIC WARPS
+    # (resample2d_windowed with the fused backward: 48 -> 31 ms fwd+grad per
+    # direction at Sintel size). Requires splat_max_dy. The splat itself
+    # stays exact in x (its 2D-windowed variant measured SLOWER — strided
+    # carry updates). None = exact warps.
+    splat_max_dx: Optional[int] = None
+    splat_col_chunk: int = 256    # column block for the windowed warp
+    resample_chunk: int = 8       # row chunk for the windowed warp
 
     # Runtime
     results_dir: str = "results"

@@ -111,7 +111,9 @@ def softsplat_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
 
 def splat_windowed(values: jnp.ndarray, flow: jnp.ndarray,
                    max_dy: int, chunk: int = 8,
-                   fused_backward: bool = True) -> jnp.ndarray:
+                   fused_backward: bool = True,
+                   max_dx: Optional[int] = None,
+                   col_chunk: int = 128) -> jnp.ndarray:
     """Windowed matmul splat with a hand-derived gather backward.
 
     ``fused_backward=True`` (default) replaces autodiff-through-the-scan
@@ -123,37 +125,58 @@ def splat_windowed(values: jnp.ndarray, flow: jnp.ndarray,
     (softsplat.py:55-106 updateGradInput / updateGradFlow), as pure gathers
     with the same window/bounds masking as the forward. Measured 105 -> 21 ms
     for the full backward at 3x436x1024 (see CLAUDE.md).
+
+    ``max_dx`` additionally windows the target COLUMNS to ``|dx| <= max_dx``
+    (processed ``col_chunk`` columns at a time): the dense contraction width
+    drops from the full image width to 2*max_dx + col_chunk + 1. ``None``
+    keeps the splat exact in x.
     """
     if fused_backward:
-        return _splat_windowed_fused(max_dy, chunk, values, flow)
-    return _splat_windowed_impl(values, flow, max_dy, chunk)
+        return _splat_windowed_fused(max_dy, chunk, max_dx, col_chunk,
+                                     values, flow)
+    return _splat_windowed_impl(values, flow, max_dy, chunk, max_dx,
+                                col_chunk)
 
 
 def _splat_windowed_impl(values: jnp.ndarray, flow: jnp.ndarray,
-                         max_dy: int, chunk: int = 8) -> jnp.ndarray:
-    """Dense matmul-form splat: exact in x, y-windowed to ``|dy| <= max_dy``.
+                         max_dy: int, chunk: int = 8,
+                         max_dx: Optional[int] = None,
+                         col_chunk: int = 128) -> jnp.ndarray:
+    """Dense matmul-form splat, y-windowed to ``|dy| <= max_dy`` (and
+    x-windowed to ``|dx| <= max_dx`` when given, else exact in x).
 
     The TPU has no fast scatter (XLA's sorted scatter serializes: ~225 ms for
     a 3x436x1024 softmax splat — see CLAUDE.md), but the bilinear splat
     weight is separable: pixel (y, x) contributes v * wy(r) * wx(c), with wy
     depending only on the target row and wx only on the target column. So for
-    one source row, out[r, c] += (W1^T @ W2)[r, c] where W1[x, r] = wy and
-    W2[x, c] = v * wx — ONE dense MXU matmul replaces the scatter. Scanning
-    source rows and windowing the target rows to y +- max_dy bounds the
-    matmul at (2*max_dy+2, W) per row.
+    a block of source pixels, out[r, c] += (A^T @ CX)[r*c, c'] where
+    A = w1 (x) v holds the row-weighted values and CX the column one-hots —
+    ONE dense MXU matmul replaces the scatter. Scanning source blocks and
+    windowing the target rows (and optionally columns) bounds the matmul.
 
     Semantics match :func:`splat_scatter` exactly for flows with
-    ``|flow_y| <= max_dy - 1``; taps beyond the window are dropped (the
-    caller picks ``max_dy`` >= the scene's vertical-flow bound, mirroring
-    the reference's drop of out-of-frame taps). Gradients come from plain
-    autodiff of the dense ops — no scatter in either pass.
+    ``|flow_y| <= max_dy - 1`` (and ``|flow_x| <= max_dx - 1`` when
+    windowed); taps beyond the window are dropped (the caller picks bounds
+    >= the scene's flow bound, mirroring the reference's drop of
+    out-of-frame taps). Gradients come from plain autodiff of the dense ops
+    — no scatter in either pass.
     """
     n, h, w, c = values.shape
     dtype = values.dtype
     # rows are processed `chunk` at a time with one shared target window of
-    # K = 2*max_dy + chunk + 1 rows — fewer scan iterations, bigger matmuls
+    # K = 2*max_dy + chunk + 1 rows — fewer scan iterations, bigger matmuls.
+    # With max_dx, columns are processed `col_chunk` at a time with a shared
+    # KX = 2*max_dx + col_chunk + 1 column window.
     h_pad = (h + chunk - 1) // chunk * chunk
     k = 2 * max_dy + chunk + 1
+    if max_dx is None:
+        cw = w
+        kx = w
+        w_pad = w
+    else:
+        cw = min(col_chunk, w)
+        w_pad = (w + cw - 1) // cw * cw
+        kx = 2 * max_dx + cw + 1
     xs = jnp.arange(w, dtype=dtype)
 
     ox = xs[None, None, :] + flow[..., 0]            # (N, H, W)
@@ -164,29 +187,30 @@ def _splat_windowed_impl(values: jnp.ndarray, flow: jnp.ndarray,
     ay = oy - r0                                     # weight of row r0+1
     c0 = jnp.floor(ox)
     ax = ox - c0
-    if h_pad != h:
-        padder = ((0, 0), (0, h_pad - h), (0, 0))
+    if h_pad != h or w_pad != w:
+        padder = ((0, 0), (0, h_pad - h), (0, w_pad - w))
         r0 = jnp.pad(r0, padder, constant_values=-1e9)  # w1 drops pad rows
         ay = jnp.pad(ay, padder)
-        c0 = jnp.pad(c0, padder, constant_values=-1e9)
+        c0 = jnp.pad(c0, padder, constant_values=-1e9)  # cx drops pad cols
         ax = jnp.pad(ax, padder)
         values = jnp.pad(values, padder + ((0, 0),))
 
-    # scan over row chunks; carry the padded output
-    out_pad = jnp.zeros((n, h_pad + k, w, c), dtype)
+    # scan over pixel blocks; carry the padded output
+    out_pad = jnp.zeros((n, h_pad + k, w_pad + (kx - cw), c), dtype)
 
-    col_iota = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    col_iota = jnp.arange(kx, dtype=jnp.int32)[None, None, :]
     win_iota = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    x_off = 0 if max_dx is None else max_dx
 
-    # rematerialized row block (jax.checkpoint: the scan's backward would
-    # otherwise stash every row's dense one-hots — GBs at Sintel scale).
+    # rematerialized block (jax.checkpoint: the scan's backward would
+    # otherwise stash every block's dense one-hots — GBs at Sintel scale).
     # Factorization: block[k, wout, c] = sum_x (w1[x,k] v[x,c]) cx[x,wout]
     # — build the small A = w1 (x) v (X, K*C) first, then ONE matmul with the
     # column one-hot, avoiding the (X, Wout, C) column-spread tensor.
     @jax.checkpoint
-    def row_block(y_idx, r0_r, ay_r, c0_r, ax_r, v_r):
-        # inputs are per-chunk: (N, chunk*W) pixel vectors sharing the window
-        # with origin y_idx - max_dy (y_idx = chunk start row)
+    def pixel_block(y_idx, x_idx, r0_r, ay_r, c0_r, ax_r, v_r):
+        # inputs are per-block: (N, chunk*cw) pixel vectors sharing the
+        # window with origin (y_idx - max_dy, x_idx - max_dx)
         # ---- W1: (N, X, K) windowed one-hot row weights ----
         j0 = jnp.where(r0_r < -1e8, -1,
                        r0_r - (y_idx - max_dy)).astype(jnp.int32)
@@ -196,60 +220,66 @@ def _splat_windowed_impl(values: jnp.ndarray, flow: jnp.ndarray,
                         (1.0 - ay_r)[..., None], 0.0)
               + jnp.where((win_iota == j0[..., None] + 1) & valid1[..., None],
                           ay_r[..., None], 0.0))            # (N, X, K)
-        # ---- column one-hot: (N, X, Wout) ----
-        ci = c0_r.astype(jnp.int32)
+        # ---- column one-hot: (N, X, KX) (window-relative when max_dx) ----
+        ci = jnp.where(c0_r < -1e8, -10 * w,
+                       c0_r - (x_idx - x_off)).astype(jnp.int32)
         vx0 = (c0_r >= 0) & (c0_r <= w - 1)
         vx1 = (c0_r + 1 >= 0) & (c0_r + 1 <= w - 1)
         cx = (jnp.where((col_iota == ci[..., None]) & vx0[..., None],
                         (1.0 - ax_r)[..., None], 0.0)
               + jnp.where((col_iota == ci[..., None] + 1) & vx1[..., None],
-                          ax_r[..., None], 0.0))             # (N, X, Wout)
+                          ax_r[..., None], 0.0))             # (N, X, KX)
         a = w1[..., :, None] * v_r[:, :, None, :]            # (N, X, K, C)
         a = a.reshape(a.shape[0], a.shape[1], k * c)
         block = jnp.einsum("nxs,nxw->nsw", a, cx,
                            preferred_element_type=jnp.float32)
-        return (block.reshape(-1, k, c, w).transpose(0, 1, 3, 2)
-                .astype(dtype))                              # (N, K, W, C)
+        return (block.reshape(-1, k, c, kx).transpose(0, 1, 3, 2)
+                .astype(dtype))                              # (N, K, KX, C)
 
-    def row_step(out_pad, inp):
-        y_idx, r0_r, ay_r, c0_r, ax_r, v_r = inp
-        block = row_block(y_idx, r0_r, ay_r, c0_r, ax_r, v_r)
-        start = y_idx                                        # in padded rows
+    def block_step(out_pad, inp):
+        y_idx, x_idx, r0_r, ay_r, c0_r, ax_r, v_r = inp
+        block = pixel_block(y_idx, x_idx, r0_r, ay_r, c0_r, ax_r, v_r)
         out_pad = jax.lax.dynamic_update_slice(
             out_pad,
             jax.lax.dynamic_slice(
-                out_pad, (0, start, 0, 0), (n, k, w, c)) + block,
-            (0, start, 0, 0))
+                out_pad, (0, y_idx, x_idx, 0), (n, k, kx, c)) + block,
+            (0, y_idx, x_idx, 0))
         return out_pad, None
 
-    steps = h_pad // chunk
-    ys_idx = jnp.arange(steps, dtype=jnp.int32) * chunk
+    steps_r = h_pad // chunk
+    steps_c = w_pad // cw
+    steps = steps_r * steps_c
+    ys_idx = jnp.repeat(jnp.arange(steps_r, dtype=jnp.int32) * chunk, steps_c)
+    xs_idx = jnp.tile(jnp.arange(steps_c, dtype=jnp.int32) * cw, steps_r)
 
     def to_chunks(a):
-        # (N, H_pad, W, ...) -> (steps, N, chunk*W, ...)
+        # (N, H_pad, W_pad, ...) -> (steps, N, chunk*cw, ...)
         rest = a.shape[3:]
-        a = a.reshape(n, steps, chunk * w, *rest)
-        return jnp.moveaxis(a, 1, 0)
+        a = a.reshape(n, steps_r, chunk, steps_c, cw, *rest)
+        a = jnp.moveaxis(a, 3, 2)                    # (n, sr, sc, chunk, cw)
+        return a.reshape(n, steps, chunk * cw, *rest).swapaxes(0, 1)
 
-    inputs = (ys_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
+    inputs = (ys_idx, xs_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
               to_chunks(ax), to_chunks(values))
-    out_pad, _ = jax.lax.scan(row_step, out_pad, inputs)
-    return out_pad[:, max_dy:max_dy + h]
+    out_pad, _ = jax.lax.scan(block_step, out_pad, inputs)
+    return out_pad[:, max_dy:max_dy + h, x_off:x_off + w]
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _splat_windowed_fused(max_dy, chunk, values, flow):
-    return _splat_windowed_impl(values, flow, max_dy, chunk)
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _splat_windowed_fused(max_dy, chunk, max_dx, col_chunk, values, flow):
+    return _splat_windowed_impl(values, flow, max_dy, chunk, max_dx,
+                                col_chunk)
 
 
-def _splat_windowed_fused_fwd(max_dy, chunk, values, flow):
-    return _splat_windowed_impl(values, flow, max_dy, chunk), (values, flow)
+def _splat_windowed_fused_fwd(max_dy, chunk, max_dx, col_chunk, values, flow):
+    return (_splat_windowed_impl(values, flow, max_dy, chunk, max_dx,
+                                 col_chunk), (values, flow))
 
 
-def _splat_windowed_fused_bwd(max_dy, chunk, res, g):
+def _splat_windowed_fused_bwd(max_dy, chunk, max_dx, col_chunk, res, g):
     """Analytic adjoint of the windowed bilinear scatter.
 
     For source pixel p at (y, x) with target (ox, oy) = (x, y) + flow(p) and
@@ -260,7 +290,8 @@ def _splat_windowed_fused_bwd(max_dy, chunk, res, g):
       d flow_y(p) = sum_ch v sum_taps (dwy/day) wx g[tap]
     with the same validity mask as the forward: image bounds AND the
     K = 2*max_dy + chunk + 1 target-row window anchored at the pixel's row
-    chunk. Four masked gathers of ``g`` — no scatter, no remat.
+    chunk (AND the KX column window when ``max_dx`` is set). Four masked
+    gathers of ``g`` — no scatter, no remat.
     """
     from sin_inn_tpu.ops.warp import _gather_2d
 
@@ -283,6 +314,12 @@ def _splat_windowed_fused_bwd(max_dy, chunk, res, g):
     chunk_start = (jnp.arange(h, dtype=jnp.int32) // chunk * chunk)
     win_lo = (chunk_start - max_dy).astype(dtype)[None, :, None]
     win_hi = win_lo + (k - 1)
+    if max_dx is not None:
+        cw = min(col_chunk, w)
+        kxw = 2 * max_dx + cw + 1
+        col_start = (jnp.arange(w, dtype=jnp.int32) // cw * cw)
+        col_lo = (col_start - max_dx).astype(dtype)[None, None, :]
+        col_hi = col_lo + (kxw - 1)
 
     d_values = jnp.zeros_like(values)
     d_ax = jnp.zeros((n, h, w), dtype)
@@ -293,6 +330,8 @@ def _splat_windowed_fused_bwd(max_dy, chunk, res, g):
         ci = c0 + dx
         valid = ((ri >= 0) & (ri <= h - 1) & (ci >= 0) & (ci <= w - 1)
                  & (ri >= win_lo) & (ri <= win_hi))
+        if max_dx is not None:
+            valid &= (ci >= col_lo) & (ci <= col_hi)
         g_tap = _gather_2d(g, jnp.clip(ci, 0, w - 1).astype(jnp.int32),
                            jnp.clip(ri, 0, h - 1).astype(jnp.int32))
         g_tap = g_tap * valid.astype(dtype)[..., None]       # (N, H, W, C)
@@ -313,12 +352,15 @@ _splat_windowed_fused.defvjp(_splat_windowed_fused_fwd,
 
 def softsplat_windowed_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
                                      metric: jnp.ndarray, max_dy: int,
-                                     chunk: int = 16):
+                                     chunk: int = 16,
+                                     max_dx: Optional[int] = None,
+                                     col_chunk: int = 128):
     """softsplat_with_coverage on the windowed matmul splat."""
     e = jnp.exp(metric)
     ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
     cat = jnp.concatenate([inp * e, e, ones], axis=-1)
-    out = splat_windowed(cat, flow, max_dy, chunk)
+    out = splat_windowed(cat, flow, max_dy, chunk, max_dx=max_dx,
+                         col_chunk=col_chunk)
     num = out[..., :-2]
     den = out[..., -2:-1]
     coverage = out[..., -1:]

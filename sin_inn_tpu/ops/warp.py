@@ -17,6 +17,8 @@ so the reference's two different call conventions can both be reproduced:
 from __future__ import annotations
 
 import math
+
+import jax
 import jax.numpy as jnp
 
 
@@ -164,6 +166,293 @@ def warp_affine(img: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     dst = jnp.stack([xs, ys], axis=-1)                       # (H, W, 2)
     src = jnp.einsum("nij,hwj->nhwi", inv_a, dst) + inv_b[:, None, None, :]
     return sample_bilinear(img, src[..., 0], src[..., 1], padding="zeros")
+
+
+def resample2d_windowed(img: jnp.ndarray, flow: jnp.ndarray,
+                        max_dy: int, chunk: int = 8,
+                        max_dx: int | None = None,
+                        col_chunk: int = 128,
+                        fused_backward: bool = True) -> jnp.ndarray:
+    """``resample2d`` as dense windowed MXU matmuls — the gather twin of
+    ``ops.splat.splat_windowed``.
+
+    XLA's TPU gather serializes: the plain 4-tap ``resample2d`` forward costs
+    ~40 ms at Sintel size (3x436x1024) and its flow-grad another ~40 ms — the
+    two backward warps are the single biggest line in the flow train step
+    after the splat. Like the splat, the bilinear GATHER weight is separable:
+    out[y, x] = sum_k wy[y x, k] * sum_w cx[y x, w] img[k, w], so for a chunk
+    of output rows sharing a K = 2*max_dy + chunk + 1 source-row window the
+    whole warp is two contractions: one (X, W) @ (W, K*C) matmul against the
+    column one-hots and a cheap (X, K) x (X, K, C) row-weight reduction.
+    Output rows are disjoint across chunks (no scatter carry — simpler than
+    the splat direction). Gradients w.r.t. ``flow`` flow through the one-hot
+    weights by autodiff; ``jax.checkpoint`` keeps the scan from stashing the
+    (X, W) one-hots.
+
+    Matches :func:`resample2d` exactly (including the reference's
+    (size-1)/align_corners=False normalization quirk, resample2d.py:52-72)
+    for samples whose vertical displacement |py - y| <= max_dy - 1 (and
+    horizontal displacement |px - x| <= max_dx - 1 when ``max_dx`` is set);
+    taps beyond the window are dropped like out-of-frame taps. With
+    ``max_dx`` the contraction width drops from the image width to
+    KX = 2*max_dx + col_chunk + 1 (the same column windowing as the splat).
+
+    ``fused_backward=True`` replaces autodiff-through-the-scan (~3.1x the
+    forward: remat + two adjoint matmuls + one-hot rebuilds) with the
+    analytic flow-gradient — one extra derivative-one-hot matmul next to a
+    recomputed forward (see ``_resample_windowed_bwd``); the image gradient
+    is the windowed-splat adjoint and is dead-code-eliminated when the
+    image is a constant (the shipped flow train step).
+    """
+    if fused_backward:
+        return _resample_windowed_fused(max_dy, chunk, max_dx, col_chunk,
+                                        img, flow)
+    return _resample_windowed_impl(img, flow, max_dy, chunk, max_dx,
+                                   col_chunk)
+
+
+def _resample_windowed_impl(img: jnp.ndarray, flow: jnp.ndarray,
+                            max_dy: int, chunk: int = 8,
+                            max_dx: int | None = None,
+                            col_chunk: int = 128) -> jnp.ndarray:
+    n, h, w, c = flow.shape[0], flow.shape[1], flow.shape[2], img.shape[3]
+    dtype = img.dtype
+    h_pad = (h + chunk - 1) // chunk * chunk
+    k = 2 * max_dy + chunk + 1
+    if max_dx is None:
+        cw = w
+        kxw = w
+        w_pad = w
+        x_off = 0
+    else:
+        cw = min(col_chunk, w)
+        w_pad = (w + cw - 1) // cw * cw
+        kxw = 2 * max_dx + cw + 1
+        x_off = max_dx
+    steps_r = h_pad // chunk
+    steps_c = w_pad // cw
+    steps = steps_r * steps_c
+
+    ys = jnp.arange(h, dtype=dtype)[None, :, None]
+    xs = jnp.arange(w, dtype=dtype)[None, None, :]
+    # the reference quirk: (size-1)-normalized coords sampled with
+    # align_corners=False  =>  p = (coord) * size/(size-1) - 0.5
+    px = (xs + flow[..., 0]) * (w / (w - 1)) - 0.5
+    py = (ys + flow[..., 1]) * (h / (h - 1)) - 0.5
+
+    r0 = jnp.floor(py)
+    ay = py - r0
+    c0 = jnp.floor(px)
+    ax = px - c0
+    if h_pad != h or w_pad != w:
+        padder = ((0, 0), (0, h_pad - h), (0, w_pad - w))
+        r0 = jnp.pad(r0, padder, constant_values=-1e9)
+        ay = jnp.pad(ay, padder)
+        c0 = jnp.pad(c0, padder, constant_values=-1e9)
+        ax = jnp.pad(ax, padder)
+
+    # source image, padded so every block's (K, KX) window is a static slice
+    right_x = 0 if max_dx is None else (w_pad - w + x_off + 1)
+    img_pad = jnp.pad(img, ((0, 0), (max_dy, h_pad - h + max_dy + chunk + 1),
+                            (x_off, right_x), (0, 0)))
+
+    col_iota = jnp.arange(kxw, dtype=jnp.int32)[None, None, :]
+    win_iota = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+
+    @jax.checkpoint
+    def block_out(y_idx, x_idx, r0_r, ay_r, c0_r, ax_r):
+        # per-block pixel vectors (N, X = chunk*cw); window origin in padded
+        # image coords = (y_idx, x_idx)
+        win = jax.lax.dynamic_slice(img_pad, (0, y_idx, x_idx, 0),
+                                    (n, k, kxw, c))
+        j0 = jnp.where(r0_r < -1e8, -1,
+                       r0_r - (y_idx - max_dy)).astype(jnp.int32)
+        valid0 = (r0_r >= 0) & (r0_r <= h - 1)
+        valid1 = (r0_r + 1 >= 0) & (r0_r + 1 <= h - 1)
+        w1 = (jnp.where((win_iota == j0[..., None]) & valid0[..., None],
+                        (1.0 - ay_r)[..., None], 0.0)
+              + jnp.where((win_iota == j0[..., None] + 1) & valid1[..., None],
+                          ay_r[..., None], 0.0))              # (N, X, K)
+        ci = jnp.where(c0_r < -1e8, -10 * w,
+                       c0_r - (x_idx - x_off)).astype(jnp.int32)
+        vx0 = (c0_r >= 0) & (c0_r <= w - 1)
+        vx1 = (c0_r + 1 >= 0) & (c0_r + 1 <= w - 1)
+        cx = (jnp.where((col_iota == ci[..., None]) & vx0[..., None],
+                        (1.0 - ax_r)[..., None], 0.0)
+              + jnp.where((col_iota == ci[..., None] + 1) & vx1[..., None],
+                          ax_r[..., None], 0.0))              # (N, X, KX)
+        # column gather as ONE matmul against the window, then row weights
+        tmp = jnp.einsum("nxw,nws->nxs", cx,
+                         win.transpose(0, 2, 1, 3).reshape(n, kxw, k * c),
+                         preferred_element_type=jnp.float32)  # (N, X, K*C)
+        out = jnp.einsum("nxk,nxkc->nxc", w1,
+                         tmp.reshape(n, -1, k, c)).astype(dtype)
+        return out                                            # (N, X, C)
+
+    def to_chunks(a):
+        a = a.reshape(n, steps_r, chunk, steps_c, cw)
+        a = jnp.moveaxis(a, 3, 2)
+        return a.reshape(n, steps, chunk * cw).swapaxes(0, 1)
+
+    ys_idx = jnp.repeat(jnp.arange(steps_r, dtype=jnp.int32) * chunk, steps_c)
+    xs_idx = jnp.tile(jnp.arange(steps_c, dtype=jnp.int32) * cw, steps_r)
+    inputs = (ys_idx, xs_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
+              to_chunks(ax))
+    _, outs = jax.lax.scan(lambda _, inp: (None, block_out(*inp)),
+                           None, inputs)                # (steps, N, X, C)
+    out = outs.swapaxes(0, 1).reshape(n, steps_r, steps_c, chunk, cw, c)
+    out = jnp.moveaxis(out, 3, 2).reshape(n, h_pad, w_pad, c)
+    return out[:, :h, :w]
+
+
+def _resample_windowed_geometry(img, flow, max_dy, chunk, max_dx, col_chunk):
+    """Shared block geometry of the windowed resample fwd/bwd."""
+    n, h, w = flow.shape[0], flow.shape[1], flow.shape[2]
+    h_pad = (h + chunk - 1) // chunk * chunk
+    k = 2 * max_dy + chunk + 1
+    if max_dx is None:
+        cw, kxw, w_pad, x_off = w, w, w, 0
+    else:
+        cw = min(col_chunk, w)
+        w_pad = (w + cw - 1) // cw * cw
+        kxw = 2 * max_dx + cw + 1
+        x_off = max_dx
+    return n, h, w, h_pad, k, cw, kxw, w_pad, x_off
+
+
+def _resample_windowed_bwd_flow(img, flow, g, max_dy, chunk, max_dx,
+                                col_chunk):
+    """Analytic flow-gradient of the windowed resample.
+
+    Per block (X pixels, K x KX window):
+      out[x,c]  = sum_k w1[x,k] tmp[x,k,c],  tmp = CX @ win   (fwd matmul)
+      d_ay[x]   = sum_c g[x,c] sum_k f[x,k] tmp[x,k,c]
+      d_ax[x]   = sum_c g[x,c] sum_k w1[x,k] tmp2[x,k,c], tmp2 = E @ win
+    where f/E are the derivative one-hots (tap1 minus tap0). Two window
+    matmuls + cheap reductions — vs autodiff's remat + two adjoint matmuls
+    + one-hot rebuild transposes (41 -> ~29 ms fwd+grad at Sintel size).
+    """
+    (n, h, w, h_pad, k, cw, kxw, w_pad, x_off) = _resample_windowed_geometry(
+        img, flow, max_dy, chunk, max_dx, col_chunk)
+    c = img.shape[3]
+    dtype = img.dtype
+    steps_r = h_pad // chunk
+    steps_c = w_pad // cw
+    steps = steps_r * steps_c
+
+    ys = jnp.arange(h, dtype=dtype)[None, :, None]
+    xs = jnp.arange(w, dtype=dtype)[None, None, :]
+    sx = w / (w - 1)
+    sy = h / (h - 1)
+    px = (xs + flow[..., 0]) * sx - 0.5
+    py = (ys + flow[..., 1]) * sy - 0.5
+    r0 = jnp.floor(py)
+    ay = py - r0
+    c0 = jnp.floor(px)
+    ax = px - c0
+    g_p = g
+    if h_pad != h or w_pad != w:
+        padder = ((0, 0), (0, h_pad - h), (0, w_pad - w))
+        r0 = jnp.pad(r0, padder, constant_values=-1e9)
+        ay = jnp.pad(ay, padder)
+        c0 = jnp.pad(c0, padder, constant_values=-1e9)
+        ax = jnp.pad(ax, padder)
+        g_p = jnp.pad(g, padder + ((0, 0),))
+
+    right_x = 0 if max_dx is None else (w_pad - w + x_off + 1)
+    img_pad = jnp.pad(img, ((0, 0), (max_dy, h_pad - h + max_dy + chunk + 1),
+                            (x_off, right_x), (0, 0)))
+
+    col_iota = jnp.arange(kxw, dtype=jnp.int32)[None, None, :]
+    win_iota = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+
+    def block_grads(y_idx, x_idx, r0_r, ay_r, c0_r, ax_r, g_r):
+        win = jax.lax.dynamic_slice(img_pad, (0, y_idx, x_idx, 0),
+                                    (n, k, kxw, c))
+        win_r = win.transpose(0, 2, 1, 3).reshape(n, kxw, k * c)
+        j0 = jnp.where(r0_r < -1e8, -1,
+                       r0_r - (y_idx - max_dy)).astype(jnp.int32)
+        valid0 = ((r0_r >= 0) & (r0_r <= h - 1))[..., None]
+        valid1 = ((r0_r + 1 >= 0) & (r0_r + 1 <= h - 1))[..., None]
+        hit0 = (win_iota == j0[..., None]) & valid0
+        hit1 = (win_iota == j0[..., None] + 1) & valid1
+        w1 = (jnp.where(hit0, (1.0 - ay_r)[..., None], 0.0)
+              + jnp.where(hit1, ay_r[..., None], 0.0))
+        f = jnp.where(hit1, 1.0, 0.0) - jnp.where(hit0, 1.0, 0.0)
+        ci = jnp.where(c0_r < -1e8, -10 * w,
+                       c0_r - (x_idx - x_off)).astype(jnp.int32)
+        vx0 = ((c0_r >= 0) & (c0_r <= w - 1))[..., None]
+        vx1 = ((c0_r + 1 >= 0) & (c0_r + 1 <= w - 1))[..., None]
+        chit0 = (col_iota == ci[..., None]) & vx0
+        chit1 = (col_iota == ci[..., None] + 1) & vx1
+        cx = (jnp.where(chit0, (1.0 - ax_r)[..., None], 0.0)
+              + jnp.where(chit1, ax_r[..., None], 0.0))
+        e = jnp.where(chit1, 1.0, 0.0) - jnp.where(chit0, 1.0, 0.0)
+        tmp = jnp.einsum("nxw,nws->nxs", cx, win_r,
+                         preferred_element_type=jnp.float32)
+        tmp2 = jnp.einsum("nxw,nws->nxs", e, win_r,
+                          preferred_element_type=jnp.float32)
+        vy = jnp.einsum("nxk,nxkc->nxc", f, tmp.reshape(n, -1, k, c))
+        vx = jnp.einsum("nxk,nxkc->nxc", w1, tmp2.reshape(n, -1, k, c))
+        d_ay = jnp.sum(g_r * vy, axis=-1).astype(dtype)
+        d_ax = jnp.sum(g_r * vx, axis=-1).astype(dtype)
+        return jnp.stack([d_ax, d_ay], axis=-1)              # (N, X, 2)
+
+    def to_chunks(a):
+        rest = a.shape[3:]
+        a = a.reshape(n, steps_r, chunk, steps_c, cw, *rest)
+        a = jnp.moveaxis(a, 3, 2)
+        return a.reshape(n, steps, chunk * cw, *rest).swapaxes(0, 1)
+
+    ys_idx = jnp.repeat(jnp.arange(steps_r, dtype=jnp.int32) * chunk, steps_c)
+    xs_idx = jnp.tile(jnp.arange(steps_c, dtype=jnp.int32) * cw, steps_r)
+    inputs = (ys_idx, xs_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
+              to_chunks(ax), to_chunks(g_p))
+    _, outs = jax.lax.scan(lambda _, inp: (None, block_grads(*inp)),
+                           None, inputs)
+    d = outs.swapaxes(0, 1).reshape(n, steps_r, steps_c, chunk, cw, 2)
+    d = jnp.moveaxis(d, 3, 2).reshape(n, h_pad, w_pad, 2)
+    d = d[:, :h, :w]
+    # chain rule through the reference normalization quirk
+    return d * jnp.asarray([sx, sy], dtype)
+
+
+from functools import partial as _wpartial
+
+
+@_wpartial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _resample_windowed_fused(max_dy, chunk, max_dx, col_chunk, img, flow):
+    return _resample_windowed_impl(img, flow, max_dy, chunk, max_dx,
+                                   col_chunk)
+
+
+def _resample_windowed_fused_fwd(max_dy, chunk, max_dx, col_chunk, img, flow):
+    return (_resample_windowed_impl(img, flow, max_dy, chunk, max_dx,
+                                    col_chunk), (img, flow))
+
+
+def _resample_windowed_fused_bwd(max_dy, chunk, max_dx, col_chunk, res, g):
+    img, flow = res
+    d_flow = _resample_windowed_bwd_flow(img, flow, g, max_dy, chunk,
+                                         max_dx, col_chunk)
+    # image gradient = the windowed-splat adjoint of the cotangent along the
+    # effective displacement (same window anchoring: both ops anchor at the
+    # output/source pixel's block). XLA dead-code-eliminates this whole
+    # branch when the warped image is a constant — the shipped train steps.
+    from sin_inn_tpu.ops.splat import _splat_windowed_impl
+
+    n, h, w, _ = flow.shape
+    ys = jnp.arange(h, dtype=img.dtype)[None, :, None]
+    xs = jnp.arange(w, dtype=img.dtype)[None, None, :]
+    px = (xs + flow[..., 0]) * (w / (w - 1)) - 0.5
+    py = (ys + flow[..., 1]) * (h / (h - 1)) - 0.5
+    eff = jnp.stack([px - xs, py - ys], axis=-1)
+    d_img = _splat_windowed_impl(g, eff, max_dy, chunk, max_dx, col_chunk)
+    return d_img, d_flow
+
+
+_resample_windowed_fused.defvjp(_resample_windowed_fused_fwd,
+                                _resample_windowed_fused_bwd)
 
 
 def resample2d_fast(img: jnp.ndarray, flow: jnp.ndarray,

@@ -30,7 +30,7 @@ from sin_inn_tpu.ops.photometric import (bilateral_smooth, census_loss,
                                          masked_l1, ssim_loss)
 from sin_inn_tpu.ops.splat import (softsplat, softsplat_with_coverage,
                                    softsplat_windowed_with_coverage)
-from sin_inn_tpu.ops.warp import resample2d
+from sin_inn_tpu.ops.warp import resample2d, resample2d_windowed
 from sin_inn_tpu.ops import losses as L
 from sin_inn_tpu.train.optim import lamb
 
@@ -113,10 +113,20 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     # doubled per-chunk working set hurts more than the halved overhead).
     # note: resample2d_fast (scatter-free warp backward) was measured SLOWER
     # here — the warp's image-grad scatter is only ~40 ms at Sintel size,
-    # cheaper than the windowed-matmul replacement; keep the plain warp
-    warped2 = resample2d(frame1, flow21)
+    # cheaper than the windowed-matmul replacement; keep the plain warp.
+    # With BOTH window bounds set, the metric warps switch to the
+    # column-windowed matmul resample with its hand-derived backward
+    # (48 -> 31 ms fwd+grad per direction at Sintel size; row-window-only
+    # was measured a wash, so it needs splat_max_dx to engage).
+    if cfg.splat_max_dy and cfg.splat_max_dx:
+        warp = lambda im, fl: resample2d_windowed(
+            im, fl, cfg.splat_max_dy, cfg.resample_chunk,
+            cfg.splat_max_dx, cfg.splat_col_chunk)
+    else:
+        warp = resample2d
+    warped2 = warp(frame1, flow21)
     metric = jnp.mean(jnp.abs(frame2 - warped2), axis=-1, keepdims=True)
-    warped1 = resample2d(frame2, flow12)
+    warped1 = warp(frame2, flow12)
     metric2 = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
 
     if cfg.occl == "wang":

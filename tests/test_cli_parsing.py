@@ -106,6 +106,14 @@ def test_flow_runtime_flags():
     assert cfg.flow_producer == "raft:ck.pth@8"
 
 
+def test_flow_windowed_warp_flags():
+    a = parse(["flow", "train", "--splat-max-dy", "64",
+               "--splat-max-dx", "128", "--splat-col-chunk", "512"])
+    cfg = cli.flow_config_from_args(a)
+    assert cfg.splat_max_dx == 128 and cfg.splat_col_chunk == 512
+    assert cfg.resample_chunk == 8
+
+
 def test_resolve_producer_specs():
     from sin_inn_tpu.data import flow_media as fm
 

@@ -275,3 +275,63 @@ def test_splat_windowed_fused_backward_matches_autodiff():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gf_f), np.asarray(gf_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_splat_windowed_2d_matches_scatter(rng):
+    """Column-windowed splat == exact scatter for in-window flows, incl.
+    non-divisible widths and the fused backward."""
+    from sin_inn_tpu.ops.splat import splat_scatter, splat_windowed
+
+    v = jnp.asarray(rng.rand(2, 14, 21, 3).astype(np.float32))
+    fl = jnp.asarray((rng.rand(2, 14, 21, 2) * 8 - 4).astype(np.float32))
+    ref = splat_scatter(v, fl)
+    for (mdx, cc, ch) in ((6, 8, 4), (6, 16, 2), (6, 64, 4)):
+        got = splat_windowed(v, fl, max_dy=6, chunk=ch, max_dx=mdx,
+                             col_chunk=cc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+    l_f = lambda v, f: jnp.sum(jnp.sin(splat_windowed(v, f, 6, 4, True, 6, 8)))
+    l_a = lambda v, f: jnp.sum(jnp.sin(splat_windowed(v, f, 6, 4, False, 6, 8)))
+    for gf, ga in zip(jax.grad(l_f, (0, 1))(v, fl),
+                      jax.grad(l_a, (0, 1))(v, fl)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ga), atol=2e-5)
+
+
+def test_resample2d_windowed_matches_plain(rng):
+    """Windowed matmul resample == plain gather warp (incl. the reference
+    normalization quirk) for in-window flows; fused backward == autodiff of
+    the plain op for BOTH operands (flow and image)."""
+    from sin_inn_tpu.ops.warp import resample2d, resample2d_windowed
+
+    img = jnp.asarray(rng.rand(2, 15, 22, 3).astype(np.float32))
+    fl = jnp.asarray((rng.rand(2, 15, 22, 2) * 8 - 4).astype(np.float32))
+    ref = resample2d(img, fl)
+    for (mdx, cc, ch) in ((None, 0, 4), (6, 8, 4), (6, 16, 2), (6, 64, 8)):
+        got = resample2d_windowed(img, fl, max_dy=7, chunk=ch, max_dx=mdx,
+                                  col_chunk=cc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+    l_w = lambda im, f: jnp.sum(
+        jnp.sin(resample2d_windowed(im, f, 7, 4, 6, 8)))
+    l_p = lambda im, f: jnp.sum(jnp.sin(resample2d(im, f)))
+    for gw, gp in zip(jax.grad(l_w, (0, 1))(img, fl),
+                      jax.grad(l_p, (0, 1))(img, fl)):
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gp), atol=5e-5)
+
+
+def test_flow_loss_with_windowed_warps_close_to_exact(key, rng):
+    """Full photometric loss with BOTH window bounds (splat + metric-warp
+    windowing) matches the exact-op loss for small flows."""
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train.flow import photometric_flow_loss
+
+    f1 = jnp.asarray(rng.rand(2, 12, 16, 3).astype(np.float32))
+    f2 = jnp.asarray(rng.rand(2, 12, 16, 3).astype(np.float32))
+    fl12 = jnp.asarray((rng.rand(2, 12, 16, 2) * 4 - 2).astype(np.float32))
+    fl21 = jnp.asarray((rng.rand(2, 12, 16, 2) * 4 - 2).astype(np.float32))
+    exact = FlowConfig(net="RBF")
+    windowed = exact.replace(splat_max_dy=5, splat_chunk=2, splat_max_dx=4,
+                             splat_col_chunk=8, resample_chunk=4)
+    le, _ = photometric_flow_loss(exact, f1, f2, fl12, fl21)
+    lw, _ = photometric_flow_loss(windowed, f1, f2, fl12, fl21)
+    np.testing.assert_allclose(float(le), float(lw), rtol=1e-4)
