@@ -222,6 +222,86 @@ def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
     return batch * steps / (time.perf_counter() - t0)
 
 
+def bench_torch_cpu_flow_baseline(h: int, w: int, timeout_s: float = 600.0):
+    """Torch-CPU replica of the reference flow trainer's per-step work
+    (video-interpolation/trainer.py:47-87): RBF INR over the (t, y, x) pose
+    grid, occlusion + backward warp + softmax splat + L1/census/smooth
+    losses — the parity-pinned torch re-derivation from
+    tests/parity_torch_ref.py — one backward, one LAMB step. Returns warm
+    frames/sec at (h, w), batch 1, or None on timeout/unavailability."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import torch
+
+    import parity_torch_ref as T
+
+    torch.manual_seed(0)
+    nf, hidden, out_ch = 512, 256, 4
+    centres = torch.rand(nf, 3) * 2 - 1
+    sigma = torch.sort(torch.randn(nf).abs() * 12 + 1)[0]
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(nf, hidden), torch.nn.ReLU(),
+        torch.nn.Linear(hidden, hidden), torch.nn.ReLU(),
+        torch.nn.Linear(hidden, hidden), torch.nn.ReLU(),
+        torch.nn.Linear(hidden, out_ch))
+
+    from types import SimpleNamespace
+    cfg = SimpleNamespace(occl="wang", occl_thresh=0.7, loss_l1=1.0,
+                          loss_census=0.1, loss_ssim=0.0, census_width=3,
+                          loss_smooth1=0.1, edge_func="gauss",
+                          edge_constant=150.0)
+
+    b = 1
+    f1 = torch.rand(b, 3, h, w)
+    f2 = torch.rand(b, 3, h, w)
+    ys = torch.linspace(-1, 1, h)
+    xs = torch.linspace(-1, 1, w)
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    t = torch.zeros(b, h, w)
+    poses = torch.stack([t, gy.expand(b, h, w), gx.expand(b, h, w)],
+                        -1).reshape(-1, 3)
+    scale = w / 5.0
+
+    state = [(torch.zeros_like(p), torch.zeros_like(p))
+             for p in mlp.parameters()]
+
+    def lamb_step(lr=1e-4, b1=0.9, b2=0.999, eps=1e-6):
+        with torch.no_grad():
+            for p, (m, v) in zip(mlp.parameters(), state):
+                m.mul_(b1).add_(p.grad, alpha=1 - b1)
+                v.mul_(b2).addcmul_(p.grad, p.grad, value=1 - b2)
+                upd = m / (v.sqrt() + eps)
+                wn = p.norm()
+                un = upd.norm()
+                trust = torch.where((wn > 0) & (un > 0), wn / un,
+                                    torch.ones(()))
+                p.add_(upd, alpha=-float(lr * trust))
+                p.grad = None
+
+    def one_step():
+        d2 = (poses.pow(2).sum(-1, keepdim=True) + centres.pow(2).sum(-1)
+              - 2.0 * poses @ centres.T).clamp_min(0)
+        code = torch.exp(-d2 * sigma**2)
+        flows = mlp(code).reshape(b, h, w, 4).permute(0, 3, 1, 2) * scale
+        loss, _ = T.t_photometric_flow_loss(cfg, f1, f2, flows[:, :2],
+                                            flows[:, 2:])
+        loss.backward()
+        lamb_step()
+
+    t0 = time.perf_counter()
+    one_step()
+    if time.perf_counter() - t0 > timeout_s:
+        return None
+    steps = 2
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    return steps * b / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline", choices=["sr", "flow"], default="sr")
@@ -242,11 +322,27 @@ def main():
         fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net,
                          args.splat_max_dy, args.splat_chunk,
                          args.splat_max_dx)
+        vs_baseline = 0.0
+        if not args.no_baseline:
+            try:
+                # measured warm-vs-warm at one reduced common shape (the TPU
+                # runs its shipped fast path, the replica the reference's
+                # exact scatter math — same training computation)
+                bh, bw = 108, 256
+                base = bench_torch_cpu_flow_baseline(bh, bw)
+                if base:
+                    tpu_small = bench_flow(1, bh, bw, max(args.steps, 40),
+                                           args.net, args.splat_max_dy,
+                                           args.splat_chunk,
+                                           args.splat_max_dx)
+                    vs_baseline = tpu_small / base
+            except Exception as e:  # noqa: BLE001 - bench must still report
+                print(f"flow baseline failed: {e}", file=sys.stderr)
         print(json.dumps({
             "metric": "flow train frames/sec/chip (436x1024 INR step)",
             "value": round(fps, 3),
             "unit": "frames/sec/chip",
-            "vs_baseline": 0.0,
+            "vs_baseline": round(vs_baseline, 2),
         }))
         return
 

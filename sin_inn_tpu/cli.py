@@ -68,6 +68,8 @@ def _sr_parser(sub):
                     help="jax.distributed.initialize() first (multi-host)")
     ap.add_argument("--tcr_stop_grad", action="store_true",
                     help="gradient-free TCR warp (reference parity)")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="capture one jax.profiler trace of N train steps")
     ap.add_argument("--auto_lr", action="store_true",
                     help="LR range test before training (auto_lr_find)")
     ap.add_argument("--auto_batch", action="store_true",
@@ -96,7 +98,7 @@ def sr_config_from_args(a) -> SRConfig:
         use_pallas=a.use_pallas, mesh_data=a.mesh_data,
         mesh_model=a.mesh_model, distributed=a.distributed,
         tcr_stop_grad=a.tcr_stop_grad, auto_lr=a.auto_lr,
-        auto_batch=a.auto_batch,
+        auto_batch=a.auto_batch, profile_steps=a.profile,
     )
 
 
@@ -145,6 +147,8 @@ def _flow_parser(sub):
     ap.add_argument("--splat-col-chunk", type=int, default=256)
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="capture one jax.profiler trace of N train steps")
     ap.add_argument("--flow-dir", default=None,
                     help="precomputed GT/pseudo-GT flow dir (.flo/.npy)")
     ap.add_argument("--flow-producer", default=None,
@@ -171,7 +175,7 @@ def flow_config_from_args(a) -> FlowConfig:
         splat_chunk=a.splat_chunk, splat_max_dx=a.splat_max_dx,
         splat_col_chunk=a.splat_col_chunk, mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,
-        flow_producer=a.flow_producer,
+        flow_producer=a.flow_producer, profile_steps=a.profile,
     )
 
 

@@ -96,6 +96,9 @@ class SRConfig:
     mesh_model: int = 1
     # call jax.distributed.initialize() first (multi-host pods)
     distributed: bool = False
+    # --profile N: capture one jax.profiler trace of N post-warmup train
+    # steps into <checkpoints>/trace (TensorBoard/xprof readable)
+    profile_steps: int = 0
     # auto-tuning before training (reference main.py:108-109 enables
     # Lightning's auto_lr_find / auto_scale_batch_size)
     auto_lr: bool = False
@@ -231,6 +234,9 @@ class FlowConfig:
     # workload, SURVEY §2.5). None = all visible devices when >1; 1 = off.
     mesh_data: Optional[int] = None
     distributed: bool = False
+    # --profile N: capture one jax.profiler trace of N post-warmup train
+    # steps into <checkpoints>/trace (TensorBoard/xprof readable)
+    profile_steps: int = 0
     # precomputed GT/pseudo-GT flow directory (.flo/.npy per frame pair) —
     # the honest replacement for the reference's in-loop RAFT run
     # (video-interpolation/data.py:32-62); see also data.flow_media.FLOW_PRODUCERS

@@ -52,3 +52,47 @@ class StepTimer:
 
     def throughput(self, items_per_step: int) -> float:
         return items_per_step / self.mean if self._times else 0.0
+
+
+class TraceWindow:
+    """Capture ONE ``jax.profiler`` trace of ``steps`` train steps.
+
+    Skips ``warmup`` steps first (compile + cache warmup would dominate the
+    trace), synchronizes via value fetch at the window edges, then writes a
+    TensorBoard/xprof-compatible trace under ``logdir``. Call :meth:`tick`
+    once per dispatched step with a scalar from the step's outputs.
+    """
+
+    def __init__(self, logdir: str, steps: int, warmup: int = 2):
+        self.logdir = logdir
+        self.steps = steps
+        self.warmup = warmup
+        self.done = steps <= 0
+        self._i = 0
+        self._active = False
+        self._start = 0
+
+    def tick(self, sync_value=None) -> None:
+        if self.done:
+            return
+        self._i += 1
+        if not self._active:
+            if self._i > self.warmup:
+                if sync_value is not None:
+                    float(sync_value)
+                jax.profiler.start_trace(self.logdir)
+                self._active = True
+                self._start = self._i
+        elif self._i - self._start + 1 >= self.steps:
+            if sync_value is not None:
+                float(sync_value)
+            jax.profiler.stop_trace()
+            self._active = False
+            self.done = True
+
+    def close(self) -> None:
+        """Stop a still-open trace (run ended inside the window)."""
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            self.done = True

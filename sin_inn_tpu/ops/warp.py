@@ -453,77 +453,3 @@ def _resample_windowed_fused_bwd(max_dy, chunk, max_dx, col_chunk, res, g):
 
 _resample_windowed_fused.defvjp(_resample_windowed_fused_fwd,
                                 _resample_windowed_fused_bwd)
-
-
-def resample2d_fast(img: jnp.ndarray, flow: jnp.ndarray,
-                    max_dy: int, chunk: int = 8) -> jnp.ndarray:
-    """resample2d with a scatter-free backward pass w.r.t. the image.
-
-    Forward is identical to :func:`resample2d`. The vjp w.r.t. ``img`` of a
-    bilinear gather is the transposed bilinear SCATTER of the cotangent at
-    the same sample coordinates — routed here through the dense windowed
-    matmul splat (ops/splat.py). Measured at Sintel size (3x436x1024,
-    +-50 px flows): full grad 262 ms (scatter) -> 215 ms (this op).
-
-    Use this when you differentiate a warp w.r.t. the *image* operand. The
-    shipped train steps never do — in the Wang path the warped operands are
-    constant frames (XLA dead-code-eliminates the image-grad scatter), and
-    the Brox mask is a boolean with zero gradient — so the plain
-    :func:`resample2d` stays the default there. The vjp w.r.t. ``flow`` is
-    the standard 4-tap finite-difference gather (cheap). ``max_dy`` bounds
-    the vertical sample displacement exactly like splat_windowed.
-    """
-    import jax
-
-    from sin_inn_tpu.ops.splat import splat_windowed
-
-    n, h, w, _ = flow.shape
-
-    def sample_coords(flow):
-        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=img.dtype),
-                              jnp.arange(w, dtype=img.dtype), indexing="ij")
-        new_x = xs[None] + flow[..., 0]
-        new_y = ys[None] + flow[..., 1]
-        # the reference Resample2d normalization quirk (resample2d.py:52-72):
-        # (size-1)-normalized coords sampled with align_corners=False
-        px = ((new_x / (w - 1) * 2.0 - 1.0 + 1.0) * w - 1.0) * 0.5
-        py = ((new_y / (h - 1) * 2.0 - 1.0 + 1.0) * h - 1.0) * 0.5
-        return px, py, xs, ys
-
-    @jax.custom_vjp
-    def _resample(img, flow):
-        px, py, _, _ = sample_coords(flow)
-        return sample_bilinear(img, px, py, padding="zeros")
-
-    def _fwd(img, flow):
-        return _resample(img, flow), (img, flow)
-
-    def _bwd(res, g):
-        img_r, flow_r = res
-        px, py, xs, ys = sample_coords(flow_r)
-
-        # d_img: scatter of g at the sample coords == windowed splat of g
-        # along the effective displacement field
-        eff = jnp.stack([px - xs[None], py - ys[None]], axis=-1)
-        d_img = splat_windowed(g, eff, max_dy, chunk)
-
-        # d_flow: finite-difference taps dout/dpx, dout/dpy
-        x0 = jnp.floor(px)
-        y0 = jnp.floor(py)
-        wx = px - x0
-        wy = py - y0
-        v00 = sample_bilinear(img_r, x0, y0, padding="zeros")
-        v10 = sample_bilinear(img_r, x0 + 1, y0, padding="zeros")
-        v01 = sample_bilinear(img_r, x0, y0 + 1, padding="zeros")
-        v11 = sample_bilinear(img_r, x0 + 1, y0 + 1, padding="zeros")
-        dpx = ((v10 - v00) * (1 - wy)[..., None]
-               + (v11 - v01) * wy[..., None])
-        dpy = ((v01 - v00) * (1 - wx)[..., None]
-               + (v11 - v10) * wx[..., None])
-        # chain through the normalization: dpx/dfx = w/(w-1), dpy/dfy = h/(h-1)
-        gfx = jnp.sum(g * dpx, axis=-1) * (w / (w - 1))
-        gfy = jnp.sum(g * dpy, axis=-1) * (h / (h - 1))
-        return d_img, jnp.stack([gfx, gfy], axis=-1)
-
-    _resample.defvjp(_fwd, _bwd)
-    return _resample(img, flow)

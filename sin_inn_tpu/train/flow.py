@@ -111,13 +111,11 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     # directions run as separate passes on purpose: stacking them into a 2b
     # batch was measured SLOWER (12.3 -> 11.8 f/s at Sintel size — the
     # doubled per-chunk working set hurts more than the halved overhead).
-    # note: resample2d_fast (scatter-free warp backward) was measured SLOWER
-    # here — the warp's image-grad scatter is only ~40 ms at Sintel size,
-    # cheaper than the windowed-matmul replacement; keep the plain warp.
     # With BOTH window bounds set, the metric warps switch to the
     # column-windowed matmul resample with its hand-derived backward
     # (48 -> 31 ms fwd+grad per direction at Sintel size; row-window-only
-    # was measured a wash, so it needs splat_max_dx to engage).
+    # was measured a wash — autodiff ~3.1x fwd — so it needs splat_max_dx
+    # to engage; the image-grad branch DCEs since the frames are constant).
     if cfg.splat_max_dy and cfg.splat_max_dx:
         warp = lambda im, fl: resample2d_windowed(
             im, fl, cfg.splat_max_dy, cfg.resample_chunk,

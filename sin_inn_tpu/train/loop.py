@@ -23,6 +23,7 @@ from sin_inn_tpu.core import compile_cache
 from sin_inn_tpu.core.checkpoint import CheckpointStore
 from sin_inn_tpu.core.config import FlowConfig, SRConfig
 from sin_inn_tpu.core.metrics import MetricsWriter
+from sin_inn_tpu.core.profiler import TraceWindow
 from sin_inn_tpu.core import rng as R
 from sin_inn_tpu.data import flow_media
 from sin_inn_tpu.data.flow_viz import flow_to_image
@@ -154,12 +155,16 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     # the train batches (the host has one core; re-gathering every print
     # cadence is wasted work)
     val_cached = val.device_cache(cfg.val_batch_size, mesh=mesh)
+    # --profile N: one jax.profiler trace of N post-warmup steps
+    tracer = TraceWindow(path.join(store.directory, "trace"),
+                         cfg.profile_steps)
     for epoch in range(start_epoch, cfg.epochs):
         for sup_batch in cached:
             unsup_batch = (place(
                 unsup.random_batch(sup_batch["hr"].shape[0]))
                 if use_tcr else None)
             state, aux = step(state, sup_batch, unsup_batch, step_key)
+            tracer.tick(aux["loss"])
             frames_done += int(sup_batch["hr"].shape[0])
 
         if (epoch + 1) % cfg.print_iter == 0 or epoch == cfg.epochs - 1:
@@ -196,6 +201,7 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
         if (epoch + 1) % cfg.save_iter == 0 or epoch == cfg.epochs - 1:
             store.save(epoch + 1, state)
 
+    tracer.close()
     writer.close()
     return {"state": state, "spec": spec, "metrics": last_metrics,
             "exp_dir": exp_dir}
@@ -350,11 +356,15 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     # identical, only the pairing randomness of the reference's reshuffling
     # DataLoader differs)
     cached = [place(b) for b in media.batches(cfg.batch)]
+    # --profile N: one jax.profiler trace of N post-warmup steps
+    tracer = TraceWindow(path.join(store.directory, "trace"),
+                         cfg.profile_steps)
     for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(cached))
         for bi in order:
             batch = cached[bi]
             state, m = step(state, consts, batch)
+            tracer.tick(m["loss"])
             frames_done += int(batch["frame1"].shape[0])
         if (epoch + 1) % cfg.effective_val_iter == 0 or epoch == cfg.epochs - 1:
             last = {k: float(v) for k, v in m.items()}
@@ -374,6 +384,7 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
             writer.log(epoch, last)
         if (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1:
             store.save(epoch + 1, state)
+    tracer.close()
     out = {"state": state, "spec": spec, "consts": consts,
            "ctrl_cfg": ctrl_cfg, "metrics": last, "scene": scene}
     if keep_writer:

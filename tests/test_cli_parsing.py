@@ -125,3 +125,10 @@ def test_resolve_producer_specs():
     assert fm.resolve_producer(fn) is fn
     with pytest.raises(ValueError, match="producer spec"):
         fm.resolve_producer("not-a-spec")
+
+
+def test_profile_flag():
+    a = parse(["sr", "train", "--profile", "5"])
+    assert cli.sr_config_from_args(a).profile_steps == 5
+    a = parse(["flow", "train", "--profile", "3"])
+    assert cli.flow_config_from_args(a).profile_steps == 3

@@ -228,21 +228,6 @@ def test_flow_loss_with_windowed_splat_close_to_exact(key, rng):
     assert float(l1) == pytest.approx(float(l2), rel=1e-3)
 
 
-def test_resample2d_fast_matches(rng):
-    from sin_inn_tpu.ops.warp import resample2d_fast
-
-    img = jnp.asarray(rng.rand(2, 10, 12, 3).astype(np.float32))
-    fl = jnp.asarray((rng.rand(2, 10, 12, 2) * 4 - 2).astype(np.float32))
-    np.testing.assert_allclose(np.asarray(resample2d_fast(img, fl, 5, 5)),
-                               np.asarray(resample2d(img, fl)), atol=1e-6)
-    g1 = jax.grad(lambda i, f: jnp.sum(resample2d(i, f) ** 2),
-                  argnums=(0, 1))(img, fl)
-    g2 = jax.grad(lambda i, f: jnp.sum(resample2d_fast(i, f, 5, 5) ** 2),
-                  argnums=(0, 1))(img, fl)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
-
-
 def test_splat_windowed_fused_backward_matches_autodiff():
     """Hand-derived gather backward == autodiff through the dense scan."""
     import jax

@@ -177,3 +177,24 @@ def test_metrics_writer_non_primary_is_noop(tmp_path):
     w.close()
     import os
     assert not os.path.exists(str(tmp_path / "m"))
+
+
+def test_flow_train_profile_trace(tmp_path, rng):
+    """--profile N writes a jax.profiler trace under <ckpt>/trace."""
+    import numpy as np
+    import os
+
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train.loop import run_flow_train
+
+    video = rng.rand(3, 12, 16, 3).astype(np.float32)
+    cfg = FlowConfig(net="RBF", num_frequencies=8, hidden_dim=16,
+                     num_layers=2, epochs=3, profile_steps=2,
+                     checkpoints_dir=str(tmp_path / "ckpt"),
+                     results_dir=str(tmp_path / "res"))
+    run_flow_train(cfg, media=FlowMedia(video), scene="prof")
+    trace_dir = tmp_path / "ckpt" / "prof" / "temp" / "trace"
+    assert trace_dir.is_dir()
+    found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert found, "no trace files written"
