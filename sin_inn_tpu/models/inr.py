@@ -50,13 +50,34 @@ def mlp_init(key, layers: List[int], dtype=jnp.float32) -> List[Dict]:
     return params
 
 
-def mlp_apply(params: List[Dict], x: jnp.ndarray) -> jnp.ndarray:
-    """Linear->ReLU chain, no activation after the last layer (model.py:36-43)."""
+def mlp_apply(params: List[Dict], x: jnp.ndarray,
+              compute_dtype: Optional[str] = None) -> jnp.ndarray:
+    """Linear->ReLU chain, no activation after the last layer (model.py:36-43).
+
+    ``compute_dtype='bfloat16'`` runs the whole chain (matmuls AND
+    activations) in bf16 with f32 master params and an f32 result — at INR
+    scale the (points, hidden) activations are the HBM traffic, so casting
+    per-matmul would not help. ``'float32_highest'`` forces true f32 (6-pass)
+    matmuls for strict parity runs; default is the TPU's standard
+    f32-in/bf16-pass matmul.
+    """
+    out_dtype = x.dtype
+    precision = None
+    cast = None
+    if compute_dtype in ("highest", "float32_highest"):
+        precision = jax.lax.Precision.HIGHEST
+    elif compute_dtype not in (None, "float32"):
+        cast = jnp.dtype(compute_dtype)
+        x = x.astype(cast)
     for i, layer in enumerate(params):
-        x = x @ layer["w"] + layer["b"]
+        w, b = layer["w"], layer["b"]
+        if cast is not None:
+            w = w.astype(cast)
+            b = b.astype(cast)
+        x = jnp.matmul(x, w, precision=precision) + b
         if i < len(params) - 1:
             x = jax.nn.relu(x)
-    return x
+    return x.astype(out_dtype)
 
 
 def siren_init(key, domain_dim: int, hidden: int, num_layers: int,
@@ -109,6 +130,9 @@ class INRSpec:
     hidden_dim: int
     num_layers: int
     output_channels: int
+    # MLP matmul/activation dtype: 'float32' (default bf16-pass matmuls),
+    # 'bfloat16' (explicit bf16 chain), 'float32_highest' (true f32)
+    compute_dtype: str = "float32"
 
 
 # name -> (kind, encoding, progressive)   (reference model_dict, model.py:681-684)
@@ -160,7 +184,8 @@ def build_inr(key: jax.Array, name: str, cfg: FlowConfig
 
     if kind == "mlp":
         spec = INRSpec(name, kind, None, d, d, False, cfg.hidden_dim,
-                       cfg.num_layers, cfg.output_channels)
+                       cfg.num_layers, cfg.output_channels,
+                       cfg.compute_dtype)
         mlp = mlp_init(key, [d] + [cfg.hidden_dim] * cfg.num_layers
                        + [cfg.output_channels])
         return spec, {"mlp": mlp}, {}
@@ -179,7 +204,8 @@ def build_inr(key: jax.Array, name: str, cfg: FlowConfig
     # Progressive models concatenate the raw coords (model.py:532-535,540-542)
     mask_dim = enc_ch + d if progressive else enc_ch
     spec = INRSpec(name, "encoded", encoding, d, mask_dim, progressive,
-                   cfg.hidden_dim, cfg.num_layers, cfg.output_channels)
+                   cfg.hidden_dim, cfg.num_layers, cfg.output_channels,
+                   cfg.compute_dtype)
     mlp = mlp_init(k_mlp, [mask_dim] + [cfg.hidden_dim] * cfg.num_layers
                    + [cfg.output_channels])
     return spec, {"mlp": mlp, "enc": enc_params}, {"enc": enc_consts}
@@ -219,4 +245,4 @@ def inr_apply(spec: INRSpec, params, consts, x: jnp.ndarray,
         code = code * alpha_mask(spec, alpha)
     if spec.kind == "siren":
         return siren_apply(params["mlp"], code)
-    return mlp_apply(params["mlp"], code)
+    return mlp_apply(params["mlp"], code, spec.compute_dtype)

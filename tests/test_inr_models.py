@@ -107,3 +107,45 @@ def test_polynomial_kernel_counts():
     x = jnp.asarray([[2.0, 3.0]])
     out = np.asarray(E.polynomial_apply({}, {"kernel": tuple(kern)}, x))
     assert sorted(out[0].tolist()) == [4.0, 6.0, 9.0]
+
+
+def test_mlp_compute_dtype_modes(key, rng):
+    """FlowConfig.compute_dtype now reaches the INR MLP: bf16 chain stays
+    close to f32, 'float32_highest' matches default f32 closely, and the
+    spec carries the mode."""
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.models.inr import build_inr, inr_apply
+
+    x = jnp.asarray(rng.rand(64, 3).astype(np.float32) * 2 - 1)
+    outs = {}
+    for cd in ("float32", "bfloat16", "float32_highest"):
+        cfg = FlowConfig(net="RBF", num_frequencies=8, hidden_dim=16,
+                         num_layers=2, compute_dtype=cd)
+        spec, params, consts = build_inr(key, "RBF", cfg)
+        assert spec.compute_dtype == cd
+        outs[cd] = np.asarray(inr_apply(spec, params, consts, x))
+        assert outs[cd].dtype == np.float32
+    np.testing.assert_allclose(outs["float32"], outs["float32_highest"],
+                               atol=1e-5)
+    np.testing.assert_allclose(outs["float32"], outs["bfloat16"],
+                               atol=0.05, rtol=0.1)
+
+
+def test_flow_step_bf16_descends(key, rng):
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train import flow as F
+
+    cfg = FlowConfig(net="RBF", num_frequencies=8, hidden_dim=16,
+                     num_layers=2, epochs=50, compute_dtype="bfloat16")
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    base = rng.rand(14, 18, 3).astype(np.float32)
+    batch = {"frame1": jnp.asarray(np.stack([base[:12, :16]] * 2)),
+             "frame2": jnp.asarray(np.stack([base[:12, 1:17]] * 2)),
+             "times": jnp.linspace(-1, 1, 2),
+             "scale": jnp.asarray(np.float32(16 / 5))}
+    losses = []
+    for _ in range(8):
+        state, m = step(state, consts, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
