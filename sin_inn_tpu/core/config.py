@@ -251,6 +251,10 @@ class FlowConfig:
             raise ValueError(f"edge_func must be 'exp' or 'gauss', got {self.edge_func}")
         if self.occl not in ("brox", "wang", None):
             raise ValueError(f"occl must be 'brox'|'wang'|None, got {self.occl}")
+        if self.splat_max_dx and not self.splat_max_dy:
+            raise ValueError(
+                "splat_max_dx requires splat_max_dy (the windowed metric "
+                "warps engage only with both bounds set)")
 
     @property
     def effective_val_iter(self) -> int:

@@ -83,7 +83,7 @@ class TraceWindow:
                 jax.profiler.start_trace(self.logdir)
                 self._active = True
                 self._start = self._i
-        elif self._i - self._start + 1 >= self.steps:
+        elif self._i - self._start >= self.steps:
             if sync_value is not None:
                 float(sync_value)
             jax.profiler.stop_trace()

@@ -254,6 +254,11 @@ def attach_pseudo_gt(media: FlowMedia, producer, out_dir: str) -> FlowMedia:
     except FileNotFoundError:
         flow = generate_pseudo_gt(media.video, producer, out_dir)
     media.flow = flow.astype(np.float32)
+    # producer flow is in pixels at the training resolution: the model's
+    # output scaling drops to 1 exactly like the reference after its RAFT
+    # pass (video-interpolation/data.py:64-65 ``self.flow_scale = 1``) and
+    # like our precomputed-flow clip path (load_video_clip above)
+    media.flow_scale = 1.0
     return media
 
 

@@ -108,11 +108,28 @@ def siren_init(key, domain_dim: int, hidden: int, num_layers: int,
 
 
 def siren_apply(params: List[Dict], x: jnp.ndarray,
-                omega0: float = 30.0) -> jnp.ndarray:
+                omega0: float = 30.0,
+                compute_dtype: Optional[str] = None) -> jnp.ndarray:
+    """Sine chain; same ``compute_dtype`` semantics as :func:`mlp_apply`."""
+    out_dtype = x.dtype
+    precision = None
+    cast = None
+    if compute_dtype in ("highest", "float32_highest"):
+        precision = jax.lax.Precision.HIGHEST
+    elif compute_dtype not in (None, "float32"):
+        cast = jnp.dtype(compute_dtype)
+        x = x.astype(cast)
+
+    def lin(x, layer):
+        w, b = layer["w"], layer["b"]
+        if cast is not None:
+            w = w.astype(cast)
+            b = b.astype(cast)
+        return jnp.matmul(x, w, precision=precision) + b
+
     for layer in params[:-1]:
-        x = jnp.sin(omega0 * (x @ layer["w"] + layer["b"]))
-    last = params[-1]
-    return x @ last["w"] + last["b"]
+        x = jnp.sin(omega0 * lin(x, layer))
+    return lin(x, params[-1]).astype(out_dtype)
 
 
 # --------------------------------------------------------------------------
@@ -192,7 +209,8 @@ def build_inr(key: jax.Array, name: str, cfg: FlowConfig
 
     if kind == "siren":
         spec = INRSpec(name, kind, None, d, d, False, cfg.hidden_dim,
-                       cfg.num_layers, cfg.output_channels)
+                       cfg.num_layers, cfg.output_channels,
+                       cfg.compute_dtype)
         mlp = siren_init(key, d, cfg.hidden_dim, cfg.num_layers,
                          cfg.output_channels)
         return spec, {"mlp": mlp}, {}
@@ -244,5 +262,6 @@ def inr_apply(spec: INRSpec, params, consts, x: jnp.ndarray,
     elif alpha is not None and spec.is_progressive and alpha < 1:
         code = code * alpha_mask(spec, alpha)
     if spec.kind == "siren":
-        return siren_apply(params["mlp"], code)
+        return siren_apply(params["mlp"], code,
+                           compute_dtype=spec.compute_dtype)
     return mlp_apply(params["mlp"], code, spec.compute_dtype)

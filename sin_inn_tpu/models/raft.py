@@ -411,7 +411,7 @@ def unpad(x: jnp.ndarray, pads) -> jnp.ndarray:
              l:x.shape[2] - r if r else None, :]
 
 
-def make_raft_producer(ckpt_path: str, iters: int = 20, batch: int = 1):
+def make_raft_producer(ckpt_path: str, iters: int = 20):
     """A pseudo-GT flow producer backed by this module.
 
     Returns a callable ``(frame1, frame2) -> (H, W, 2)`` (frames float [0,1])

@@ -246,19 +246,9 @@ def _splat_windowed_impl(values: jnp.ndarray, flow: jnp.ndarray,
             (0, y_idx, x_idx, 0))
         return out_pad, None
 
-    steps_r = h_pad // chunk
-    steps_c = w_pad // cw
-    steps = steps_r * steps_c
-    ys_idx = jnp.repeat(jnp.arange(steps_r, dtype=jnp.int32) * chunk, steps_c)
-    xs_idx = jnp.tile(jnp.arange(steps_c, dtype=jnp.int32) * cw, steps_r)
+    from sin_inn_tpu.ops.warp import _block_layout
 
-    def to_chunks(a):
-        # (N, H_pad, W_pad, ...) -> (steps, N, chunk*cw, ...)
-        rest = a.shape[3:]
-        a = a.reshape(n, steps_r, chunk, steps_c, cw, *rest)
-        a = jnp.moveaxis(a, 3, 2)                    # (n, sr, sc, chunk, cw)
-        return a.reshape(n, steps, chunk * cw, *rest).swapaxes(0, 1)
-
+    ys_idx, xs_idx, to_chunks, _ = _block_layout(n, h_pad, w_pad, chunk, cw)
     inputs = (ys_idx, xs_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
               to_chunks(ax), to_chunks(values))
     out_pad, _ = jax.lax.scan(block_step, out_pad, inputs)

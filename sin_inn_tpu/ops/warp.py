@@ -211,50 +211,85 @@ def resample2d_windowed(img: jnp.ndarray, flow: jnp.ndarray,
                                    col_chunk)
 
 
-def _resample_windowed_impl(img: jnp.ndarray, flow: jnp.ndarray,
-                            max_dy: int, chunk: int = 8,
-                            max_dx: int | None = None,
-                            col_chunk: int = 128) -> jnp.ndarray:
-    n, h, w, c = flow.shape[0], flow.shape[1], flow.shape[2], img.shape[3]
-    dtype = img.dtype
+def _resample_windowed_geometry(img, flow, max_dy, chunk, max_dx, col_chunk):
+    """Shared block geometry of the windowed resample fwd/bwd."""
+    n, h, w = flow.shape[0], flow.shape[1], flow.shape[2]
     h_pad = (h + chunk - 1) // chunk * chunk
     k = 2 * max_dy + chunk + 1
     if max_dx is None:
-        cw = w
-        kxw = w
-        w_pad = w
-        x_off = 0
+        cw, kxw, w_pad, x_off = w, w, w, 0
     else:
         cw = min(col_chunk, w)
         w_pad = (w + cw - 1) // cw * cw
         kxw = 2 * max_dx + cw + 1
         x_off = max_dx
+    return n, h, w, h_pad, k, cw, kxw, w_pad, x_off
+
+
+def _block_layout(n, h_pad, w_pad, chunk, cw):
+    """Row-chunk x column-block scan decomposition shared by the windowed
+    warp fwd/bwd (and the splat): per-block start indices plus converters
+    between (N, H_pad, W_pad, ...) arrays and (steps, N, chunk*cw, ...)
+    scan inputs / outputs."""
     steps_r = h_pad // chunk
     steps_c = w_pad // cw
     steps = steps_r * steps_c
+    ys_idx = jnp.repeat(jnp.arange(steps_r, dtype=jnp.int32) * chunk, steps_c)
+    xs_idx = jnp.tile(jnp.arange(steps_c, dtype=jnp.int32) * cw, steps_r)
 
+    def to_chunks(a):
+        rest = a.shape[3:]
+        a = a.reshape(n, steps_r, chunk, steps_c, cw, *rest)
+        a = jnp.moveaxis(a, 3, 2)
+        return a.reshape(n, steps, chunk * cw, *rest).swapaxes(0, 1)
+
+    def from_chunks(outs, trailing=()):
+        outs = outs.swapaxes(0, 1).reshape(n, steps_r, steps_c, chunk, cw,
+                                           *trailing)
+        return jnp.moveaxis(outs, 3, 2).reshape(n, h_pad, w_pad, *trailing)
+
+    return ys_idx, xs_idx, to_chunks, from_chunks
+
+
+def _resample_prep(img, flow, max_dy, chunk, max_dx, col_chunk):
+    """Shared fwd/bwd preamble: geometry, padded per-pixel target
+    decomposition under the reference normalization quirk
+    ((size-1)-normalized coords sampled align_corners=False =>
+    p = coord * size/(size-1) - 0.5, resample2d.py:52-72), and the padded
+    source image whose every block window is a static slice."""
+    (n, h, w, h_pad, k, cw, kxw, w_pad, x_off) = _resample_windowed_geometry(
+        img, flow, max_dy, chunk, max_dx, col_chunk)
+    dtype = img.dtype
     ys = jnp.arange(h, dtype=dtype)[None, :, None]
     xs = jnp.arange(w, dtype=dtype)[None, None, :]
-    # the reference quirk: (size-1)-normalized coords sampled with
-    # align_corners=False  =>  p = (coord) * size/(size-1) - 0.5
     px = (xs + flow[..., 0]) * (w / (w - 1)) - 0.5
     py = (ys + flow[..., 1]) * (h / (h - 1)) - 0.5
-
     r0 = jnp.floor(py)
     ay = py - r0
     c0 = jnp.floor(px)
     ax = px - c0
     if h_pad != h or w_pad != w:
         padder = ((0, 0), (0, h_pad - h), (0, w_pad - w))
-        r0 = jnp.pad(r0, padder, constant_values=-1e9)
+        r0 = jnp.pad(r0, padder, constant_values=-1e9)  # sentinel: dropped
         ay = jnp.pad(ay, padder)
         c0 = jnp.pad(c0, padder, constant_values=-1e9)
         ax = jnp.pad(ax, padder)
-
-    # source image, padded so every block's (K, KX) window is a static slice
     right_x = 0 if max_dx is None else (w_pad - w + x_off + 1)
     img_pad = jnp.pad(img, ((0, 0), (max_dy, h_pad - h + max_dy + chunk + 1),
                             (x_off, right_x), (0, 0)))
+    geom = (n, h, w, h_pad, k, cw, kxw, w_pad, x_off)
+    return geom, (r0, ay, c0, ax), img_pad
+
+
+def _resample_windowed_impl(img: jnp.ndarray, flow: jnp.ndarray,
+                            max_dy: int, chunk: int = 8,
+                            max_dx: int | None = None,
+                            col_chunk: int = 128) -> jnp.ndarray:
+    geom, (r0, ay, c0, ax), img_pad = _resample_prep(
+        img, flow, max_dy, chunk, max_dx, col_chunk)
+    n, h, w, h_pad, k, cw, kxw, w_pad, x_off = geom
+    c = img.shape[3]
+    dtype = img.dtype
 
     col_iota = jnp.arange(kxw, dtype=jnp.int32)[None, None, :]
     win_iota = jnp.arange(k, dtype=jnp.int32)[None, None, :]
@@ -289,35 +324,13 @@ def _resample_windowed_impl(img: jnp.ndarray, flow: jnp.ndarray,
                          tmp.reshape(n, -1, k, c)).astype(dtype)
         return out                                            # (N, X, C)
 
-    def to_chunks(a):
-        a = a.reshape(n, steps_r, chunk, steps_c, cw)
-        a = jnp.moveaxis(a, 3, 2)
-        return a.reshape(n, steps, chunk * cw).swapaxes(0, 1)
-
-    ys_idx = jnp.repeat(jnp.arange(steps_r, dtype=jnp.int32) * chunk, steps_c)
-    xs_idx = jnp.tile(jnp.arange(steps_c, dtype=jnp.int32) * cw, steps_r)
+    ys_idx, xs_idx, to_chunks, from_chunks = _block_layout(
+        n, h_pad, w_pad, chunk, cw)
     inputs = (ys_idx, xs_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
               to_chunks(ax))
     _, outs = jax.lax.scan(lambda _, inp: (None, block_out(*inp)),
                            None, inputs)                # (steps, N, X, C)
-    out = outs.swapaxes(0, 1).reshape(n, steps_r, steps_c, chunk, cw, c)
-    out = jnp.moveaxis(out, 3, 2).reshape(n, h_pad, w_pad, c)
-    return out[:, :h, :w]
-
-
-def _resample_windowed_geometry(img, flow, max_dy, chunk, max_dx, col_chunk):
-    """Shared block geometry of the windowed resample fwd/bwd."""
-    n, h, w = flow.shape[0], flow.shape[1], flow.shape[2]
-    h_pad = (h + chunk - 1) // chunk * chunk
-    k = 2 * max_dy + chunk + 1
-    if max_dx is None:
-        cw, kxw, w_pad, x_off = w, w, w, 0
-    else:
-        cw = min(col_chunk, w)
-        w_pad = (w + cw - 1) // cw * cw
-        kxw = 2 * max_dx + cw + 1
-        x_off = max_dx
-    return n, h, w, h_pad, k, cw, kxw, w_pad, x_off
+    return from_chunks(outs, (c,))[:, :h, :w]
 
 
 def _resample_windowed_bwd_flow(img, flow, g, max_dy, chunk, max_dx,
@@ -332,36 +345,16 @@ def _resample_windowed_bwd_flow(img, flow, g, max_dy, chunk, max_dx,
     matmuls + cheap reductions — vs autodiff's remat + two adjoint matmuls
     + one-hot rebuild transposes (41 -> ~29 ms fwd+grad at Sintel size).
     """
-    (n, h, w, h_pad, k, cw, kxw, w_pad, x_off) = _resample_windowed_geometry(
+    geom, (r0, ay, c0, ax), img_pad = _resample_prep(
         img, flow, max_dy, chunk, max_dx, col_chunk)
+    n, h, w, h_pad, k, cw, kxw, w_pad, x_off = geom
     c = img.shape[3]
     dtype = img.dtype
-    steps_r = h_pad // chunk
-    steps_c = w_pad // cw
-    steps = steps_r * steps_c
-
-    ys = jnp.arange(h, dtype=dtype)[None, :, None]
-    xs = jnp.arange(w, dtype=dtype)[None, None, :]
     sx = w / (w - 1)
     sy = h / (h - 1)
-    px = (xs + flow[..., 0]) * sx - 0.5
-    py = (ys + flow[..., 1]) * sy - 0.5
-    r0 = jnp.floor(py)
-    ay = py - r0
-    c0 = jnp.floor(px)
-    ax = px - c0
     g_p = g
     if h_pad != h or w_pad != w:
-        padder = ((0, 0), (0, h_pad - h), (0, w_pad - w))
-        r0 = jnp.pad(r0, padder, constant_values=-1e9)
-        ay = jnp.pad(ay, padder)
-        c0 = jnp.pad(c0, padder, constant_values=-1e9)
-        ax = jnp.pad(ax, padder)
-        g_p = jnp.pad(g, padder + ((0, 0),))
-
-    right_x = 0 if max_dx is None else (w_pad - w + x_off + 1)
-    img_pad = jnp.pad(img, ((0, 0), (max_dy, h_pad - h + max_dy + chunk + 1),
-                            (x_off, right_x), (0, 0)))
+        g_p = jnp.pad(g, ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
 
     col_iota = jnp.arange(kxw, dtype=jnp.int32)[None, None, :]
     win_iota = jnp.arange(k, dtype=jnp.int32)[None, None, :]
@@ -398,21 +391,13 @@ def _resample_windowed_bwd_flow(img, flow, g, max_dy, chunk, max_dx,
         d_ax = jnp.sum(g_r * vx, axis=-1).astype(dtype)
         return jnp.stack([d_ax, d_ay], axis=-1)              # (N, X, 2)
 
-    def to_chunks(a):
-        rest = a.shape[3:]
-        a = a.reshape(n, steps_r, chunk, steps_c, cw, *rest)
-        a = jnp.moveaxis(a, 3, 2)
-        return a.reshape(n, steps, chunk * cw, *rest).swapaxes(0, 1)
-
-    ys_idx = jnp.repeat(jnp.arange(steps_r, dtype=jnp.int32) * chunk, steps_c)
-    xs_idx = jnp.tile(jnp.arange(steps_c, dtype=jnp.int32) * cw, steps_r)
+    ys_idx, xs_idx, to_chunks, from_chunks = _block_layout(
+        n, h_pad, w_pad, chunk, cw)
     inputs = (ys_idx, xs_idx, to_chunks(r0), to_chunks(ay), to_chunks(c0),
               to_chunks(ax), to_chunks(g_p))
     _, outs = jax.lax.scan(lambda _, inp: (None, block_grads(*inp)),
                            None, inputs)
-    d = outs.swapaxes(0, 1).reshape(n, steps_r, steps_c, chunk, cw, 2)
-    d = jnp.moveaxis(d, 3, 2).reshape(n, h_pad, w_pad, 2)
-    d = d[:, :h, :w]
+    d = from_chunks(outs, (2,))[:, :h, :w]
     # chain rule through the reference normalization quirk
     return d * jnp.asarray([sx, sy], dtype)
 

@@ -276,15 +276,20 @@ def _scene_flow_dir(flow_dir, scene: str):
 def _maybe_pseudo_gt(cfg: FlowConfig, media, scene: str):
     """Attach producer-generated pseudo-GT flow when the media has no GT —
     the reference's pre-train RAFT pass (video-interpolation/data.py:32-62)
-    as a cached, pluggable pre-pass. Results land in a per-scene,
-    size-suffixed dir under checkpoints so train/test sizes don't collide
-    and reruns reuse the .flo files instead of recomputing."""
+    as a cached, pluggable pre-pass. The cache dir is keyed by scene, frame
+    size, frame sampling (step/end), and the producer spec, so reruns reuse
+    the .flo files while any change that alters the frame pairs or the
+    producer regenerates instead of silently loading stale flow."""
     if (media is None or not cfg.flow_producer
             or getattr(media, "gt_available", False)):
         return media
+    import hashlib
+
     producer = flow_media.resolve_producer(cfg.flow_producer)
+    key = f"{cfg.flow_producer}|step={cfg.step}|end={cfg.end}"
+    tag = hashlib.sha1(key.encode()).hexdigest()[:8]
     out = path.join(cfg.checkpoints_dir, "pseudo_gt",
-                    f"{scene}_h{media.video.shape[1]}")
+                    f"{scene}_h{media.video.shape[1]}_{tag}")
     return flow_media.attach_pseudo_gt(media, producer, out)
 
 

@@ -124,6 +124,27 @@ def test_flow_train_loop_with_pseudo_gt_producer(tmp_path, rng):
     out = run_flow_train(cfg, media=media, scene="prodscene")
     assert media.gt_available and media.flow.shape == (2, 12, 16, 2)
     assert np.allclose(media.flow[..., 0], 1.0)
+    # producer flow is pixel-space: model output scaling drops to 1 like the
+    # reference post-RAFT (data.py:64-65)
+    assert media.flow_scale == 1.0
     assert "epe" in out["metrics"]
-    flo_dir = tmp_path / "ckpt" / "pseudo_gt" / "prodscene_h12"
+    # cache dir is keyed by scene, size, sampling AND producer spec
+    import glob
+
+    (flo_dir,) = glob.glob(str(tmp_path / "ckpt" / "pseudo_gt"
+                               / "prodscene_h12_*"))
     assert sorted(os.listdir(flo_dir)) == ["frame_0001.flo", "frame_0002.flo"]
+    # a different producer spec must NOT reuse the cache
+    cfg2 = cfg.replace(flow_producer="py:flow_producer_helper:unit_flow",
+                       step=3)
+    from sin_inn_tpu.train.loop import _maybe_pseudo_gt
+
+    media2 = FlowMedia(video.copy())
+    _maybe_pseudo_gt(cfg2, media2, "prodscene")
+    assert len(glob.glob(str(tmp_path / "ckpt" / "pseudo_gt"
+                             / "prodscene_h12_*"))) == 2
+
+
+def test_flow_config_rejects_dx_without_dy():
+    with pytest.raises(ValueError, match="splat_max_dx"):
+        FlowConfig(splat_max_dx=64)

@@ -198,3 +198,31 @@ def test_flow_train_profile_trace(tmp_path, rng):
     assert trace_dir.is_dir()
     found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
     assert found, "no trace files written"
+
+
+def test_trace_window_counts_exactly_n(monkeypatch, tmp_path):
+    """TraceWindow traces exactly N steps after the warmup (regression for
+    an off-by-one that captured N-1)."""
+    import jax
+
+    from sin_inn_tpu.core.profiler import TraceWindow
+
+    events = []
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda d: events.append(("start",)))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: events.append(("stop",)))
+    for n in (1, 2, 5):
+        events.clear()
+        tw = TraceWindow(str(tmp_path), n, warmup=2)
+        traced = 0
+        for i in range(20):
+            before = tw._active
+            tw.tick()
+            if before and events and events[-1] != ("stop",):
+                traced += 1
+            elif before and events[-1] == ("stop",):
+                traced += 1
+        assert tw.done and events == [("start",), ("stop",)]
+        # steps traced = ticks between start (exclusive) and stop (inclusive)
+        assert traced == n, f"N={n}: traced {traced}"
