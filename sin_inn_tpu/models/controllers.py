@@ -258,9 +258,38 @@ def spatial_point_mask(cfg: SpatialConfig, state: SpatialState,
     'stash' reused by the loss scatter (:661)."""
     inds, alphas = _cell_interp(cfg, x)
     blurred = _box_blur_cells(cfg, state.mask)            # (cells, E)
-    gathered = blurred[inds]                              # (n, 2^d, E)
-    mask = jnp.einsum("ncd,nc->nd", gathered, alphas)
+    # accumulate corner-by-corner inside a fori_loop: a single
+    # blurred[inds] gather would materialize (n, 2^d, E) — 22 GB at Sintel
+    # scale (3x436x1024 points, E=515) — and an unrolled sum still lets XLA
+    # schedule all 2^d (n, E) gather temps concurrently (8 x 3.2 GB live).
+    # The loop carries one (n, E) accumulator and one gather at a time.
+    def corner_add(c, mask):
+        idx = jax.lax.dynamic_index_in_dim(inds, c, 1, keepdims=False)
+        al = jax.lax.dynamic_index_in_dim(alphas, c, 1, keepdims=True)
+        return mask + blurred[idx] * al
+
+    mask = jax.lax.fori_loop(
+        0, inds.shape[1], corner_add,
+        jnp.zeros((x.shape[0], cfg.encoding_dim), blurred.dtype))
     return mask, inds, alphas
+
+
+def _stash_ramp(cfg: SpatialConfig, state: SpatialState,
+                log_buffer: jnp.ndarray, log_counter: jnp.ndarray
+                ) -> SpatialState:
+    """Shared tail of the stash: store the accumulated buffers and ramp the
+    current block (update_mask :577-581)."""
+    it = state.iteration + 1
+    alpha = jnp.minimum(
+        1.0, 2.0 * (it % cfg.block_iterations) / cfg.block_iterations
+    ).astype(state.mask.dtype)
+    idx = jnp.arange(cfg.encoding_dim)[None, :]
+    in_window = (idx >= state.cur_block) & (idx < state.next_block)
+    can_ramp = (it < cfg.block_iterations * (cfg.num_blocks + 1))
+    ramp = in_window & state.in_progress[:, None] & can_ramp
+    mask = jnp.where(ramp, jnp.maximum(state.mask, alpha), state.mask)
+    return state._replace(mask=mask, log_buffer=log_buffer,
+                          log_counter=log_counter, iteration=it)
 
 
 def spatial_stash(cfg: SpatialConfig, state: SpatialState,
@@ -271,19 +300,78 @@ def spatial_stash(cfg: SpatialConfig, state: SpatialState,
     w = (point_loss[:, None] * alphas).reshape(-1)
     log_buffer = state.log_buffer.at[inds.reshape(-1)].add(w)
     log_counter = state.log_counter.at[inds.reshape(-1)].add(alphas.reshape(-1))
-    it = state.iteration + 1
+    return _stash_ramp(cfg, state, log_buffer, log_counter)
 
-    alpha = jnp.minimum(
-        1.0, 2.0 * (it % cfg.block_iterations) / cfg.block_iterations
-    ).astype(state.mask.dtype)
-    idx = jnp.arange(cfg.encoding_dim)[None, :]
-    in_window = (idx >= state.cur_block) & (idx < state.next_block)
-    can_ramp = (it < cfg.block_iterations * (cfg.num_blocks + 1))
-    ramp = in_window & state.in_progress[:, None] & can_ramp
-    mask = jnp.where(ramp, jnp.maximum(state.mask, alpha), state.mask)
 
-    return state._replace(mask=mask, log_buffer=log_buffer,
-                          log_counter=log_counter, iteration=it)
+# --------------------------------------------------------------------------
+# Regular-grid fast paths (the flow trainer's points are always the dense
+# (t, y, x) pose grid, so the multilinear weights factor per axis: per-point
+# gathers/scatters become three small separable contractions)
+# --------------------------------------------------------------------------
+
+def grid_axis_weights(cfg: SpatialConfig, coords: jnp.ndarray) -> jnp.ndarray:
+    """(n, res) dense multilinear weights for one axis — the separable
+    factor of :func:`_cell_interp`'s corner alphas (same lo/hi/clip math)."""
+    xs = ((coords + 1.0) / 2.0) * max(cfg.res - 2, 1) + 0.5
+    lo = jnp.floor(xs)
+    hi = jnp.ceil(xs + 1e-6)
+    r = jnp.arange(cfg.res, dtype=xs.dtype)[None, :]
+    return (jnp.where(r == jnp.clip(lo, 0, cfg.res - 1)[:, None],
+                      (hi - xs)[:, None], 0.0)
+            + jnp.where(r == jnp.clip(hi, 0, cfg.res - 1)[:, None],
+                        (xs - lo)[:, None], 0.0))
+
+
+def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
+                      times: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """:func:`spatial_point_mask` for the dense pose grid, gather-free.
+
+    The generic per-point path materializes 2^d (n, E) gather terms —
+    at Sintel scale (3x436x1024 points, E=515) that is 353 ms/step and
+    OOM-prone; here the same multilinear interpolation runs as three
+    separable contractions of the (res^3, E) blurred cell mask (~10 ms).
+    Returns the (B*H*W, E) mask in pose-grid row-major order.
+    """
+    if cfg.mask_dim != 3:
+        raise ValueError("spatial_grid_mask expects a (t, y, x) cell grid")
+    res, e = cfg.res, cfg.encoding_dim
+    # cell flat index = t + y*res + x*res^2  =>  grid dims [x, y, t]
+    blurred = _box_blur_cells(cfg, state.mask).reshape(res, res, res, e)
+    wt = grid_axis_weights(cfg, times)
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h))
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w))
+    g = jnp.einsum("bt,xytE->bxyE", wt, blurred)
+    g = jnp.einsum("hy,bxyE->bxhE", wy, g)
+    m = jnp.einsum("wx,bxhE->bhwE", wx, g)
+    return m.reshape(-1, e)
+
+
+def spatial_grid_update(cfg: SpatialConfig, state: SpatialState,
+                        point_loss: jnp.ndarray, times: jnp.ndarray,
+                        h: int, w: int) -> SpatialState:
+    """:func:`spatial_update` for the dense pose grid, scatter-free.
+
+    The cell accumulation of per-point losses is the ADJOINT of the
+    separable interpolation — three small matmuls instead of a 2^d * n
+    scatter-add (146 ms at Sintel scale); the visit-counter accumulation is
+    fully separable (outer product of the per-axis weight column sums).
+    """
+    b = times.shape[0]
+    loss = point_loss.reshape(b, h, w)
+    wt = grid_axis_weights(cfg, times).astype(loss.dtype)
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)).astype(loss.dtype)
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)).astype(loss.dtype)
+    l1 = jnp.einsum("bhw,hy->bwy", loss, wy)
+    l2 = jnp.einsum("bwy,wx->bxy", l1, wx)
+    buf_add = jnp.einsum("bxy,bt->xyt", l2, wt).reshape(-1)
+    cnt_add = jnp.einsum("x,y,t->xyt", wx.sum(0), wy.sum(0),
+                         wt.sum(0)).reshape(-1)
+    state = _stash_ramp(cfg, state, state.log_buffer + buf_add,
+                        state.log_counter + cnt_add)
+    do_progress = (state.iteration % cfg.block_iterations) == 0
+    return jax.lax.cond(do_progress,
+                        lambda s: spatial_progress(cfg, s),
+                        lambda s: s, state)
 
 
 def spatial_progress(cfg: SpatialConfig, state: SpatialState) -> SpatialState:

@@ -257,11 +257,22 @@ def inr_apply(spec: INRSpec, params, consts, x: jnp.ndarray,
               alpha: Optional[float] = None) -> jnp.ndarray:
     """encode -> mask -> MLP (model.py:95-99)."""
     code = get_encoding(spec, params, consts, x)
+    out_dtype = code.dtype
+    if spec.compute_dtype not in (None, "float32", "float32_highest",
+                                  "highest"):
+        # cast BEFORE the mask multiply: the (points, E) code and mask are
+        # the dominant HBM traffic at INR scale; mlp_apply's own cast would
+        # come one full read/write too late
+        code = code.astype(spec.compute_dtype)
+        if override_mask is not None:
+            override_mask = override_mask.astype(spec.compute_dtype)
     if override_mask is not None:
         code = code * override_mask
     elif alpha is not None and spec.is_progressive and alpha < 1:
         code = code * alpha_mask(spec, alpha)
     if spec.kind == "siren":
-        return siren_apply(params["mlp"], code,
-                           compute_dtype=spec.compute_dtype)
-    return mlp_apply(params["mlp"], code, spec.compute_dtype)
+        out = siren_apply(params["mlp"], code,
+                          compute_dtype=spec.compute_dtype)
+    else:
+        out = mlp_apply(params["mlp"], code, spec.compute_dtype)
+    return out.astype(out_dtype)

@@ -139,3 +139,39 @@ def test_fixed_spatial_gates_per_sample(key):
     assert prog[-1]             # high-loss sample still in progress
     mask = np.asarray(C.fixed_spatial_mask(cfg, state))
     assert mask.shape == (n, cfg.encoding_dim)
+
+
+def test_spatial_grid_paths_match_point_paths(key):
+    """The separable grid fast paths (spatial_grid_mask/update) must equal
+    the generic per-point gather/scatter paths on a dense pose grid."""
+    import numpy as np
+
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.models.inr import build_inr
+    from sin_inn_tpu.train.flow import pose_grid
+
+    cfg_f = FlowConfig(net="PFF", num_frequencies=6, hidden_dim=8,
+                       num_layers=2, spatially_adaptive=True)
+    spec, _, _ = build_inr(key, "PFF", cfg_f)
+    cfg = C.SpatialConfig.create(spec, res=5, block_iterations=4)
+    state = C.spatial_init(cfg)
+    # make the mask non-trivial so interpolation is exercised
+    state = state._replace(mask=state.mask.at[:, :].set(
+        jnp.linspace(0, 1, cfg.cells)[:, None]
+        * jnp.linspace(1, 0.5, cfg.encoding_dim)[None, :]))
+
+    b, h, w = 2, 7, 9
+    times = jnp.linspace(-1, 1, b)
+    pts = pose_grid(times, h, w).reshape(-1, 3)
+
+    m_pt, inds, alphas = C.spatial_point_mask(cfg, state, pts)
+    m_grid = C.spatial_grid_mask(cfg, state, times, h, w)
+    np.testing.assert_allclose(np.asarray(m_grid), np.asarray(m_pt),
+                               atol=1e-5)
+
+    pl = jnp.asarray(np.random.RandomState(0).rand(b * h * w)
+                     .astype(np.float32))
+    s_pt = C.spatial_update(cfg, state, pl, inds, alphas)
+    s_grid = C.spatial_grid_update(cfg, state, pl, times, h, w)
+    for a, bb in zip(s_pt, s_grid):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
