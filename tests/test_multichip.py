@@ -208,3 +208,39 @@ def test_sr_train_loop_dp_ragged_tcr(tmp_path):
     out = L.run_sr_train(cfg, video=video)
     assert np.isfinite(out["metrics"]["loss"])
     assert out["metrics"]["tcr"] != 0.0
+
+
+def test_flow_spatial_controller_step_dp_matches_single():
+    """The spatially-adaptive grid update (separable einsums over the
+    sharded batch axis) must produce the same controller state and loss
+    DP-sharded as on a single device."""
+    cfg = FlowConfig(net="PFF", num_frequencies=8, hidden_dim=16,
+                     num_layers=2, epochs=64, spatially_adaptive=True,
+                     spatial_res=4)
+    spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
+        jax.random.key(0), cfg)
+    rng = np.random.RandomState(2)
+    batch = {
+        "frame1": jnp.asarray(rng.rand(8, 8, 8, 3).astype(np.float32)),
+        "frame2": jnp.asarray(rng.rand(8, 8, 8, 3).astype(np.float32)),
+        "times": jnp.linspace(-1, 1, 8, dtype=jnp.float32),
+        "scale": jnp.asarray(1.6, jnp.float32),
+    }
+    step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    sstate1, m1 = step(state, consts, batch)
+
+    # the step donates its state: rebuild an identical one for the mesh run
+    _, state_b, _, _, _ = FT.create_flow_state(jax.random.key(0), cfg)
+    mesh = make_mesh(data=8, model=1)
+    step2 = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    with mesh:
+        pstate = place_state(mesh, state_b)
+        pbatch = place_batch(mesh, batch)
+        sstate2, m2 = step2(pstate, consts, pbatch)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-3)
+    np.testing.assert_allclose(np.asarray(sstate2.ctrl_state.log_buffer),
+                               np.asarray(sstate1.ctrl_state.log_buffer),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sstate2.ctrl_state.mask),
+                               np.asarray(sstate1.ctrl_state.mask),
+                               atol=1e-5)
