@@ -360,9 +360,10 @@ def main():
             bw = max(args.width // 4 // 8 * 8, 8)
             base_small = bench_torch_cpu_baseline(bh, bw)
             if base_small:
-                # >=40 chained steps: the tiny shape leaves the relay's
-                # ~1.6 ms/call dispatch visible at short chains
-                tpu_small = bench_tpu(1, bh, bw, max(args.steps, 40))
+                # >=100 chained steps: the tiny shape leaves the relay's
+                # ~1.6 ms/call dispatch visible at short chains, and a
+                # longer chain cuts run-to-run ratio noise (still <1 s)
+                tpu_small = bench_tpu(1, bh, bw, max(args.steps, 100))
                 vs_baseline = tpu_small / base_small
         except Exception as e:  # noqa: BLE001 - bench must still report
             print(f"baseline failed: {e}", file=sys.stderr)
