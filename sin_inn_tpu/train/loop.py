@@ -23,6 +23,7 @@ from sin_inn_tpu.core import compile_cache
 from sin_inn_tpu.core.checkpoint import CheckpointStore
 from sin_inn_tpu.core.config import FlowConfig, SRConfig
 from sin_inn_tpu.core.metrics import MetricsWriter
+from sin_inn_tpu.core.preempt import GracefulStop
 from sin_inn_tpu.core.profiler import TraceWindow
 from sin_inn_tpu.core import rng as R
 from sin_inn_tpu.data import flow_media
@@ -158,6 +159,8 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     # --profile N: one jax.profiler trace of N post-warmup steps
     tracer = TraceWindow(path.join(store.directory, "trace"),
                          cfg.profile_steps)
+    # SIGTERM/SIGINT -> finish the epoch, checkpoint, return (preemption)
+    stop = GracefulStop().install()
     for epoch in range(start_epoch, cfg.epochs):
         for sup_batch in cached:
             unsup_batch = (place(
@@ -198,9 +201,15 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
                 time.time() - t0, 1e-9)
             writer.log(epoch, last_metrics)
 
-        if (epoch + 1) % cfg.save_iter == 0 or epoch == cfg.epochs - 1:
+        saved = (epoch + 1) % cfg.save_iter == 0 or epoch == cfg.epochs - 1
+        if saved:
             store.save(epoch + 1, state)
+        if stop:
+            if not saved:
+                store.save(epoch + 1, state)
+            break
 
+    stop.restore()
     tracer.close()
     writer.close()
     return {"state": state, "spec": spec, "metrics": last_metrics,
@@ -364,6 +373,8 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     # --profile N: one jax.profiler trace of N post-warmup steps
     tracer = TraceWindow(path.join(store.directory, "trace"),
                          cfg.profile_steps)
+    # SIGTERM/SIGINT -> finish the epoch, checkpoint, return (preemption)
+    stop = GracefulStop().install()
     for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(cached))
         for bi in order:
@@ -387,8 +398,14 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                     n += nb
                 last["val_epe"] = float(epe_sum) / max(n, 1)
             writer.log(epoch, last)
-        if (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1:
+        saved = (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1
+        if saved:
             store.save(epoch + 1, state)
+        if stop:
+            if not saved:
+                store.save(epoch + 1, state)
+            break
+    stop.restore()
     tracer.close()
     out = {"state": state, "spec": spec, "consts": consts,
            "ctrl_cfg": ctrl_cfg, "metrics": last, "scene": scene}

@@ -226,3 +226,56 @@ def test_trace_window_counts_exactly_n(monkeypatch, tmp_path):
         assert tw.done and events == [("start",), ("stop",)]
         # steps traced = ticks between start (exclusive) and stop (inclusive)
         assert traced == n, f"N={n}: traced {traced}"
+
+
+def test_graceful_stop_catches_sigterm():
+    import os
+    import signal
+
+    from sin_inn_tpu.core.preempt import GracefulStop
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with GracefulStop() as stop:
+        assert not stop
+        os.kill(os.getpid(), signal.SIGTERM)
+        for _ in range(100):      # pending signals run between bytecodes
+            if stop:
+                break
+        assert stop
+    # prior handler restored
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_flow_train_loop_checkpoints_on_preemption(tmp_path, rng, monkeypatch):
+    """A stop request mid-run makes the loop checkpoint the CURRENT epoch
+    and return early — no work lost to the save cadence."""
+    import numpy as np
+
+    from sin_inn_tpu.core.checkpoint import CheckpointStore
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train import loop as L
+
+    class FakeStop:
+        def __init__(self):
+            self.checks = 0
+
+        def install(self):
+            return self
+
+        def restore(self):
+            pass
+
+        def __bool__(self):
+            self.checks += 1
+            return self.checks >= 3          # request stop at epoch 3
+
+    monkeypatch.setattr(L, "GracefulStop", FakeStop)
+    video = rng.rand(3, 12, 16, 3).astype(np.float32)
+    cfg = FlowConfig(net="RBF", num_frequencies=8, hidden_dim=16,
+                     num_layers=2, epochs=500,   # save cadence = every 5
+                     checkpoints_dir=str(tmp_path / "ckpt"),
+                     results_dir=str(tmp_path / "res"))
+    L.run_flow_train(cfg, media=FlowMedia(video), scene="pre")
+    store = CheckpointStore(L.flow_ckpt_dir(cfg, "pre"))
+    assert store.latest_step() == 3
