@@ -309,6 +309,8 @@ def main():
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--arch", choices=["SRF", "IRN"], default="SRF",
+                    help="SR architecture to benchmark")
     ap.add_argument("--net", default="RBF")
     ap.add_argument("--splat-max-dy", type=int, default=None,
                     help="enable the windowed matmul splat in the flow bench")
@@ -346,7 +348,8 @@ def main():
         }))
         return
 
-    fps = bench_tpu(args.batch, args.height, args.width, args.steps)
+    fps = bench_tpu(args.batch, args.height, args.width, args.steps,
+                    arch=args.arch)
 
     vs_baseline = 0.0
     if not args.no_baseline:

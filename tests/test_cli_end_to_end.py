@@ -102,3 +102,31 @@ def test_flow_train_and_test_cli_flow(tmp_path, monkeypatch):
     assert path.basename(res["occl_path"]).startswith("occl_")
     meta = json.load(open(path.join(cfg.results_dir, "flow_scene_a_t.json")))
     assert meta["frames"] == res["num_frames"] > 0
+
+
+def test_flow_sintel_submission_writer(tmp_path, monkeypatch):
+    """`flow sintel` (reference main.py:109-130): one trained scene ->
+    sintel_submission/<pass>/<scene>/frame_%04d.flo at frame resolution."""
+    import imageio.v2 as io
+
+    from sin_inn_tpu.data.flo import read_flo
+
+    monkeypatch.chdir(tmp_path)
+    root = tmp_path / "final"
+    scene_dir = root / "alley_9"
+    scene_dir.mkdir(parents=True)
+    frames = (moving_texture_video(3, 12, 16) * 255).astype(np.uint8)
+    for i, f in enumerate(frames):
+        io.imwrite(str(scene_dir / f"frame_{i+1:04d}.png"), f)
+
+    cfg = FlowConfig(input_video=str(scene_dir), name="sub_final", size=12,
+                     test_size=12, net="RBF", num_frequencies=8,
+                     hidden_dim=16, num_layers=2, epochs=2, batch=2,
+                     results_dir=str(tmp_path / "results"),
+                     checkpoints_dir=str(tmp_path / "ckpt"))
+    L.run_flow_train(cfg)
+    L.run_flow_sintel(cfg, outroot=str(tmp_path / "sintel_submission"))
+    out = tmp_path / "sintel_submission" / "final" / "alley_9"
+    flos = sorted(os.listdir(out))
+    assert flos == ["frame_0001.flo", "frame_0002.flo"]
+    assert read_flo(str(out / flos[0])).shape == (12, 16, 2)
