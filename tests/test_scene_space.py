@@ -135,3 +135,40 @@ def test_gather_denoises_independent_noise(rng):
     err_in = float(np.abs(noisy[0] - clean).mean())
     err_out = float(np.abs(out - clean).mean())
     assert err_out < err_in
+
+
+def test_scene_space_cli_ops_end_to_end(tmp_path, rng):
+    """Drive the scene-space CLI ops (wrapper.py:332-361 equivalents) on a
+    synthetic processed-COLMAP dir: depth_information, reproject, gather."""
+    import argparse
+    import os
+
+    import imageio.v2 as io
+
+    from sin_inn_tpu.scene_space.cli import run
+
+    poses, bds, imgs, depths = _identity_scene(n=3, h=8, w=10)
+    scene = tmp_path / "dense"
+    (scene / "images").mkdir(parents=True)
+    (scene / "stereo" / "depth_maps").mkdir(parents=True)
+    arr = np.concatenate([poses.reshape(3, -1), bds], axis=1)
+    np.save(str(scene / "poses_bounds.npy"), arr)
+    for i in range(3):
+        io.imwrite(str(scene / "images" / f"im_{i:04d}.png"),
+                   (imgs[i] * 255).astype(np.uint8))
+        with open(scene / "stereo" / "depth_maps"
+                  / f"im_{i:04d}.geometric.bin", "wb") as f:
+            f.write(b"10&8&1&")
+            depths[i].tofile(f)
+
+    out = tmp_path / "out"
+    for op in ("depth_information", "reproject", "gather"):
+        run(argparse.Namespace(operation=op, scene_dir=str(scene),
+                               out=str(out), frame=0, patch=3))
+    assert os.path.exists(out / "reproject_000.png")
+    assert os.path.exists(out / "gather_000.png")
+    # identity views + constant depth: the gather preserves the image
+    # (a few frustum-border pixels deviate; compare the robust median)
+    got = io.imread(str(out / "gather_000.png")).astype(np.float32) / 255.0
+    err = np.abs(got - imgs[0])
+    assert np.median(err) < 0.02 and err.mean() < 0.08
