@@ -190,8 +190,14 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
 
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
-               splat_max_dy=None, splat_chunk: int = 2, splat_max_dx=None):
-    """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size."""
+               splat_max_dy=64, splat_chunk: int = 2, splat_max_dx=128,
+               compute_dtype: str = "bfloat16"):
+    """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size.
+
+    Defaults to the tuned fast path (windowed splat + windowed metric warps
+    + bf16 INR — all verified to train identically to the exact ops); pass
+    ``splat_max_dy=None`` for the exact-scatter configuration.
+    """
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
     import jax
@@ -202,7 +208,9 @@ def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
     from sin_inn_tpu.train import flow as FT
 
     cfg = FlowConfig(net=net, epochs=5000, splat_max_dy=splat_max_dy,
-                     splat_chunk=splat_chunk, splat_max_dx=splat_max_dx)
+                     splat_chunk=splat_chunk,
+                     splat_max_dx=splat_max_dx if splat_max_dy else None,
+                     compute_dtype=compute_dtype)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         jax.random.key(0), cfg)
     step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
@@ -312,18 +320,22 @@ def main():
     ap.add_argument("--arch", choices=["SRF", "IRN"], default="SRF",
                     help="SR architecture to benchmark")
     ap.add_argument("--net", default="RBF")
-    ap.add_argument("--splat-max-dy", type=int, default=None,
-                    help="enable the windowed matmul splat in the flow bench")
+    ap.add_argument("--splat-max-dy", type=int, default=64,
+                    help="windowed-splat row bound; 0 = exact scatter ops")
     ap.add_argument("--splat-chunk", type=int, default=2)
-    ap.add_argument("--splat-max-dx", type=int, default=None,
-                    help="with --splat-max-dy: column-windowed metric warps")
+    ap.add_argument("--splat-max-dx", type=int, default=128,
+                    help="column-windowed metric warp bound (needs dy)")
+    ap.add_argument("--flow-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="flow INR compute dtype")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     if args.pipeline == "flow":
+        dy = args.splat_max_dy or None
         fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net,
-                         args.splat_max_dy, args.splat_chunk,
-                         args.splat_max_dx)
+                         dy, args.splat_chunk, args.splat_max_dx,
+                         args.flow_dtype)
         vs_baseline = 0.0
         if not args.no_baseline:
             try:
@@ -334,9 +346,9 @@ def main():
                 base = bench_torch_cpu_flow_baseline(bh, bw)
                 if base:
                     tpu_small = bench_flow(1, bh, bw, max(args.steps, 40),
-                                           args.net, args.splat_max_dy,
-                                           args.splat_chunk,
-                                           args.splat_max_dx)
+                                           args.net, dy, args.splat_chunk,
+                                           args.splat_max_dx,
+                                           args.flow_dtype)
                     vs_baseline = tpu_small / base
             except Exception as e:  # noqa: BLE001 - bench must still report
                 print(f"flow baseline failed: {e}", file=sys.stderr)
