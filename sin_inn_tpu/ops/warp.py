@@ -221,6 +221,12 @@ def _resample_windowed_geometry(img, flow, max_dy, chunk, max_dx, col_chunk):
     else:
         cw = min(col_chunk, w)
         w_pad = (w + cw - 1) // cw * cw
+        # NOTE kxw = cw + 2*max_dx would suffice (max tap index is
+        # cw + 2*max_dx - 1) and makes the contraction lane-exact (512 vs
+        # 513->640 padded) — but MEASURED SLOWER: 17.9 vs 13.0 ms fwd /
+        # 42.8 vs 30.8 ms fwd+grad at Sintel size (the odd 513 evidently
+        # gets a better XLA window tiling than the power-of-two 512).
+        # Keep the +1.
         kxw = 2 * max_dx + cw + 1
         x_off = max_dx
     return n, h, w, h_pad, k, cw, kxw, w_pad, x_off
