@@ -63,16 +63,20 @@ def build_flow_model(key: jax.Array, cfg: FlowConfig):
     return spec, params, consts, ctrl_cfg, ctrl_state
 
 
-def pose_grid(times: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """(B,) frame times -> (B, H, W, 3) of (t, y, x) in [-1,1]^3
-    (trainer.py:37-43)."""
+def pose_grid(times: jnp.ndarray, h: int, w: int,
+              domain_dim: int = 3) -> jnp.ndarray:
+    """(B,) frame times -> (B, H, W, d) of (t, y, x) in [-1,1]^3
+    (trainer.py:37-43), or (y, x) for 2-D-domain nets (the reference
+    pair_flow.py experiment trains single pairs with domain_dim=2)."""
     ys = jnp.linspace(-1.0, 1.0, h)
     xs = jnp.linspace(-1.0, 1.0, w)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     b = times.shape[0]
-    t = jnp.broadcast_to(times[:, None, None], (b, h, w))
     gy = jnp.broadcast_to(gy[None], (b, h, w))
     gx = jnp.broadcast_to(gx[None], (b, h, w))
+    if domain_dim == 2:
+        return jnp.stack([gy, gx], axis=-1)
+    t = jnp.broadcast_to(times[:, None, None], (b, h, w))
     return jnp.stack([t, gy, gx], axis=-1)
 
 
@@ -80,16 +84,23 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
                  times: jnp.ndarray, h: int, w: int, scale: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """INR -> (flow12, flow21) NHWC, each (B, H, W, 2) (trainer.py:37-45)."""
-    pts = pose_grid(times, h, w).reshape(-1, spec.domain_dim)
+    pts = pose_grid(times, h, w, spec.domain_dim).reshape(
+        -1, spec.domain_dim)
     stash = {}
     mask = None
     if ctrl_state is not None:
         if isinstance(ctrl_state, ctrl.SpatialState):
-            # the trainer's points are always the dense pose grid: use the
-            # separable gather-free mask (353 -> ~10 ms at Sintel scale;
-            # spatial_point_mask stays for arbitrary point sets)
-            mask = jax.lax.stop_gradient(
-                ctrl.spatial_grid_mask(ctrl_cfg, ctrl_state, times, h, w))
+            if ctrl_cfg.mask_dim == 3:
+                # the trainer's points are always the dense pose grid: use
+                # the separable gather-free mask (353 -> ~10 ms at Sintel
+                # scale; spatial_point_mask stays for arbitrary point sets)
+                mask = ctrl.spatial_grid_mask(ctrl_cfg, ctrl_state, times,
+                                              h, w)
+            else:   # 2-D domain (pair experiment): generic point path
+                mask, inds, alphas = ctrl.spatial_point_mask(
+                    ctrl_cfg, ctrl_state, pts)
+                stash = {"inds": inds, "alphas": alphas}
+            mask = jax.lax.stop_gradient(mask)
         else:
             mask = jax.lax.stop_gradient(ctrl.linear_mask(ctrl_state))
     out = inr_apply(spec, params, consts, pts, override_mask=mask)
@@ -221,10 +232,15 @@ def make_flow_train_step(spec: INRSpec, cfg: FlowConfig, ctrl_cfg, tx):
         ctrl_state = state.ctrl_state
         if ctrl_state is not None:
             if isinstance(ctrl_state, ctrl.SpatialState):
-                _, h, w, _ = batch["frame1"].shape
-                ctrl_state = ctrl.spatial_grid_update(
-                    ctrl_cfg, ctrl_state, aux["point_loss"],
-                    batch["times"], h, w)
+                if ctrl_cfg.mask_dim == 3:
+                    _, h, w, _ = batch["frame1"].shape
+                    ctrl_state = ctrl.spatial_grid_update(
+                        ctrl_cfg, ctrl_state, aux["point_loss"],
+                        batch["times"], h, w)
+                else:
+                    ctrl_state = ctrl.spatial_update(
+                        ctrl_cfg, ctrl_state, aux["point_loss"],
+                        aux["stash"]["inds"], aux["stash"]["alphas"])
             else:
                 ctrl_state = ctrl.linear_update(ctrl_cfg, ctrl_state,
                                                 aux["loss"])

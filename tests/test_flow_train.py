@@ -148,3 +148,35 @@ def test_flow_train_loop_with_pseudo_gt_producer(tmp_path, rng):
 def test_flow_config_rejects_dx_without_dy():
     with pytest.raises(ValueError, match="splat_max_dx"):
         FlowConfig(splat_max_dx=64)
+
+
+def test_flow_step_2d_domain_pair(key, rng):
+    """The reference pair_flow.py experiment config: domain_dim=2 nets
+    train on a single pair (pose grid drops the time coordinate)."""
+    cfg = FlowConfig(net="PRBF", domain_dim=2, num_frequencies=8,
+                     hidden_dim=16, num_layers=2, epochs=40)
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    assert spec.domain_dim == 2
+    step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    batch = synthetic_batch(rng, b=1)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, consts, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_flow_step_2d_domain_spatial_controller(key, rng):
+    """2-D domain + spatially-adaptive controller falls back to the
+    generic per-point mask/stash path (mask grid is res^2)."""
+    cfg = FlowConfig(net="PFF", domain_dim=2, num_frequencies=6,
+                     hidden_dim=16, num_layers=2, epochs=40,
+                     spatially_adaptive=True, spatial_res=4)
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    assert ctrl_cfg.mask_dim == 2
+    step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    batch = synthetic_batch(rng, b=1, h=8, w=8)
+    for _ in range(3):
+        state, m = step(state, consts, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.ctrl_state.iteration) >= 1
