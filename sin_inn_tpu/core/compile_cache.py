@@ -22,6 +22,22 @@ def enable(cache_dir: str | None = None) -> bool:
     env = os.environ.get("SININN_COMPILE_CACHE")
     if env == "0":
         return False
+    # CPU-only runs (tests, the driver's virtual-device dryrun) skip the
+    # persistent cache: XLA:CPU entries are AOT-compiled against the HOST
+    # machine's features, so a cache shared across machines can SIGILL on
+    # load ("Machine type used for XLA:CPU compilation doesn't match..."),
+    # and CPU compiles don't pay the TPU relay's 60-70 s anyway.
+    if (os.environ.get("JAX_PLATFORMS", "") == "cpu"
+            or "xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", "")):
+        return False
+    try:
+        import jax
+
+        if jax.config.jax_platforms == "cpu":
+            return False
+    except Exception:
+        pass
     cache_dir = cache_dir or env or os.path.join(
         os.path.expanduser("~"), ".cache", "sin_inn_tpu", "xla")
     try:
