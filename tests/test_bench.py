@@ -1,0 +1,48 @@
+"""Smoke coverage for the driver-facing bench harness (bench.py).
+
+The driver records BENCH_r{N}.json from `python bench.py`; these tests pin
+that the harness itself keeps working: the TPU-side step runs (on the
+forced-CPU test backend), both torch-CPU replicas produce finite warm
+throughputs, and the flow path accepts the tuned defaults.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_tpu_step_runs_tiny(bench):
+    fps = bench.bench_tpu(1, 24, 40, steps=2)
+    assert np.isfinite(fps) and fps > 0
+
+
+def test_bench_torch_sr_baseline(bench):
+    fps = bench.bench_torch_cpu_baseline(24, 40)
+    assert fps is not None and np.isfinite(fps) and fps > 0
+
+
+def test_bench_torch_flow_baseline(bench):
+    fps = bench.bench_torch_cpu_flow_baseline(16, 24)
+    assert fps is not None and np.isfinite(fps) and fps > 0
+
+
+def test_bench_flow_tuned_defaults_run(bench):
+    # the shipped defaults (windowed splat/warps + bf16 INR) at toy size;
+    # window bounds larger than the image degenerate to exact ops
+    fps = bench.bench_flow(1, 16, 24, steps=1, net="RBF",
+                           splat_max_dy=8, splat_max_dx=8)
+    assert np.isfinite(fps) and fps > 0
