@@ -102,6 +102,13 @@ def sr_config_from_args(a) -> SRConfig:
     )
 
 
+def _splat_bound(s: str):
+    """'auto' | 'off' | int for the splat window flags."""
+    if s in ("auto", "off"):
+        return s
+    return int(s)
+
+
 def _flow_parser(sub):
     ap = sub.add_parser("flow", help="INR optical flow / video interpolation")
     ap.add_argument("operation",
@@ -138,12 +145,14 @@ def _flow_parser(sub):
     ap.add_argument("--num-layers", type=int, default=3)
     ap.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16", "float32_highest"])
-    ap.add_argument("--splat-max-dy", type=int, default=None,
-                    help="enable the windowed MATMUL splat, |dy|<=N px")
+    ap.add_argument("--splat-max-dy", type=_splat_bound, default="auto",
+                    help="windowed MATMUL splat row bound |dy|<=N px: "
+                         "'auto' (default, size-scaled), 'off' (exact "
+                         "scatter), or an int")
     ap.add_argument("--splat-chunk", type=int, default=2)
-    ap.add_argument("--splat-max-dx", type=int, default=None,
-                    help="with --splat-max-dy: column-windowed metric warps,"
-                         " |dx|<=N px")
+    ap.add_argument("--splat-max-dx", type=_splat_bound, default="auto",
+                    help="column bound |dx|<=N px for the windowed metric "
+                         "warps: 'auto', 'off', or an int")
     ap.add_argument("--splat-col-chunk", type=int, default=256)
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--distributed", action="store_true")

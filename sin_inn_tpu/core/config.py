@@ -211,17 +211,23 @@ class FlowConfig:
     random_seed: int = 0
     # Windowed matmul splat: bounds |flow_y| taps to +-splat_max_dy px and
     # replaces the TPU scatter with dense MXU contractions; its backward is
-    # the hand-derived 4-tap gather adjoint (ops/splat.py). None = exact
-    # scatter. Full step at Sintel size: 4.3 f/s exact -> 12.3 f/s windowed.
-    splat_max_dy: Optional[int] = None
+    # the hand-derived 4-tap gather adjoint (ops/splat.py). 'auto' (default)
+    # derives a size-scaled bound at train time — see resolve_splat_bounds —
+    # so the tuned path is the out-of-the-box configuration (the exact
+    # scatter runs 4.3 f/s at Sintel size vs ~15 windowed); None/'off' =
+    # exact scatter; an int pins the bound. The train loop monitors the
+    # max |flow| each save cadence and warns LOUDLY when flows exceed the
+    # window (out-of-window taps are dropped, like the reference's
+    # out-of-frame taps).
+    splat_max_dy: "Optional[int] | str" = "auto"
     splat_chunk: int = 2          # 2 measured fastest with the fused backward
                               # (56/59/64 ms fwd+grad at chunk 2/4/8)
     # Horizontal window bound |flow_x| <= splat_max_dx for the METRIC WARPS
     # (resample2d_windowed with the fused backward: 48 -> 31 ms fwd+grad per
     # direction at Sintel size). Requires splat_max_dy. The splat itself
     # stays exact in x (its 2D-windowed variant measured SLOWER — strided
-    # carry updates). None = exact warps.
-    splat_max_dx: Optional[int] = None
+    # carry updates). 'auto' (default) = size-scaled; None/'off' = exact.
+    splat_max_dx: "Optional[int] | str" = "auto"
     splat_col_chunk: int = 256    # column block for the windowed warp
     resample_chunk: int = 8       # row chunk for the windowed warp
 
@@ -251,10 +257,50 @@ class FlowConfig:
             raise ValueError(f"edge_func must be 'exp' or 'gauss', got {self.edge_func}")
         if self.occl not in ("brox", "wang", None):
             raise ValueError(f"occl must be 'brox'|'wang'|None, got {self.occl}")
-        if self.splat_max_dx and not self.splat_max_dy:
+        for name in ("splat_max_dy", "splat_max_dx"):
+            v = getattr(self, name)
+            if isinstance(v, str) and v not in ("auto", "off"):
+                raise ValueError(f"{name} must be an int, 'auto', 'off' or "
+                                 f"None, got {v!r}")
+        if (self._bound_off(self.splat_max_dy)
+                and isinstance(self.splat_max_dx, int)
+                and self.splat_max_dx > 0):
+            # 'auto' dx with dy off is fine (it resolves to None); only an
+            # explicit dx int contradicts a disabled dy
             raise ValueError(
                 "splat_max_dx requires splat_max_dy (the windowed metric "
                 "warps engage only with both bounds set)")
+
+    @staticmethod
+    def _bound_off(v) -> bool:
+        return v is None or v == "off" or v == 0
+
+    def resolve_splat_bounds(self, h: int, w: int) -> "FlowConfig":
+        """Materialize 'auto' window bounds for a known frame size.
+
+        Called by the train drivers once the media is loaded. 'auto' picks
+        ceil(dim/8) rounded up to a multiple of 16 (Sintel 436x1024 ->
+        dy=64, dx=128 — exactly the bounds measured fastest, CLAUDE.md) and
+        falls back to the exact scatter for frames under 128 px (windowing
+        buys nothing when the window covers most of the image). Idempotent
+        for already-integer bounds.
+        """
+        def auto(dim):
+            eighth = -(-dim // 8)                       # ceil(dim / 8)
+            return max(16, (eighth + 15) // 16 * 16)    # to multiple of 16
+
+        dy, dx = self.splat_max_dy, self.splat_max_dx
+        if dy == "auto":
+            dy = None if min(h, w) < 128 else auto(h)
+        elif self._bound_off(dy):
+            dy = None
+        if dx == "auto":
+            dx = None if dy is None else auto(w)
+        elif self._bound_off(dx):
+            dx = None
+        if dy is None:
+            dx = None
+        return self.replace(splat_max_dy=dy, splat_max_dx=dx)
 
     @property
     def effective_val_iter(self) -> int:

@@ -12,8 +12,9 @@ which XLA lowers to a deterministic sorted scatter on TPU — unlike CUDA
 story SURVEY §5 asks for). Gradients come from JAX autodiff of the scatter:
 the VJP of scatter-add w.r.t. values is exactly the 4-tap gather the
 reference's ``updateGradInput`` kernel hand-implements, and the flow gradient
-(product rule through the bilinear weights) matches ``updateGradFlow``. A
-Pallas fast path lives in ``sin_inn_tpu.ops.pallas.splat``.
+(product rule through the bilinear weights) matches ``updateGradFlow``. The
+fast path is :func:`splat_windowed` below — the scatter reformulated as
+windowed dense MXU matmuls with a hand-derived gather backward.
 
 Modes reproduce ``FunctionSoftsplat`` (softsplat.py:334-359):
   summation | average | linear | softmax.

@@ -65,6 +65,41 @@ def _project(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ij,...j->...i", mat, pts)
 
 
+def project_bounding_boxes(poses: np.ndarray, bds: np.ndarray, h: int,
+                           w: int, patch: int = 3,
+                           ref_frame: int = 0) -> jnp.ndarray:
+    """2-D (depth-free) candidate bounding boxes — the live portion of the
+    reference's 2D variant (gather_2d_torch.py:16-118).
+
+    Unlike :func:`gather_scene` (the 3D path, gather_3d.py), no per-candidate
+    depth is used: the reference-frame patch-frustum corners are lifted with
+    their homogeneous 1/z coordinate only (gather_2d_torch.py:48-49),
+    projected into every view (:95-96), rounded and clamped (:96-98), and
+    reduced to per-pixel (y_min, x_min, y_max, x_max) boxes (:101-104). The
+    rest of the reference file is commented-out WIP; its intended candidate
+    gather over these boxes is exactly ``gather_scene``'s candidate-grid step
+    (gather.py steps 3-6), which is why the full 2D pipeline is subsumed by
+    the 3D path (see tests/test_scene_space.py::test_2d_boxes_*).
+
+    Returns (N, h, w, 4) float boxes.
+    """
+    K, K_inv, c2w, w2c = unpack_matrices(poses)
+    near, far = float(bds.min()), float(bds.max())
+    corners = pack_frustum_corners(h, w, near, far, patch)      # (h,w,8,4)
+
+    # lift via c2w @ K_inv, keeping homogeneous coords (no near/far scaling
+    # — gather_2d_torch.py:48-49, the 2D variant's defining difference)
+    c2wK = jnp.asarray(c2w[ref_frame] @ K_inv)
+    scene = _project(c2wK, corners)                             # (h,w,8,4)
+
+    Kw2c = jnp.asarray(K[None] @ w2c)                           # (N,4,4)
+    cam = jax.vmap(lambda M: _project(M, scene))(Kw2c)          # (N,h,w,8,4)
+    cam = cam / cam[..., 2:3]
+    cy = jnp.clip(jnp.round(cam[..., 0]), 0, h - 1)
+    cx = jnp.clip(jnp.round(cam[..., 1]), 0, w - 1)
+    return jnp.stack([cy.min(-1), cx.min(-1), cy.max(-1), cx.max(-1)], -1)
+
+
 def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
                  bds: np.ndarray, patch: int = 3,
                  sigma: Tuple[float, ...] = (40, 40, 40, 10, 10, 10, 6),

@@ -118,6 +118,10 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     torch parity harness can pin the loss math against an independent
     re-derivation of the reference formulas with fixed flows."""
     b, h, w, _ = frame1.shape
+    if isinstance(cfg.splat_max_dy, str) or isinstance(cfg.splat_max_dx, str):
+        # 'auto' bounds not yet materialized by the driver: resolve here —
+        # h/w are static under jit, so this costs nothing
+        cfg = cfg.resolve_splat_bounds(h, w)
     # Forward-splat each frame toward the other (trainer.py:61-68). For the
     # Wang occlusion case the range map (splat of ones along the same flow,
     # occlusions.py:29-104) shares ONE pass with the softmax splat. The two
@@ -178,6 +182,15 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     aux = {"loss": loss, "l1": l1, "census": census, "ssim": ssim,
            "smooth": smooth,
            "psnr": L.psnr(jnp.clip(softmax2, 0, 1), frame2)}
+
+    if cfg.splat_max_dy:
+        # window-violation monitor: taps beyond the window are DROPPED, so
+        # the train loop warns loudly when the flow outgrows the bound
+        # (stop_gradient: metrics only)
+        af = jax.lax.stop_gradient(
+            jnp.maximum(jnp.abs(flow12), jnp.abs(flow21)))
+        aux["flow_max_x"] = jnp.max(af[..., 0])
+        aux["flow_max_y"] = jnp.max(af[..., 1])
 
     # Per-point photometric error map for the spatial controller: the
     # intended spatially-resolved signal behind net.stash_iteration(loss)
