@@ -235,6 +235,10 @@ class FlowConfig:
     results_dir: str = "results"
     checkpoints_dir: str = "checkpoints"
     compute_dtype: str = "float32"
+    # fused Pallas region-scatter kernel for the windowed softmax splat
+    # (ops/pallas/splat.py; needs both window bounds): 'auto' (on TPU),
+    # 'on', 'off'
+    use_pallas: str = "auto"
     data_axis: str = "data"       # mesh axis pixel/frame grid is sharded over
     # Multi-chip: shard the frame-pair batch over `data` (SP-analog for this
     # workload, SURVEY §2.5). None = all visible devices when >1; 1 = off.

@@ -1,0 +1,260 @@
+"""Fused Pallas TPU kernel for the forward (softmax) splat.
+
+TPU-native replacement for the reference's ``updateOutput`` CUDA scatter
+kernel (/root/reference/video-interpolation/my_utils/softsplat.py:108-135).
+The XLA windowed-matmul splat (ops/splat.py ``splat_windowed``) already
+replaces the scatter with dense MXU contractions, but measures only
+~50 TFLOP/s: its (X, K*C) a-buffer and one-hots round-trip HBM, and the
+K*C=435->512 lane padding wastes MXU cycles (CLAUDE.md round-2
+measurements; the round-2 verdict asked for exactly this kernel).
+
+**Region-scatter decomposition.** The grid runs over OUTPUT tiles of
+B x CB = 128 x 128 pixels. Every source pixel's taps land in exactly one
+output tile (tiles partition the image), so each grid step computes its
+tile completely — no scatter, no carry, no cross-step accumulation:
+
+  1. DMA the (SH, SW) = (B + 2*max_dy, CB + 2*max_dx) source window of
+     ``values`` and ``flow`` (channel-planar layout) into VMEM — for
+     |flow| <= bound - 1 every contributing pixel lies in this window;
+  2. per window row, build transposed one-hot weights in VMEM — row
+     weights w1T (128, SW) and column weights cxT (128, SW), a VPU iota
+     compare, never touching HBM — and the channel-slab operand
+     vw1T = concat_c(w1T * v_c) of shape (C*128, SW);
+  3. accumulate acc += vw1T @ cxT^T on the MXU into a (C*128, 128) VMEM
+     accumulator. With B = CB = 128 every slab is exactly one lane tile:
+     zero padding waste, and the channel concat is 128-aligned (the
+     misaligned-concat Mosaic blocker recorded in coupling3x3.py never
+     arises).
+
+FLOPs drop too: SH*SW per source pixel-channel vs the row-windowed XLA
+form's (2dy+chunk)*W — 1.35x fewer at Sintel 436x1024 (dy=64, dx=128).
+
+Semantics: matches ``splat_scatter`` exactly for |flow_y| <= max_dy - 1
+and |flow_x| <= max_dx - 1; farther taps are dropped (the windowed-drop
+contract of ``splat_windowed``, monitored loudly by the train loop).
+The backward is the hand-derived 4-tap gather adjoint
+(ops/splat.py:272-336) with this kernel's tile-anchored window masks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # Pallas is TPU/Mosaic-only; CPU tests run in interpret mode
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_B = 128     # output-tile rows (== one lane tile per channel slab)
+_CB = 128    # output-tile cols (accumulator lane dim)
+
+
+def _region_kernel(v_ref, fl_ref, out_ref, v_s, fl_s, acc_s, sem,
+                   *, H, W, B, CB, SH, SW, RC, dy, dx, C):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    # ---- DMA the channel-planar source window into VMEM ----
+    cp_v = pltpu.make_async_copy(
+        v_ref.at[n, :, pl.ds(i * B, SH), pl.ds(j * CB, SW)], v_s, sem.at[0])
+    cp_f = pltpu.make_async_copy(
+        fl_ref.at[n, :, pl.ds(i * B, SH), pl.ds(j * CB, SW)], fl_s,
+        sem.at[1])
+    cp_v.start()
+    cp_f.start()
+    cp_v.wait()
+    cp_f.wait()
+
+    acc_s[:] = jnp.zeros_like(acc_s)
+
+    # absolute output row/col per one-hot lane, + static image-bound masks:
+    # the bilinear weight of lane k for a pixel targeting o is the hat
+    # function relu(1 - |o - k|) — it produces BOTH taps ((1-a) at floor(o),
+    # a at floor(o)+1) in one expression, no floor/compares needed.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    krow = (sub + i * B).astype(jnp.float32)                 # (128, 1)
+    kcol = (sub + j * CB).astype(jnp.float32)
+    row_ok = jnp.where(krow <= H - 1.0, 1.0, 0.0)
+    col_ok = jnp.where(kcol <= W - 1.0, 1.0, 0.0)
+    xs0 = jax.lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+
+    def chunk(ck, _):
+        rows_v = []
+        rows_c = []
+        for r in range(RC):
+            row = ck * RC + r
+            fy = fl_s[1, pl.ds(row, 1), :]                   # (1, SW)
+            fx = fl_s[0, pl.ds(row, 1), :]
+            y_abs = (i * B - dy + row).astype(jnp.float32)
+            oy = y_abs + fy
+            ox = (xs0 + j * CB - dx).astype(jnp.float32) + fx
+            w1 = jnp.maximum(1.0 - jnp.abs(oy - krow), 0.0) * row_ok
+            cx = jnp.maximum(1.0 - jnp.abs(ox - kcol), 0.0) * col_ok
+            vw1 = jnp.concatenate(
+                [w1 * v_s[c, pl.ds(row, 1), :] for c in range(C)],
+                axis=0)                                      # (C*128, SW)
+            rows_v.append(vw1)
+            rows_c.append(cx)
+        big_v = jnp.concatenate(rows_v, axis=1)              # (C*128, RC*SW)
+        big_c = jnp.concatenate(rows_c, axis=1)              # (128, RC*SW)
+        acc_s[:] += jax.lax.dot_general(
+            big_v, big_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (C*128, 128)
+        return 0
+
+    jax.lax.fori_loop(0, SH // RC, chunk, 0)
+    out_ref[0, 0] = acc_s[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _splat_region_call(values: jnp.ndarray, flow: jnp.ndarray,
+                       max_dy: int, max_dx: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Run the region-scatter kernel. values: (N, H, W, C) f32;
+    flow: (N, H, W, 2) pixel displacements (dx, dy). Returns (N, H, W, C).
+    """
+    n, h, w, c = values.shape
+    B, CB = _B, _CB
+    hb = -(-h // B)
+    wb = -(-w // CB)
+    RC = 4
+    # |fy| <= dy-1 puts every tap's source row within [tile - dy,
+    # tile + B - 1 + dy]: SH = B + 2*dy exactly (8-aligned for dy % 4 == 0,
+    # else padded up with inert zero rows); columns likewise, padded to a
+    # lane multiple for the aligned row concat.
+    sh = -(-(B + 2 * max_dy) // 8) * 8
+    sw = -(-(CB + 2 * max_dx) // 128) * 128
+
+    # pad so every tile's window is an in-bounds slice; zero padding is
+    # inert (contributions are v-weighted and pad v = 0)
+    top = max_dy
+    bot = (hb - 1) * B + sh - (h + top)
+    left = max_dx
+    right = (wb - 1) * CB + sw - (w + left)
+    # channel-planar layout so scratch windows tile (rows, cols) cleanly
+    v_pad = jnp.pad(values.transpose(0, 3, 1, 2),
+                    ((0, 0), (0, 0), (top, bot), (left, right)))
+    f_pad = jnp.pad(flow.transpose(0, 3, 1, 2),
+                    ((0, 0), (0, 0), (top, bot), (left, right)))
+
+    kern = functools.partial(_region_kernel, H=h, W=w, B=B, CB=CB, SH=sh,
+                             SW=sw, RC=RC, dy=max_dy, dx=max_dx, C=c)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, hb, c * B, wb * CB),
+                                       values.dtype),
+        grid=(n, hb, wb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, 1, c * B, CB),
+                               lambda n_, i, j: (n_, i, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, sh, sw), jnp.float32),
+            pltpu.VMEM((2, sh, sw), jnp.float32),
+            pltpu.VMEM((c * B, CB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(v_pad, f_pad)
+
+    # (N, HB, C, B, WB*CB) -> (N, HB*B, WB*CB, C) -> crop
+    out = out.reshape(n, hb, c, B, wb * CB).transpose(0, 1, 3, 4, 2)
+    return out.reshape(n, hb * B, wb * CB, c)[:, :h, :w]
+
+
+def pallas_splat_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward + the 4-tap gather adjoint backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def splat_region(max_dy: int, max_dx: int, interpret: bool,
+                 values: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    return _splat_region_call(values, flow, max_dy, max_dx, interpret)
+
+
+def _splat_region_fwd(max_dy, max_dx, interpret, values, flow):
+    return (_splat_region_call(values, flow, max_dy, max_dx, interpret),
+            (values, flow))
+
+
+def _splat_region_bwd(max_dy, max_dx, interpret, res, g):
+    """4-tap gather adjoint (the reference's updateGradInput/updateGradFlow
+    kernels as pure gathers — see ops/splat.py:272-336) with THIS kernel's
+    tile-anchored window masks: a tap at absolute (rt, ct) was counted iff
+    its source pixel lies inside the window of the tile containing the tap,
+    i.e. y in [tile(rt) - (dy+1), tile(rt) + SH - 1] and likewise in x."""
+    from sin_inn_tpu.ops.warp import _gather_2d
+
+    values, flow = res
+    n, h, w, c = values.shape
+    dtype = values.dtype
+    B, CB = _B, _CB
+    RC = 4
+    sh = -(-(B + 2 * max_dy) // 8) * 8
+    sw = -(-(CB + 2 * max_dx) // 128) * 128
+
+    ys = jnp.arange(h, dtype=dtype)[None, :, None]
+    xs = jnp.arange(w, dtype=dtype)[None, None, :]
+    ox = xs + flow[..., 0]
+    oy = ys + flow[..., 1]
+    r0 = jnp.floor(oy)
+    ay = oy - r0
+    c0 = jnp.floor(ox)
+    ax = ox - c0
+
+    d_values = jnp.zeros_like(values)
+    d_ax = jnp.zeros((n, h, w), dtype)
+    d_ay = jnp.zeros((n, h, w), dtype)
+
+    for dyt, dxt in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        ri = r0 + dyt
+        ci = c0 + dxt
+        tile_r = jnp.floor(ri / B) * B          # tap's tile row origin
+        tile_c = jnp.floor(ci / CB) * CB
+        valid = ((ri >= 0) & (ri <= h - 1) & (ci >= 0) & (ci <= w - 1)
+                 & (ys >= tile_r - max_dy) & (ys <= tile_r - max_dy + sh - 1)
+                 & (xs >= tile_c - max_dx)
+                 & (xs <= tile_c - max_dx + sw - 1))
+        g_tap = _gather_2d(g, jnp.clip(ci, 0, w - 1).astype(jnp.int32),
+                           jnp.clip(ri, 0, h - 1).astype(jnp.int32))
+        g_tap = g_tap * valid.astype(dtype)[..., None]
+        wy = ay if dyt else (1.0 - ay)
+        wx = ax if dxt else (1.0 - ax)
+        d_values = d_values + (wy * wx)[..., None] * g_tap
+        gv = jnp.sum(g_tap * values, axis=-1)
+        d_ax = d_ax + (wy if dxt else -wy) * gv
+        d_ay = d_ay + (wx if dyt else -wx) * gv
+
+    return d_values, jnp.stack([d_ax, d_ay], axis=-1)
+
+
+splat_region.defvjp(_splat_region_fwd, _splat_region_bwd)
+
+
+def softsplat_region_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
+                                   metric: jnp.ndarray, max_dy: int,
+                                   max_dx: int, interpret: bool = False):
+    """softsplat_with_coverage on the Pallas region kernel (softmax mode:
+    softsplat.py:334-359 packing, shared coverage channel)."""
+    e = jnp.exp(metric)
+    ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
+    cat = jnp.concatenate([inp * e, e, ones], axis=-1)
+    out = splat_region(max_dy, max_dx, interpret, cat, flow)
+    num = out[..., :-2]
+    den = out[..., -2:-1]
+    coverage = out[..., -1:]
+    soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
+    return soft, jax.lax.stop_gradient(coverage)

@@ -145,7 +145,15 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     metric2 = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
 
     if cfg.occl == "wang":
-        if cfg.splat_max_dy:
+        from sin_inn_tpu.ops.pallas.splat import (
+            pallas_splat_available, softsplat_region_with_coverage)
+        use_pal = (cfg.use_pallas == "on"
+                   or (cfg.use_pallas == "auto" and pallas_splat_available()))
+        if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
+            # fused Pallas region-scatter kernel (2D-windowed; both bounds)
+            splat_fn = lambda f, fl, m: softsplat_region_with_coverage(
+                f, fl, m, cfg.splat_max_dy, cfg.splat_max_dx)
+        elif cfg.splat_max_dy:
             splat_fn = lambda f, fl, m: softsplat_windowed_with_coverage(
                 f, fl, m, cfg.splat_max_dy, cfg.splat_chunk)
         else:

@@ -325,9 +325,23 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     media = _maybe_pseudo_gt(cfg, media, scene)
     val_media = media if same else _maybe_pseudo_gt(cfg, val_media, scene)
     # materialize 'auto' splat-window bounds now that the frame size is known
-    # (the tuned windowed path is the default — VERDICT r2 weak #1)
+    # (the tuned windowed path is the default — VERDICT r2 weak #1). When
+    # GT/pseudo-GT flow exists, probe its magnitude and tighten the bounds
+    # to 1.5x the observed max (rounded up to 16) — smaller windows shrink
+    # the dense splat/warp contractions quadratically; the per-save-cadence
+    # monitor warns loudly if training flow ever outgrows them.
     fh, fw = media.video.shape[1:3]
+    was_auto = cfg.splat_max_dy == "auto"
     cfg = cfg.resolve_splat_bounds(fh, fw)
+    if (was_auto and getattr(media, "gt_available", False)
+            and media.flow is not None
+            and isinstance(cfg.splat_max_dy, int)):
+        to16 = lambda v: max(16, int(-(-(1.5 * float(v)) // 16) * 16))
+        probe_dx = to16(np.abs(media.flow[..., 0]).max())
+        probe_dy = to16(np.abs(media.flow[..., 1]).max())
+        cfg = cfg.replace(splat_max_dy=min(cfg.splat_max_dy, probe_dy),
+                          splat_max_dx=min(cfg.splat_max_dx, probe_dx)
+                          if cfg.splat_max_dx is not None else None)
     key = R.root_key(cfg.random_seed)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         R.named_fold(key, "init"), cfg)

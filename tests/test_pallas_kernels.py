@@ -270,3 +270,57 @@ def test_banded_3x3_coupling_matches_xla():
                 np.asarray(gp_p[sub][conv]["w"]),
                 np.asarray(gr_p[sub][conv]["w"]),
                 rtol=5e-4, atol=5e-5, err_msg=f"inv {sub}.{conv}.w")
+
+
+# ---------------------------------------------------------------------------
+# Region-scatter splat kernel (ops/pallas/splat.py)
+# ---------------------------------------------------------------------------
+
+def test_splat_region_matches_exact_scatter(rng):
+    """Pallas region-scatter forward == the exact scatter for in-window
+    flows (|fy| <= dy-1, |fx| <= dx-1)."""
+    from sin_inn_tpu.ops.splat import splat_scatter
+    from sin_inn_tpu.ops.pallas.splat import _splat_region_call
+
+    n, h, w, c = 2, 40, 50, 5
+    v = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    fl = jnp.asarray((rng.rand(n, h, w, 2) * 10 - 5).astype(np.float32))
+    ref = splat_scatter(v, fl)
+    got = _splat_region_call(v, fl, 8, 8, INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_splat_region_gradients_match_exact(rng):
+    """custom_vjp (4-tap gather adjoint with tile-anchored masks) == autodiff
+    of the exact scatter for in-window flows."""
+    from sin_inn_tpu.ops.splat import splat_scatter
+    from sin_inn_tpu.ops.pallas.splat import splat_region
+
+    n, h, w, c = 2, 40, 50, 3
+    v = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    fl = jnp.asarray((rng.rand(n, h, w, 2) * 10 - 5).astype(np.float32))
+    l_ref = lambda v_, f_: jnp.sum(jnp.sin(splat_scatter(v_, f_) * 3))
+    l_pal = lambda v_, f_: jnp.sum(jnp.sin(
+        splat_region(8, 8, INTERPRET, v_, f_) * 3))
+    gr = jax.grad(l_ref, (0, 1))(v, fl)
+    gp = jax.grad(l_pal, (0, 1))(v, fl)
+    for a, b in zip(gr, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_softsplat_region_with_coverage_matches_xla(rng):
+    """softmax-mode packing + coverage on the region kernel == the scatter
+    version (the train-step call shape)."""
+    from sin_inn_tpu.ops.splat import softsplat_with_coverage
+    from sin_inn_tpu.ops.pallas.splat import softsplat_region_with_coverage
+
+    n, h, w = 2, 30, 40
+    img = jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32))
+    fl = jnp.asarray((rng.rand(n, h, w, 2) * 6 - 3).astype(np.float32))
+    metric = jnp.asarray(-rng.rand(n, h, w, 1).astype(np.float32))
+    ref, cov_ref = softsplat_with_coverage(img, fl, metric)
+    got, cov = softsplat_region_with_coverage(img, fl, metric, 6, 6,
+                                              interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_ref),
+                               atol=1e-5)
