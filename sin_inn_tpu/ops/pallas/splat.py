@@ -191,53 +191,22 @@ def _splat_region_fwd(max_dy, max_dx, interpret, values, flow):
 
 
 def _splat_region_bwd(max_dy, max_dx, interpret, res, g):
-    """4-tap gather adjoint (the reference's updateGradInput/updateGradFlow
-    kernels as pure gathers — see ops/splat.py:272-336) with THIS kernel's
-    tile-anchored window masks: a tap at absolute (rt, ct) was counted iff
-    its source pixel lies inside the window of the tile containing the tap,
-    i.e. y in [tile(rt) - (dy+1), tile(rt) + SH - 1] and likewise in x."""
-    from sin_inn_tpu.ops.warp import _gather_2d
+    """Gather adjoint on the fused Pallas gather kernel: the reference's
+    updateGradInput/updateGradFlow CUDA kernels (softsplat.py:139-177) are,
+    as pure functions, bilinear gathers of the output cotangent along the
+    same flow — so d_values is the gather kernel's forward (A = g) and the
+    flow grads are its derivative-one-hot pass with payload = values,
+    both in one grads-mode call (raw coordinates, no resample quirk).
+
+    Window anchoring: the gather masks taps by the SOURCE pixel's tile
+    window, the forward by the TAP's tile window — identical whenever
+    |flow| respects the bound (the windowed-drop contract); only
+    out-of-contract taps may differ, mirroring ops/splat.py:272-336."""
+    from sin_inn_tpu.ops.pallas.gather import _gather_region_call, _RAW
 
     values, flow = res
-    n, h, w, c = values.shape
-    dtype = values.dtype
-    B, CB = _B, _CB
-    RC = 4
-    sh = -(-(B + 2 * max_dy) // 8) * 8
-    sw = -(-(CB + 2 * max_dx) // 128) * 128
-
-    ys = jnp.arange(h, dtype=dtype)[None, :, None]
-    xs = jnp.arange(w, dtype=dtype)[None, None, :]
-    ox = xs + flow[..., 0]
-    oy = ys + flow[..., 1]
-    r0 = jnp.floor(oy)
-    ay = oy - r0
-    c0 = jnp.floor(ox)
-    ax = ox - c0
-
-    d_values = jnp.zeros_like(values)
-    d_ax = jnp.zeros((n, h, w), dtype)
-    d_ay = jnp.zeros((n, h, w), dtype)
-
-    for dyt, dxt in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        ri = r0 + dyt
-        ci = c0 + dxt
-        tile_r = jnp.floor(ri / B) * B          # tap's tile row origin
-        tile_c = jnp.floor(ci / CB) * CB
-        valid = ((ri >= 0) & (ri <= h - 1) & (ci >= 0) & (ci <= w - 1)
-                 & (ys >= tile_r - max_dy) & (ys <= tile_r - max_dy + sh - 1)
-                 & (xs >= tile_c - max_dx)
-                 & (xs <= tile_c - max_dx + sw - 1))
-        g_tap = _gather_2d(g, jnp.clip(ci, 0, w - 1).astype(jnp.int32),
-                           jnp.clip(ri, 0, h - 1).astype(jnp.int32))
-        g_tap = g_tap * valid.astype(dtype)[..., None]
-        wy = ay if dyt else (1.0 - ay)
-        wx = ax if dxt else (1.0 - ax)
-        d_values = d_values + (wy * wx)[..., None] * g_tap
-        gv = jnp.sum(g_tap * values, axis=-1)
-        d_ax = d_ax + (wy if dxt else -wy) * gv
-        d_ay = d_ay + (wx if dyt else -wx) * gv
-
+    d_values, d_ax, d_ay = _gather_region_call(
+        g, flow, values, max_dy, max_dx, _RAW, True, interpret)
     return d_values, jnp.stack([d_ax, d_ay], axis=-1)
 
 

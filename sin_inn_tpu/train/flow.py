@@ -133,7 +133,17 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     # (48 -> 31 ms fwd+grad per direction at Sintel size; row-window-only
     # was measured a wash — autodiff ~3.1x fwd — so it needs splat_max_dx
     # to engage; the image-grad branch DCEs since the frames are constant).
-    if cfg.splat_max_dy and cfg.splat_max_dx:
+    from sin_inn_tpu.ops.pallas.splat import (
+        pallas_splat_available, softsplat_region_with_coverage)
+    use_pal = (cfg.use_pallas == "on"
+               or (cfg.use_pallas == "auto" and pallas_splat_available()))
+    if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
+        # fused Pallas windowed gather (fwd + analytic flow-grad in one
+        # grads-mode kernel call; image-grad adjoint DCEs — gather.py)
+        from sin_inn_tpu.ops.pallas.gather import resample2d_region
+        warp = lambda im, fl: resample2d_region(
+            cfg.splat_max_dy, cfg.splat_max_dx, False, im, fl)
+    elif cfg.splat_max_dy and cfg.splat_max_dx:
         warp = lambda im, fl: resample2d_windowed(
             im, fl, cfg.splat_max_dy, cfg.resample_chunk,
             cfg.splat_max_dx, cfg.splat_col_chunk)
@@ -145,10 +155,6 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     metric2 = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
 
     if cfg.occl == "wang":
-        from sin_inn_tpu.ops.pallas.splat import (
-            pallas_splat_available, softsplat_region_with_coverage)
-        use_pal = (cfg.use_pallas == "on"
-                   or (cfg.use_pallas == "auto" and pallas_splat_available()))
         if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
             # fused Pallas region-scatter kernel (2D-windowed; both bounds)
             splat_fn = lambda f, fl, m: softsplat_region_with_coverage(

@@ -324,3 +324,42 @@ def test_softsplat_region_with_coverage_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_ref),
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Windowed gather kernel (ops/pallas/gather.py)
+# ---------------------------------------------------------------------------
+
+def test_resample_region_matches_resample2d(rng):
+    """Pallas gather forward == the exact resample2d (incl. the (size-1)
+    normalization quirk) for in-window flows."""
+    from sin_inn_tpu.ops.warp import resample2d
+    from sin_inn_tpu.ops.pallas.gather import resample2d_region
+
+    n, h, w, c = 2, 40, 50, 3
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    fl = jnp.asarray((rng.rand(n, h, w, 2) * 10 - 5).astype(np.float32))
+    ref = resample2d(img, fl)
+    got = resample2d_region(8, 8, INTERPRET, img, fl)
+    # the kernel computes p = (x+f)*s - 0.5 in one step vs the reference's
+    # normalize/denormalize chain: f32 coordinate rounding, not kernel error
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_resample_region_gradients_match(rng):
+    """Fused analytic backward (derivative one-hots + splat adjoint) ==
+    autodiff of the exact resample2d, for BOTH img and flow."""
+    from sin_inn_tpu.ops.warp import resample2d
+    from sin_inn_tpu.ops.pallas.gather import resample2d_region
+
+    n, h, w, c = 2, 40, 50, 3
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    fl = jnp.asarray((rng.rand(n, h, w, 2) * 10 - 5).astype(np.float32))
+    l_ref = lambda im, f_: jnp.sum(jnp.sin(resample2d(im, f_) * 3))
+    l_pal = lambda im, f_: jnp.sum(jnp.sin(
+        resample2d_region(8, 8, INTERPRET, im, f_) * 3))
+    gr = jax.grad(l_ref, (0, 1))(img, fl)
+    gp = jax.grad(l_pal, (0, 1))(img, fl)
+    for a, b in zip(gr, gp):
+        # same f32 coordinate-path rounding as the forward (grads are O(10))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-4)
