@@ -16,8 +16,12 @@ Transforms for Optical Flow", ECCV 2020) that
     (:func:`sin_inn_tpu.data.flow_media.generate_pseudo_gt`) through
     :func:`make_raft_producer`.
 
-Only the full "Basic" model (the variant the reference runs) is implemented;
-``--small`` is not. Dropout is irrelevant at inference and omitted.
+Both official variants are implemented: the full "Basic" model (the one the
+reference runs) and ``--small`` (SmallEncoder with BottleneckBlocks, plain
+ConvGRU, bilinear 8x upsampling; hidden 96 / context 64 / corr radius 3).
+:func:`load_torch_weights` auto-detects the variant from the state_dict's
+key set, so ``raft:<ckpt>`` producers accept either checkpoint family.
+Dropout is irrelevant at inference and omitted.
 
 Layout conventions: NHWC activations, HWIO conv kernels. Parameters are a
 flat ``dict[str, jnp.ndarray]`` keyed by the official torch module paths
@@ -48,6 +52,11 @@ CORR_LEVELS = 4
 CORR_RADIUS = 4
 HDIM = 128   # GRU hidden
 CDIM = 128   # context
+
+# --small variant dims (official RAFT(args.small) defaults)
+S_HDIM = 96
+S_CDIM = 64
+S_CORR_RADIUS = 3
 
 
 # ---------------------------------------------------------------------------
@@ -119,19 +128,72 @@ def _update_schema() -> Dict[str, Tuple[int, ...]]:
     return s
 
 
-def param_schema() -> Dict[str, Tuple[int, ...]]:
+def _small_encoder_schema(prefix: str, out_dim: int) -> Dict[str, Tuple[int, ...]]:
+    """SmallEncoder parameter shapes. Both small encoders are norm-param-free
+    (fnet: affine-free InstanceNorm2d, cnet: norm_fn='none')."""
+    s: Dict[str, Tuple[int, ...]] = {}
+
+    def conv(name, kh, kw, cin, cout):
+        s[f"{prefix}.{name}.weight"] = (kh, kw, cin, cout)
+        s[f"{prefix}.{name}.bias"] = (cout,)
+
+    conv("conv1", 7, 7, 3, 32)
+    dims = [(32, 32, 1), (32, 64, 2), (64, 96, 2)]
+    for li, (cin, planes, stride) in enumerate(dims, start=1):
+        for bi in range(2):
+            b_cin = cin if bi == 0 else planes
+            b_stride = stride if bi == 0 else 1
+            base = f"layer{li}.{bi}"
+            conv(f"{base}.conv1", 1, 1, b_cin, planes // 4)
+            conv(f"{base}.conv2", 3, 3, planes // 4, planes // 4)
+            conv(f"{base}.conv3", 1, 1, planes // 4, planes)
+            if b_stride != 1:
+                conv(f"{base}.downsample.0", 1, 1, b_cin, planes)
+    conv("conv2", 1, 1, 96, out_dim)
+    return s
+
+
+def _small_update_schema() -> Dict[str, Tuple[int, ...]]:
+    s: Dict[str, Tuple[int, ...]] = {}
+    p = "update_block"
+    corr_planes = CORR_LEVELS * (2 * S_CORR_RADIUS + 1) ** 2   # 196
+
+    def conv(name, kh, kw, cin, cout):
+        s[f"{p}.{name}.weight"] = (kh, kw, cin, cout)
+        s[f"{p}.{name}.bias"] = (cout,)
+
+    # SmallMotionEncoder (no convc2): output cat([out80, flow2]) = 82 ch
+    conv("encoder.convc1", 1, 1, corr_planes, 96)
+    conv("encoder.convf1", 7, 7, 2, 64)
+    conv("encoder.convf2", 3, 3, 64, 32)
+    conv("encoder.conv", 3, 3, 96 + 32, 80)
+    # plain ConvGRU; input = context 64 + motion 82 = 146
+    for g in ("convz", "convr", "convq"):
+        conv(f"gru.{g}", 3, 3, S_HDIM + 146, S_HDIM)
+    # FlowHead(96, hidden 128); no convex-mask head (bilinear upsampling)
+    conv("flow_head.conv1", 3, 3, S_HDIM, 128)
+    conv("flow_head.conv2", 3, 3, 128, 2)
+    return s
+
+
+def param_schema(variant: str = "basic") -> Dict[str, Tuple[int, ...]]:
     s = {}
+    if variant == "small":
+        s.update(_small_encoder_schema("fnet", 128))
+        s.update(_small_encoder_schema("cnet", S_HDIM + S_CDIM))
+        s.update(_small_update_schema())
+        return s
     s.update(_encoder_schema("fnet", "instance"))
     s.update(_encoder_schema("cnet", "batch"))
     s.update(_update_schema())
     return s
 
 
-def init_raft(key: jax.Array) -> Params:
+def init_raft(key: jax.Array, variant: str = "basic") -> Params:
     """Random params with the official shapes (for tests; real use imports a
     pretrained checkpoint via :func:`load_torch_weights`)."""
     params: Params = {}
-    for name, shape in param_schema().items():
+    for name, shape in param_schema(variant).items():
         key, sub = jax.random.split(key)
         if name.endswith("running_var"):
             params[name] = jax.random.uniform(sub, shape, jnp.float32, 0.5, 1.5)
@@ -146,9 +208,18 @@ def init_raft(key: jax.Array) -> Params:
     return params
 
 
-def load_torch_weights(path: str) -> Params:
+def detect_variant(keys) -> str:
+    """'small' iff the state_dict has the plain-ConvGRU key (the Basic model
+    uses SepConvGRU convz1/convz2; --small uses a single convz)."""
+    return "small" if any(k.endswith("gru.convz.weight") for k in keys) \
+        else "basic"
+
+
+def load_torch_weights(path: str, variant: str | None = None) -> Params:
     """Import an official RAFT checkpoint (torch ``state_dict``) —
-    e.g. ``raft-things.pth`` from the public princeton-vl/RAFT release.
+    e.g. ``raft-things.pth`` or ``raft-small.pth`` from the public
+    princeton-vl/RAFT release. ``variant=None`` auto-detects via
+    :func:`detect_variant`.
 
     Strips the ``module.`` DataParallel prefix, transposes conv kernels
     OIHW -> HWIO, and drops batch-norm ``num_batches_tracked`` counters.
@@ -174,11 +245,13 @@ def load_torch_weights(path: str) -> Params:
             arr = arr.transpose(2, 3, 1, 0)
         params[k] = jnp.asarray(arr)
 
-    schema = param_schema()
+    if variant is None:
+        variant = detect_variant(params)
+    schema = param_schema(variant)
     missing = sorted(set(schema) - set(params))
     if missing:
-        raise ValueError(f"{path}: missing RAFT params (is this the --small "
-                         f"model?): {missing[:5]} (+{max(len(missing)-5,0)})")
+        raise ValueError(f"{path}: missing RAFT ({variant}) params: "
+                         f"{missing[:5]} (+{max(len(missing)-5,0)})")
     for name, shape in schema.items():
         if tuple(params[name].shape) != shape:
             raise ValueError(f"{path}: {name} has shape "
@@ -198,6 +271,8 @@ def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def _norm(p: Params, prefix: str, x: jnp.ndarray, norm: str) -> jnp.ndarray:
+    if norm == "none":          # small cnet: norm_fn='none'
+        return x
     if norm == "instance":
         return _instance_norm(x)
     # folded inference-mode BatchNorm2d
@@ -241,6 +316,31 @@ def _encoder(p: Params, prefix: str, x: jnp.ndarray, norm: str) -> jnp.ndarray:
     return _conv(p, f"{prefix}.conv2", x)
 
 
+def _bottleneck_block(p: Params, prefix: str, x: jnp.ndarray, stride: int,
+                      norm: str) -> jnp.ndarray:
+    """Official BottleneckBlock: 1x1 -> 3x3(stride) -> 1x1 at planes//4,
+    relu after every (param-free) norm; 1x1 downsample when strided."""
+    y = jax.nn.relu(_norm(p, "", _conv(p, f"{prefix}.conv1", x), norm))
+    y = jax.nn.relu(_norm(p, "", _conv(p, f"{prefix}.conv2", y,
+                                       stride=stride), norm))
+    y = jax.nn.relu(_norm(p, "", _conv(p, f"{prefix}.conv3", y), norm))
+    if stride != 1:
+        x = _norm(p, "", _conv(p, f"{prefix}.downsample.0", x,
+                               stride=stride), norm)
+    return jax.nn.relu(x + y)
+
+
+def _small_encoder(p: Params, prefix: str, x: jnp.ndarray,
+                   norm: str) -> jnp.ndarray:
+    """SmallEncoder: 1/8-resolution features (out_dim set by conv2)."""
+    x = jax.nn.relu(_norm(p, "", _conv(p, f"{prefix}.conv1", x, stride=2),
+                          norm))
+    for li, stride in ((1, 1), (2, 2), (3, 2)):
+        x = _bottleneck_block(p, f"{prefix}.layer{li}.0", x, stride, norm)
+        x = _bottleneck_block(p, f"{prefix}.layer{li}.1", x, 1, norm)
+    return _conv(p, f"{prefix}.conv2", x)
+
+
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     """torch avg_pool2d(k=2, s=2): floors odd spatial dims (VALID window)."""
     out = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
@@ -265,15 +365,15 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
     return pyramid
 
 
-def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
+def lookup_corr(pyramid, coords: jnp.ndarray,
+                r: int = CORR_RADIUS) -> jnp.ndarray:
     """Sample a (2r+1)^2 neighborhood around ``coords`` at every level.
 
-    coords: (B, H, W, 2) as (x, y) at 1/8 res. Returns (B, H, W, 324) with the
-    official channel order: per level, x-offset slow / y-offset fast (the
-    official meshgrid(dy, dx) quirk), levels concatenated coarse-last.
+    coords: (B, H, W, 2) as (x, y) at 1/8 res. Returns (B, H, W, L*(2r+1)^2)
+    with the official channel order: per level, x-offset slow / y-offset fast
+    (the official meshgrid(dy, dx) quirk), levels concatenated coarse-last.
     """
     b, h, w, _ = coords.shape
-    r = CORR_RADIUS
     n = 2 * r + 1
     offs = jnp.arange(-r, r + 1, dtype=coords.dtype)
     ox = jnp.broadcast_to(offs[:, None], (n, n))     # slow axis -> x offset
@@ -323,6 +423,48 @@ def _update_block(p: Params, net, inp, corr, flow):
     return net, mask, dflow
 
 
+def _conv_gru(p: Params, net: jnp.ndarray, inp: jnp.ndarray) -> jnp.ndarray:
+    """Plain 3x3 ConvGRU (the --small update block's recurrence)."""
+    g = "update_block.gru"
+    hx = jnp.concatenate([net, inp], axis=-1)
+    z = jax.nn.sigmoid(_conv(p, f"{g}.convz", hx))
+    r = jax.nn.sigmoid(_conv(p, f"{g}.convr", hx))
+    q = jnp.tanh(_conv(p, f"{g}.convq",
+                       jnp.concatenate([r * net, inp], axis=-1)))
+    return (1.0 - z) * net + z * q
+
+
+def _small_motion_encoder(p: Params, flow: jnp.ndarray,
+                          corr: jnp.ndarray) -> jnp.ndarray:
+    e = "update_block.encoder"
+    cor = jax.nn.relu(_conv(p, f"{e}.convc1", corr))
+    flo = jax.nn.relu(_conv(p, f"{e}.convf1", flow))
+    flo = jax.nn.relu(_conv(p, f"{e}.convf2", flo))
+    out = jax.nn.relu(_conv(p, f"{e}.conv",
+                            jnp.concatenate([cor, flo], axis=-1)))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def _small_update_block(p: Params, net, inp, corr, flow):
+    motion = _small_motion_encoder(p, flow, corr)
+    net = _conv_gru(p, net, jnp.concatenate([inp, motion], axis=-1))
+    dflow = _conv(p, "update_block.flow_head.conv2",
+                  jax.nn.relu(_conv(p, "update_block.flow_head.conv1", net)))
+    return net, dflow
+
+
+def upsample_flow_bilinear8(flow: jnp.ndarray) -> jnp.ndarray:
+    """``upflow8``: 8 * bilinear resize with align_corners=True (the --small
+    model has no convex mask head)."""
+    b, h, w, _ = flow.shape
+    ys = jnp.arange(8 * h, dtype=flow.dtype) * ((h - 1) / (8 * h - 1))
+    xs = jnp.arange(8 * w, dtype=flow.dtype) * ((w - 1) / (8 * w - 1))
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    gy = jnp.broadcast_to(gy[None], (b, 8 * h, 8 * w))
+    gx = jnp.broadcast_to(gx[None], (b, 8 * h, 8 * w))
+    return 8.0 * sample_bilinear(flow, gx, gy, padding="border")
+
+
 def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Learned convex 8x upsampling. flow (B,H,W,2), mask (B,H,W,576).
 
@@ -353,9 +495,9 @@ def _coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.stack([xs, ys], axis=-1)[None], (b, h, w, 2))
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "variant"))
 def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
-              iters: int = 20) -> jnp.ndarray:
+              iters: int = 20, variant: str = "basic") -> jnp.ndarray:
     """Flow from image1 to image2 at full resolution.
 
     image1/image2: (B, H, W, 3) in [0, 255], H and W multiples of 8 (use
@@ -363,22 +505,44 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     (dx, dy) — the channel convention the rest of the framework uses.
     The recurrent refinement is a ``lax.scan`` so the program stays one
     compiled step regardless of ``iters`` (the reference ran 20).
+    ``variant`` selects the official model family: "basic" (SepConvGRU +
+    convex upsampling) or "small" (SmallEncoder, plain ConvGRU, bilinear
+    upsampling, corr radius 3).
     """
+    small = variant == "small"
     x1 = 2.0 * (image1 / 255.0) - 1.0
     x2 = 2.0 * (image2 / 255.0) - 1.0
 
     # official fnet runs both images as one batch — InstanceNorm makes that
     # equivalent to two separate calls; batch them for one MXU pass
-    fmaps = _encoder(params, "fnet", jnp.concatenate([x1, x2], 0), "instance")
+    fenc = _small_encoder if small else _encoder
+    fmaps = fenc(params, "fnet", jnp.concatenate([x1, x2], 0), "instance")
     fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
     pyramid = build_corr_pyramid(fmap1, fmap2)
 
-    cnet = _encoder(params, "cnet", x1, "batch")
-    net = jnp.tanh(cnet[..., :HDIM])
-    inp = jax.nn.relu(cnet[..., HDIM:])
+    if small:
+        cnet = _small_encoder(params, "cnet", x1, "none")
+        hdim, radius = S_HDIM, S_CORR_RADIUS
+    else:
+        cnet = _encoder(params, "cnet", x1, "batch")
+        hdim, radius = HDIM, CORR_RADIUS
+    net = jnp.tanh(cnet[..., :hdim])
+    inp = jax.nn.relu(cnet[..., hdim:])
 
     b, h, w, _ = fmap1.shape
     coords0 = _coords_grid(b, h, w)
+
+    if small:
+        def step(carry, _):
+            net, coords1 = carry
+            corr = lookup_corr(pyramid, coords1, r=radius)
+            flow = coords1 - coords0
+            net, dflow = _small_update_block(params, net, inp, corr, flow)
+            return (net, coords1 + dflow), None
+
+        (net, coords1), _ = lax.scan(step, (net, coords0), None,
+                                     length=iters)
+        return upsample_flow_bilinear8(coords1 - coords0)
 
     def step(carry, _):
         net, coords1, _ = carry
@@ -417,16 +581,18 @@ def make_raft_producer(ckpt_path: str, iters: int = 20):
     Returns a callable ``(frame1, frame2) -> (H, W, 2)`` (frames float [0,1])
     compatible with :func:`sin_inn_tpu.data.flow_media.generate_pseudo_gt` —
     the drop-in replacement for the reference's external RAFT run
-    (video-interpolation/data.py:32-62, 20 iterations there too).
+    (video-interpolation/data.py:32-62, 20 iterations there too). The model
+    variant (basic / ``--small``) is auto-detected from the checkpoint.
     """
     params = load_torch_weights(ckpt_path)
+    variant = detect_variant(params)
 
     def producer(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
         f1 = jnp.asarray(frame1, jnp.float32)[None] * 255.0
         f2 = jnp.asarray(frame2, jnp.float32)[None] * 255.0
         f1, pads = pad_to_multiple(f1)
         f2, _ = pad_to_multiple(f2)
-        flow = raft_flow(params, f1, f2, iters=iters)
+        flow = raft_flow(params, f1, f2, iters=iters, variant=variant)
         return np.asarray(unpad(flow, pads)[0])
 
     return producer

@@ -337,3 +337,220 @@ def test_load_rejects_wrong_shapes(tmp_path):
     torch.save(sd, p)
     with pytest.raises(ValueError, match="missing"):
         raft.load_torch_weights(str(p))
+
+
+# ---------------------------------------------------------------------------
+# --small variant (SmallEncoder / BottleneckBlock / plain ConvGRU) — the
+# official RAFT(args.small) model, importable from raft-small.pth
+# ---------------------------------------------------------------------------
+
+def _make_norm_small(norm, c):
+    if norm == "instance":
+        return nn.InstanceNorm2d(c)
+    return nn.Sequential()   # norm_fn='none'
+
+
+class BottleneckBlockT(nn.Module):
+    def __init__(self, cin, planes, norm, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes // 4, 1)
+        self.conv2 = nn.Conv2d(planes // 4, planes // 4, 3, padding=1,
+                               stride=stride)
+        self.conv3 = nn.Conv2d(planes // 4, planes, 1)
+        self.relu = nn.ReLU(inplace=True)
+        self.norm1 = _make_norm_small(norm, planes // 4)
+        self.norm2 = _make_norm_small(norm, planes // 4)
+        self.norm3 = _make_norm_small(norm, planes)
+        if stride == 1:
+            self.downsample = None
+        else:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes, 1, stride=stride),
+                _make_norm_small(norm, planes))
+
+    def forward(self, x):
+        y = self.relu(self.norm1(self.conv1(x)))
+        y = self.relu(self.norm2(self.conv2(y)))
+        y = self.relu(self.norm3(self.conv3(y)))
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return self.relu(x + y)
+
+
+class SmallEncoderT(nn.Module):
+    def __init__(self, out_dim, norm):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 32, 7, stride=2, padding=3)
+        self.norm1 = _make_norm_small(norm, 32)
+        self.relu1 = nn.ReLU(inplace=True)
+        self.layer1 = nn.Sequential(BottleneckBlockT(32, 32, norm, 1),
+                                    BottleneckBlockT(32, 32, norm, 1))
+        self.layer2 = nn.Sequential(BottleneckBlockT(32, 64, norm, 2),
+                                    BottleneckBlockT(64, 64, norm, 1))
+        self.layer3 = nn.Sequential(BottleneckBlockT(64, 96, norm, 2),
+                                    BottleneckBlockT(96, 96, norm, 1))
+        self.conv2 = nn.Conv2d(96, out_dim, 1)
+
+    def forward(self, x):
+        x = self.relu1(self.norm1(self.conv1(x)))
+        return self.conv2(self.layer3(self.layer2(self.layer1(x))))
+
+
+class SmallMotionEncoderT(nn.Module):
+    def __init__(self):
+        super().__init__()
+        cor_planes = 4 * (2 * 3 + 1) ** 2
+        self.convc1 = nn.Conv2d(cor_planes, 96, 1)
+        self.convf1 = nn.Conv2d(2, 64, 7, padding=3)
+        self.convf2 = nn.Conv2d(64, 32, 3, padding=1)
+        self.conv = nn.Conv2d(128, 80, 3, padding=1)
+
+    def forward(self, flow, corr):
+        cor = F.relu(self.convc1(corr))
+        flo = F.relu(self.convf2(F.relu(self.convf1(flow))))
+        out = F.relu(self.conv(torch.cat([cor, flo], dim=1)))
+        return torch.cat([out, flow], dim=1)
+
+
+class ConvGRUT(nn.Module):
+    def __init__(self, hidden=96, inp=146):
+        super().__init__()
+        self.convz = nn.Conv2d(hidden + inp, hidden, 3, padding=1)
+        self.convr = nn.Conv2d(hidden + inp, hidden, 3, padding=1)
+        self.convq = nn.Conv2d(hidden + inp, hidden, 3, padding=1)
+
+    def forward(self, h, x):
+        hx = torch.cat([h, x], dim=1)
+        z = torch.sigmoid(self.convz(hx))
+        r = torch.sigmoid(self.convr(hx))
+        q = torch.tanh(self.convq(torch.cat([r * h, x], dim=1)))
+        return (1 - z) * h + z * q
+
+
+class SmallUpdateBlockT(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = SmallMotionEncoderT()
+        self.gru = ConvGRUT()
+        self.flow_head = FlowHeadSmallT()
+
+    def forward(self, net, inp, corr, flow):
+        motion = self.encoder(flow, corr)
+        net = self.gru(net, torch.cat([inp, motion], dim=1))
+        return net, self.flow_head(net)
+
+
+class FlowHeadSmallT(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(96, 128, 3, padding=1)
+        self.conv2 = nn.Conv2d(128, 2, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv2(F.relu(self.conv1(x)))
+
+
+class TorchRAFTSmall(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.fnet = SmallEncoderT(128, "instance")
+        self.cnet = SmallEncoderT(96 + 64, "none")
+        self.update_block = SmallUpdateBlockT()
+
+    def forward(self, image1, image2, iters):
+        image1 = 2 * (image1 / 255.0) - 1.0
+        image2 = 2 * (image2 / 255.0) - 1.0
+        fmaps = self.fnet(torch.cat([image1, image2], dim=0))
+        fmap1, fmap2 = torch.split(fmaps, image1.shape[0], dim=0)
+        corr_fn = CorrBlock(fmap1, fmap2, radius=3)
+        cnet = self.cnet(image1)
+        net, inp = torch.split(cnet, [96, 64], dim=1)
+        net = torch.tanh(net)
+        inp = torch.relu(inp)
+        n, _, h8, w8 = fmap1.shape
+        coords0 = TorchRAFT.coords_grid(n, h8, w8)
+        coords1 = coords0.clone()
+        for _ in range(iters):
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, dflow = self.update_block(net, inp, corr, flow)
+            coords1 = coords1 + dflow
+        flow = coords1 - coords0
+        return 8 * F.interpolate(flow, size=(8 * h8, 8 * w8),
+                                 mode="bilinear", align_corners=True)
+
+
+@pytest.fixture(scope="module")
+def torch_raft_small_and_params(tmp_path_factory):
+    model = _small_weights(TorchRAFTSmall()).eval()
+    path = tmp_path_factory.mktemp("raft") / "raft-small-synth.pth"
+    sd = {f"module.{k}": v for k, v in model.state_dict().items()}
+    torch.save(sd, path)
+    params = raft.load_torch_weights(str(path))
+    return model, params, str(path)
+
+
+def test_small_schema_and_autodetect(torch_raft_small_and_params):
+    model, params, _ = torch_raft_small_and_params
+    assert raft.detect_variant(model.state_dict()) == "small"
+    assert set(params) == set(raft.param_schema("small"))
+
+
+def test_small_encoders_match(torch_raft_small_and_params):
+    model, params, _ = torch_raft_small_and_params
+    rng = np.random.RandomState(4)
+    img = rng.rand(2, 64, 96, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ref_f = model.fnet(torch.from_numpy(img).permute(0, 3, 1, 2))
+        ref_c = model.cnet(torch.from_numpy(img).permute(0, 3, 1, 2))
+    got_f = raft._small_encoder(params, "fnet", jnp.asarray(img), "instance")
+    got_c = raft._small_encoder(params, "cnet", jnp.asarray(img), "none")
+    np.testing.assert_allclose(np.asarray(got_f),
+                               ref_f.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_c),
+                               ref_c.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_small_gru_gate_order(torch_raft_small_and_params):
+    """Convention test (VERDICT r2): the z/r/q gate-slab mapping is asserted
+    directly on randomized weights, so a shape-preserving gate swap in the
+    importer or kernel cannot pass."""
+    model, params, _ = torch_raft_small_and_params
+    rng = np.random.RandomState(5)
+    net = rng.rand(1, 8, 10, 96).astype(np.float32) * 2 - 1
+    inp = rng.rand(1, 8, 10, 146).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ref = model.update_block.gru(
+            torch.from_numpy(net).permute(0, 3, 1, 2),
+            torch.from_numpy(inp).permute(0, 3, 1, 2))
+    got = raft._conv_gru(params, jnp.asarray(net), jnp.asarray(inp))
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_small_full_flow_matches(torch_raft_small_and_params):
+    model, params, _ = torch_raft_small_and_params
+    rng = np.random.RandomState(6)
+    img1 = (rng.rand(1, 128, 128, 3) * 255).astype(np.float32)
+    img2 = (rng.rand(1, 128, 128, 3) * 255).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(img1).permute(0, 3, 1, 2),
+                    torch.from_numpy(img2).permute(0, 3, 1, 2), iters=3)
+    got = raft.raft_flow(params, jnp.asarray(img1), jnp.asarray(img2),
+                         iters=3, variant="small")
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_small_producer_autodetects(torch_raft_small_and_params, tmp_path):
+    _, _, ckpt = torch_raft_small_and_params
+    producer = raft.make_raft_producer(ckpt, iters=2)
+    rng = np.random.RandomState(7)
+    flow = producer(rng.rand(96, 104, 3).astype(np.float32),
+                    rng.rand(96, 104, 3).astype(np.float32))
+    assert flow.shape == (96, 104, 2)
+    assert np.isfinite(flow).all()
