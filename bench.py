@@ -176,17 +176,21 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
         (fwd_loss + bwd_loss).backward()
         opt.step()
 
-    # warmup step (allocator/graph build), then time 3 warm steps — the
-    # steady state the TPU side is also measured in
+    # warmup step (allocator/graph build), then median-of-3 reps of 3 warm
+    # steps each — the single-core torch side is noisy (VERDICT r2 weak #7);
+    # the median pins the recorded ratio to a reproducible draw
     t0 = time.perf_counter()
     one_step()
     if time.perf_counter() - t0 > timeout_s:
         return None
     steps = 3
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        one_step()
-    return steps * b / (time.perf_counter() - t0)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            one_step()
+        reps.append(steps * b / (time.perf_counter() - t0))
+    return sorted(reps)[1]
 
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
@@ -304,10 +308,13 @@ def bench_torch_cpu_flow_baseline(h: int, w: int, timeout_s: float = 600.0):
     if time.perf_counter() - t0 > timeout_s:
         return None
     steps = 2
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        one_step()
-    return steps * b / (time.perf_counter() - t0)
+    reps = []
+    for _ in range(3):   # median-of-3 (see bench_torch_cpu_baseline)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            one_step()
+        reps.append(steps * b / (time.perf_counter() - t0))
+    return sorted(reps)[1]
 
 
 def main():
@@ -329,7 +336,27 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="flow INR compute dtype")
     ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--no-flow", action="store_true",
+                    help="skip the flow numbers in the default (sr) output")
     args = ap.parse_args()
+
+    def median3(fn):
+        # median-of-3 full reps: pins the recorded ratio against both the
+        # relay's and the single-core torch side's run-to-run noise
+        return sorted(fn() for _ in range(3))[1]
+
+    def flow_ratio(dy):
+        # measured warm-vs-warm at one reduced common shape (the TPU runs
+        # its shipped fast path, the replica the reference's exact scatter
+        # math — same training computation)
+        bh, bw = 108, 256
+        base = bench_torch_cpu_flow_baseline(bh, bw)
+        if not base:
+            return 0.0
+        tpu_small = median3(lambda: bench_flow(
+            1, bh, bw, max(args.steps, 40), args.net, dy, args.splat_chunk,
+            args.splat_max_dx, args.flow_dtype))
+        return tpu_small / base
 
     if args.pipeline == "flow":
         dy = args.splat_max_dy or None
@@ -339,17 +366,7 @@ def main():
         vs_baseline = 0.0
         if not args.no_baseline:
             try:
-                # measured warm-vs-warm at one reduced common shape (the TPU
-                # runs its shipped fast path, the replica the reference's
-                # exact scatter math — same training computation)
-                bh, bw = 108, 256
-                base = bench_torch_cpu_flow_baseline(bh, bw)
-                if base:
-                    tpu_small = bench_flow(1, bh, bw, max(args.steps, 40),
-                                           args.net, dy, args.splat_chunk,
-                                           args.splat_max_dx,
-                                           args.flow_dtype)
-                    vs_baseline = tpu_small / base
+                vs_baseline = flow_ratio(dy)
             except Exception as e:  # noqa: BLE001 - bench must still report
                 print(f"flow baseline failed: {e}", file=sys.stderr)
         print(json.dumps({
@@ -378,17 +395,33 @@ def main():
                 # >=100 chained steps: the tiny shape leaves the relay's
                 # ~1.6 ms/call dispatch visible at short chains, and a
                 # longer chain cuts run-to-run ratio noise (still <1 s)
-                tpu_small = bench_tpu(1, bh, bw, max(args.steps, 100))
+                tpu_small = median3(
+                    lambda: bench_tpu(1, bh, bw, max(args.steps, 100)))
                 vs_baseline = tpu_small / base_small
         except Exception as e:  # noqa: BLE001 - bench must still report
             print(f"baseline failed: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "train frames/sec/chip at 4x space-time SR",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
-    }))
+    }
+    if not args.no_flow:
+        # the flow pipeline's numbers ride the same JSON line so the
+        # recorded BENCH_r* carries both pipelines (VERDICT r2 weak #7)
+        try:
+            out["flow_value"] = round(bench_flow(
+                min(args.batch, 3), 436, 1024, args.steps, args.net,
+                args.splat_max_dy or None, args.splat_chunk,
+                args.splat_max_dx, args.flow_dtype), 3)
+            out["flow_unit"] = "frames/sec/chip (436x1024 INR step)"
+            if not args.no_baseline:
+                out["flow_vs_baseline"] = round(
+                    flow_ratio(args.splat_max_dy or None), 2)
+        except Exception as e:  # noqa: BLE001 - bench must still report
+            print(f"flow bench failed: {e}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
