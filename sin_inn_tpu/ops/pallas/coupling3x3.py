@@ -35,6 +35,22 @@ are smaller than those losses at these shapes.
 The kernels remain here, tested in interpret mode, as the measured record
 and for shapes where they do win (Cin >= 128 couplings). The 1x1 kernels
 (coupling.py) ship enabled and carry the fused-coupling north star.
+
+Round-3 addendum (re-examined per the round-2 verdict): the verdict's
+proposed re-attack — "express the 3x3 subnet conv as 9 shifted 1x1
+matmuls accumulated in VMEM, no im2col concat" — is exactly ``_conv3x3``
+below, i.e. the design that was built, tiled, given a fused backward, and
+retired by the measurements above. The im2col blocker (b) is why the
+9-shift form can't be UPGRADED in-kernel to contract over K=9*Cin; the
+9-shift form itself loses on (a), the K=Cin lane utilization (24/128 and
+96/128). Cost check: one oct1 coupling forward is ~76 GFLOP and XLA runs
+it at 3.32 ms (~23 TFLOP/s) with im2col K=216 — the Pallas 9-shift form
+caps at K-util * peak = 0.19 * 151 = 28 TFLOP/s BEFORE any other loss,
+leaving no headroom at Cin=24; at Cin=96 the measured 2.39 vs 2.52 ms
+confirms the ~6% that fusion buys once K-util reaches 75%. A kernel that
+beats XLA here needs a different conv algorithm (not available to Mosaic
+without lane-misaligned concats), not better fusion. Explicit-bf16
+subnet casts were also a measured null (37.5 vs 38.5 ms grad, round 2).
 """
 
 from __future__ import annotations

@@ -120,16 +120,58 @@ def dense_block_init(key, c_in: int, c_out: int, gc: int = 32,
 
 
 def dense_block_apply(params: Dict, x: jnp.ndarray,
-                      compute_dtype=None) -> jnp.ndarray:
+                      compute_dtype=None, fused: bool = False) -> jnp.ndarray:
+    """DenseBlock forward (archs.py:88-95).
+
+    ``fused=True`` computes the same math as the reference's concat chain
+    in **lower-triangular piece form**: conv_i(cat(x, x1..)) =
+    sum_j conv(piece_j, W_i[cin-slice of piece_j]), and each piece's
+    contributions to ALL later convs run as ONE wide conv — five Cout=32
+    convs (25% output-lane utilization) become five convs of Cout
+    4*gc+c_out, 3*gc+c_out, ..., and the growing concats disappear.
+    Measured on the v5e (batch 8 flagship shapes) it LOSES: fwd+grad
+    7.10 vs 6.44 ms at the 24->24 oct1 block and a wash (3.61 vs 3.61)
+    at oct2 — output-lane padding is not what bounds these convs, and
+    the piece form's extra weight-slicing/recombination costs more than
+    the concats it removes. Kept (default OFF) with a parity test as the
+    measured record, like the coupling3x3 retirement.
+    """
     lrelu = lambda v: jax.nn.leaky_relu(v, negative_slope=0.2)
-    cv = lambda inp, p: conv2d(inp, p["w"], p["b"],
-                               compute_dtype=compute_dtype)
-    x1 = lrelu(cv(x, params["conv1"]))
-    cat = jnp.concatenate([x, x1], axis=-1)
-    x2 = lrelu(cv(cat, params["conv2"]))
-    cat = jnp.concatenate([cat, x2], axis=-1)
-    x3 = lrelu(cv(cat, params["conv3"]))
-    cat = jnp.concatenate([cat, x3], axis=-1)
-    x4 = lrelu(cv(cat, params["conv4"]))
-    cat = jnp.concatenate([cat, x4], axis=-1)
-    return cv(cat, params["conv5"])
+    if not fused:
+        cv = lambda inp, p: conv2d(inp, p["w"], p["b"],
+                                   compute_dtype=compute_dtype)
+        x1 = lrelu(cv(x, params["conv1"]))
+        cat = jnp.concatenate([x, x1], axis=-1)
+        x2 = lrelu(cv(cat, params["conv2"]))
+        cat = jnp.concatenate([cat, x2], axis=-1)
+        x3 = lrelu(cv(cat, params["conv3"]))
+        cat = jnp.concatenate([cat, x3], axis=-1)
+        x4 = lrelu(cv(cat, params["conv4"]))
+        cat = jnp.concatenate([cat, x4], axis=-1)
+        return cv(cat, params["conv5"])
+
+    c_in = x.shape[-1]
+    gc = params["conv1"]["w"].shape[-1]
+    ws = [params[f"conv{i}"]["w"] for i in range(1, 6)]
+    bs = [params[f"conv{i}"]["b"] for i in range(1, 6)]
+    def contrib(piece, start_conv, lo, hi):
+        """One wide conv: piece's contribution to convs start_conv..5,
+        where [lo, hi) is the piece's cin-slice in each later conv."""
+        w_cat = jnp.concatenate([ws[i][:, :, lo:hi] for i in
+                                 range(start_conv, 5)], axis=-1)
+        return conv2d(piece, w_cat, None, compute_dtype=compute_dtype)
+
+    # x's contribution carries the biases (added exactly once per conv)
+    b_cat = jnp.concatenate(bs)
+    yx = contrib(x, 0, 0, c_in) + b_cat
+    x1 = lrelu(yx[..., :gc])
+    y1 = contrib(x1, 1, c_in, c_in + gc)
+    x2 = lrelu(yx[..., gc:2 * gc] + y1[..., :gc])
+    y2 = contrib(x2, 2, c_in + gc, c_in + 2 * gc)
+    x3 = lrelu(yx[..., 2 * gc:3 * gc] + y1[..., gc:2 * gc] + y2[..., :gc])
+    y3 = contrib(x3, 3, c_in + 2 * gc, c_in + 3 * gc)
+    x4 = lrelu(yx[..., 3 * gc:4 * gc] + y1[..., 2 * gc:3 * gc]
+               + y2[..., gc:2 * gc] + y3[..., :gc])
+    y4 = contrib(x4, 4, c_in + 3 * gc, c_in + 4 * gc)
+    return (yx[..., 4 * gc:] + y1[..., 3 * gc:] + y2[..., 2 * gc:]
+            + y3[..., gc:] + y4)

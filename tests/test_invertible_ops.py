@@ -128,3 +128,19 @@ def test_inv_block_identity_at_init(key, rng):
     y, log_det = C.inv_block_forward(params, x, S.dense_block_apply, 1.0, len1)
     np.testing.assert_allclose(y, x, atol=1e-6)
     np.testing.assert_allclose(np.asarray(log_det), 0.0, atol=1e-6)
+
+
+def test_dense_block_fused_matches_concat_chain(key, rng):
+    """The lower-triangular piece-form DenseBlock (subnet.py fused=True)
+    == the reference's concat chain (archs.py:88-95) bit-for-near."""
+    from sin_inn_tpu.ops import subnet as S
+
+    for c_in, c_out in ((36, 12), (12, 36)):
+        p = S.dense_block_init(key, c_in, c_out)
+        x = jnp.asarray(rng.randn(2, 8, 10, c_in).astype(np.float32))
+        ref = S.dense_block_apply(p, x, fused=False)
+        got = S.dense_block_apply(p, x, fused=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # zero-init conv5 => identity-start: fused path must preserve it
+        assert float(jnp.abs(S.dense_block_apply(p, x)).max()) < 10.0
