@@ -64,21 +64,29 @@ def sr_loss(params, spec, cfg: SRConfig, sup: Dict, unsup: Optional[Dict],
     b, h, w, _ = lr.shape
 
     k_z, k_tcr = jax.random.split(key)
-    z = jax.random.normal(k_z, (b, h, w, cfg.z_dims), hr.dtype)
-    lr_z = jnp.concatenate([lr, z], axis=-1)
+    # in bf16 mode, sample z and build lr_z directly in bf16: the INN casts
+    # its matmul inputs down anyway, and the f32 copies of these two
+    # full-size buffers were exactly the ~7 MB that pushed the 1080p
+    # north-star shape out of HBM (round-2 OOM, docs/PERF.md)
+    zdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else hr.dtype
+    z = jax.random.normal(k_z, (b, h, w, cfg.z_dims), zdt)
+    lr_z = jnp.concatenate([lr.astype(zdt), z], axis=-1)
 
     # Forward pass: HR -> (LR || z)
     lr_z_hat = inn_apply(spec, params, hr)
     fwd_loss = cfg.lambda_fwd_rec * L.reconstruction(
         lr_z_hat[..., :cfg.lr_dims], lr)
     if cfg.lambda_fwd_mmd:
-        fwd_loss = fwd_loss + cfg.lambda_fwd_mmd * L.mmd(lr_z_hat, lr_z)
+        fwd_loss = fwd_loss + cfg.lambda_fwd_mmd * L.mmd(
+            lr_z_hat, lr_z.astype(hr.dtype))
     if cfg.lambda_latent_nll:
         fwd_loss = fwd_loss + cfg.lambda_latent_nll * L.latent_nll(
             lr_z_hat[..., cfg.lr_dims:])
 
-    # Inverse pass: (LR || z) -> HR
-    hr_hat = inn_apply(spec, params, lr_z, rev=True)
+    # Inverse pass: (LR || z) -> HR. In bf16 mode the activations ride
+    # bfloat16 through the whole inverse chain (conv2d returns its input
+    # dtype); losses are computed in f32 at the boundary.
+    hr_hat = inn_apply(spec, params, lr_z, rev=True).astype(hr.dtype)
     bwd_loss = cfg.lambda_bwd_rec * L.reconstruction(hr_hat, hr)
     if cfg.lambda_bwd_mmd:
         bwd_loss = bwd_loss + cfg.lambda_bwd_mmd * L.mmd(hr_hat, hr, rev=True)
@@ -91,16 +99,17 @@ def sr_loss(params, spec, cfg: SRConfig, sup: Dict, unsup: Optional[Dict],
         def tcr_iter(carry, k):
             k_rand, k_zi = jax.random.split(k)
             rand = jax.random.uniform(k_rand, (b, 3), lr_u.dtype)
-            zi = jax.random.normal(k_zi, (b, h, w, cfg.z_dims), lr_u.dtype)
-            lr_zi = jnp.concatenate([lr_u, zi], axis=-1)
+            zi = jax.random.normal(k_zi, (b, h, w, cfg.z_dims), zdt)
+            lr_zi = jnp.concatenate([lr_u.astype(zdt), zi], axis=-1)
             tcr_lr = tcr_transform(lr_u, rand, cfg.rotation, cfg.translation,
                                    scale=1.0 / cfg.scale,
                                    stop_grad=cfg.tcr_stop_grad)
-            tcr_lr_z = jnp.concatenate([tcr_lr, zi], axis=-1)
-            tcr_hr_hat = inn_apply(spec, params, tcr_lr_z, rev=True)
+            tcr_lr_z = jnp.concatenate([tcr_lr.astype(zdt), zi], axis=-1)
+            tcr_hr_hat = inn_apply(spec, params, tcr_lr_z,
+                                   rev=True).astype(lr_u.dtype)
             hr_hat_tcr = tcr_transform(
-                inn_apply(spec, params, lr_zi, rev=True), rand,
-                cfg.rotation, cfg.translation,
+                inn_apply(spec, params, lr_zi, rev=True).astype(lr_u.dtype),
+                rand, cfg.rotation, cfg.translation,
                 stop_grad=cfg.tcr_stop_grad)
             li = L.reconstruction(tcr_hr_hat, hr_hat_tcr)
             return carry + li, None
