@@ -105,7 +105,7 @@ def _coupling_fwd_kernel(x_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
     t1 = r1[:, len2:]
     y2 = jnp.exp(_log_e(s1, clamp)) * x2 + t1
 
-    y_ref[:] = jnp.concatenate([y1, y2], axis=1)
+    y_ref[:] = jnp.concatenate([y1, y2], axis=1).astype(y_ref.dtype)
 
 
 def _coupling_inv_kernel(y_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
@@ -134,7 +134,7 @@ def _coupling_inv_kernel(y_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
     t2 = r2[:, len1:]
     x1 = (y1 - t2) * jnp.exp(-_log_e(s2, clamp))
 
-    x_ref[:] = jnp.concatenate([x1, x2], axis=1)
+    x_ref[:] = jnp.concatenate([x1, x2], axis=1).astype(x_ref.dtype)
 
 
 def _run_fused(kernel, x2d: jnp.ndarray, mats, len1: int, clamp: float,
@@ -307,7 +307,7 @@ def _coupling_bwd_kernel(x_ref, g_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
     gz2 = jnp.where(z2 > 0.0, gh2, 0.0)
     gx2 = gx2 + dot(gz2, w2a_ref[:].T)
 
-    dx_ref[:] = jnp.concatenate([gx1, gx2], axis=1)
+    dx_ref[:] = jnp.concatenate([gx1, gx2], axis=1).astype(dx_ref.dtype)
 
     # ---- weight/bias grads (accumulated over the sequential grid) ----
     @pl.when(i == 0)
@@ -463,7 +463,7 @@ def _coupling_inv_bwd_kernel(y_ref, g_ref, w2a_ref, b2a_ref, w2b_ref,
     gz1 = jnp.where(z1 > 0.0, gh1, 0.0)
     gy1 = gy1 + dot(gz1, w1a_ref[:].T)
 
-    dy_ref[:] = jnp.concatenate([gy1, gy2], axis=1)
+    dy_ref[:] = jnp.concatenate([gy1, gy2], axis=1).astype(dy_ref.dtype)
 
     @pl.when(i == 0)
     def _():

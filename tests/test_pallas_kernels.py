@@ -363,3 +363,28 @@ def test_resample_region_gradients_match(rng):
     for a, b in zip(gr, gp):
         # same f32 coordinate-path rounding as the forward (grads are O(10))
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-4)
+
+
+def test_fused_coupling_bf16_inputs(coupling_setup):
+    """bf16 activations through the fused kernels (the SR bf16 mode feeds the
+    inverse chain in bfloat16): outputs keep the input dtype, matmul math
+    stays f32-accumulated, and the backward returns f32 weight grads."""
+    from sin_inn_tpu.ops.pallas.coupling import fused_glow_backward_1x1
+    params, x, len1 = coupling_setup
+    xb = x.astype(jnp.bfloat16)
+    y = fused_glow_forward_1x1(params, xb, 1.2, len1, interpret=INTERPRET)
+    assert y.dtype == jnp.bfloat16
+    x_rec = fused_glow_inverse_1x1(params, y, 1.2, len1, interpret=INTERPRET)
+    assert x_rec.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(x_rec, np.float32),
+                               np.asarray(xb, np.float32), atol=0.1)
+    ref = fused_glow_forward_1x1(params, x, 1.2, len1, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+    g = jnp.ones_like(y)
+    dparams, dx = fused_glow_backward_1x1(params, xb, g, 1.2, len1,
+                                          interpret=INTERPRET)
+    assert dx.dtype == jnp.bfloat16
+    assert dparams["s1"]["conv1"]["w"].dtype == jnp.float32
+    assert all(np.isfinite(np.asarray(l, np.float32)).all()
+               for l in jax.tree_util.tree_leaves((dparams, dx)))
