@@ -104,6 +104,42 @@ def conv_subnet_apply(params: Dict, x: jnp.ndarray,
                   compute_dtype=compute_dtype)
 
 
+def conv2d_shift(x: jnp.ndarray, w: jnp.ndarray,
+                 b: jnp.ndarray | None = None,
+                 compute_dtype=None) -> jnp.ndarray:
+    """3x3 SAME conv as 9 shifted (M, cin) @ (cin, cout) matmuls.
+
+    Identical math to :func:`conv2d` up to summation order, kept as a
+    MEASURED RETIREMENT record (round 3): the hypothesis was that XLA's
+    conv lowering is im2col-traffic-bound at the IRN dense-block channel
+    counts (a patch-buffer model predicts ~22 GB/pass ~= the measured
+    22.6 ms forward) and that re-reading the input per tap would halve
+    that. Measured full IRN flagship step: 449 ms vs 176 ms — 2.5x
+    WORSE (bf16: 248 vs 147 ms). The K=cin MXU lane padding
+    (24/128..152/128 utilization) and nine separate M=115200 matmuls
+    lose far more than any patch-buffer traffic; same conclusion as the
+    Pallas 9-shift coupling kernels (ops/pallas/coupling3x3.py). XLA's native conv is the local
+    optimum for these blocks; the bf16 activation chain (compute_dtype)
+    is the lever that actually pays: 176 -> 147 ms (45.4 -> 54.5 f/s).
+    """
+    assert w.shape[0] == 3 and w.shape[1] == 3
+    out_dtype = x.dtype
+    if compute_dtype is not None and compute_dtype != "highest":
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    _, hh, ww_, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for i in range(3):
+        for j in range(3):
+            t = xp[:, i:i + hh, j:j + ww_, :] @ w[i, j]
+            out = t if out is None else out + t
+    out = out.astype(out_dtype)
+    if b is not None:
+        out = out + b
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DenseBlock (IRN couplings)
 # ---------------------------------------------------------------------------
@@ -120,7 +156,8 @@ def dense_block_init(key, c_in: int, c_out: int, gc: int = 32,
 
 
 def dense_block_apply(params: Dict, x: jnp.ndarray,
-                      compute_dtype=None, fused: bool = False) -> jnp.ndarray:
+                      compute_dtype=None, fused: bool = False,
+                      shift: bool = False) -> jnp.ndarray:
     """DenseBlock forward (archs.py:88-95).
 
     ``fused=True`` computes the same math as the reference's concat chain
@@ -138,8 +175,9 @@ def dense_block_apply(params: Dict, x: jnp.ndarray,
     """
     lrelu = lambda v: jax.nn.leaky_relu(v, negative_slope=0.2)
     if not fused:
-        cv = lambda inp, p: conv2d(inp, p["w"], p["b"],
-                                   compute_dtype=compute_dtype)
+        base = conv2d_shift if shift else conv2d
+        cv = lambda inp, p: base(inp, p["w"], p["b"],
+                                 compute_dtype=compute_dtype)
         x1 = lrelu(cv(x, params["conv1"]))
         cat = jnp.concatenate([x, x1], axis=-1)
         x2 = lrelu(cv(cat, params["conv2"]))

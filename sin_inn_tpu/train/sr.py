@@ -72,8 +72,11 @@ def sr_loss(params, spec, cfg: SRConfig, sup: Dict, unsup: Optional[Dict],
     z = jax.random.normal(k_z, (b, h, w, cfg.z_dims), zdt)
     lr_z = jnp.concatenate([lr.astype(zdt), z], axis=-1)
 
-    # Forward pass: HR -> (LR || z)
-    lr_z_hat = inn_apply(spec, params, hr)
+    # Forward pass: HR -> (LR || z). Like the inverse below, the bf16 mode
+    # feeds the chain in bfloat16 so the activations (and the conv im2col
+    # buffers that bound the IRN dense blocks) ride bf16 end to end;
+    # losses reduce in f32 at the boundary.
+    lr_z_hat = inn_apply(spec, params, hr.astype(zdt)).astype(hr.dtype)
     fwd_loss = cfg.lambda_fwd_rec * L.reconstruction(
         lr_z_hat[..., :cfg.lr_dims], lr)
     if cfg.lambda_fwd_mmd:

@@ -144,3 +144,24 @@ def test_dense_block_fused_matches_concat_chain(key, rng):
                                    rtol=1e-5, atol=1e-5)
         # zero-init conv5 => identity-start: fused path must preserve it
         assert float(jnp.abs(S.dense_block_apply(p, x)).max()) < 10.0
+
+
+def test_conv2d_shift_matches_conv2d(key, rng):
+    """The 9-shifted-matmul conv form (subnet.conv2d_shift) == lax.conv
+    up to f32 summation order, including the bias."""
+    from sin_inn_tpu.ops import subnet as S
+
+    for cin, cout in ((24, 32), (7, 5)):
+        kk, key = jax.random.split(key)
+        p = S._torch_default_conv(kk, 3, 3, cin, cout)
+        x = jnp.asarray(rng.randn(2, 9, 11, cin).astype(np.float32))
+        ref = S.conv2d(x, p["w"], p["b"])
+        got = S.conv2d_shift(x, p["w"], p["b"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+    # dense block in shift mode == concat-chain mode
+    p = S.dense_block_init(key, 24, 24)
+    x = jnp.asarray(rng.randn(2, 8, 10, 24).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(S.dense_block_apply(p, x, shift=True)),
+        np.asarray(S.dense_block_apply(p, x)), rtol=2e-5, atol=2e-5)
