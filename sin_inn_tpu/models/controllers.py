@@ -323,7 +323,8 @@ def grid_axis_weights(cfg: SpatialConfig, coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
-                      times: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+                      times: jnp.ndarray, h: int, w: int,
+                      dtype=None) -> jnp.ndarray:
     """:func:`spatial_point_mask` for the dense pose grid, gather-free.
 
     The generic per-point path materializes 2^d (n, E) gather terms —
@@ -331,6 +332,15 @@ def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
     OOM-prone; here the same multilinear interpolation runs as three
     separable contractions of the (res^3, E) blurred cell mask (~10 ms).
     Returns the (B*H*W, E) mask in pose-grid row-major order.
+
+    ``dtype`` (e.g. bfloat16 when the INR chain runs bf16) applies to the
+    LAST contraction only, so the (n, E) output — the one Sintel-scale
+    (2.8 GB in f32) tensor this builds — is written once at half width;
+    the small per-axis weights and intermediates stay f32. Measured
+    NEUTRAL on the full spatial step (143.0 ms both ways at Sintel scale,
+    round 3): XLA already fuses ``inr_apply``'s downstream cast into this
+    einsum. Kept as the explicit dtype contract rather than relying on
+    that fusion.
     """
     if cfg.mask_dim != 3:
         raise ValueError("spatial_grid_mask expects a (t, y, x) cell grid")
@@ -342,6 +352,9 @@ def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
     wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w))
     g = jnp.einsum("bt,xytE->bxyE", wt, blurred)
     g = jnp.einsum("hy,bxyE->bxhE", wy, g)
+    if dtype is not None:
+        g = g.astype(dtype)
+        wx = wx.astype(dtype)
     m = jnp.einsum("wx,bxhE->bhwE", wx, g)
     return m.reshape(-1, e)
 

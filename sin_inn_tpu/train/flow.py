@@ -93,9 +93,13 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
             if ctrl_cfg.mask_dim == 3:
                 # the trainer's points are always the dense pose grid: use
                 # the separable gather-free mask (353 -> ~10 ms at Sintel
-                # scale; spatial_point_mask stays for arbitrary point sets)
+                # scale; spatial_point_mask stays for arbitrary point sets).
+                # In bf16 mode the (n, E) mask is emitted in bf16 directly —
+                # inr_apply would otherwise round-trip the f32 version.
+                mdt = (jnp.bfloat16 if spec.compute_dtype == "bfloat16"
+                       else None)
                 mask = ctrl.spatial_grid_mask(ctrl_cfg, ctrl_state, times,
-                                              h, w)
+                                              h, w, dtype=mdt)
             else:   # 2-D domain (pair experiment): generic point path
                 mask, inds, alphas = ctrl.spatial_point_mask(
                     ctrl_cfg, ctrl_state, pts)
