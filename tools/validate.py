@@ -52,18 +52,19 @@ def validate_sr(epochs: int) -> dict:
     sup, unsup, val = make_datasets(video, cfg)
     cached = sup.device_cache(cfg.batch_size)
     key = R.named_fold(R.root_key(0), "train")
-    losses = []
+    eval_step = SR.make_eval_step(spec, cfg)
+    val_batch = next(iter(val.batches(cfg.val_batch_size)))
+    losses, psnrs = [], []
     t0 = time.time()
     for epoch in range(epochs):
         for batch in cached:
             state, aux = step(state, batch, None, key)
         if (epoch + 1) % max(epochs // 6, 1) == 0 or epoch == epochs - 1:
             losses.append(round(float(aux["loss"]), 4))
-    eval_step = SR.make_eval_step(spec, cfg)
-    em = eval_step(state.params, next(iter(val.batches(cfg.val_batch_size))),
-                   jax.random.key(1))
+            em = eval_step(state.params, val_batch, jax.random.key(1))
+            psnrs.append(round(float(em["hr_psnr"]), 2))
     return {"check": "sr_convergence", "epochs": epochs, "loss_traj": losses,
-            "hr_psnr": round(float(em["hr_psnr"]), 2),
+            "hr_psnr": psnrs[-1], "psnr_traj": psnrs,
             "monotone": all(a >= b for a, b in zip(losses, losses[1:])),
             "wall_s": round(time.time() - t0, 1)}
 
@@ -98,11 +99,18 @@ def validate_flow(iters: int, net: str, splat_max_dy: int,
     state, m = step(state, consts, batch)
     epe0 = float(m["epe"])
     t0 = time.time()
-    for _ in range(iters):
+    stride = max(iters // 10, 1)
+    epe_traj, psnr_traj = [], []
+    for i in range(iters):
         state, m = step(state, consts, batch)
+        if (i + 1) % stride == 0 or i == iters - 1:
+            epe_traj.append(round(float(m["epe"]), 4))
+            psnr_traj.append(round(float(m["psnr"]), 2))
     return {"check": "flow_convergence", "net": net, "iters": iters,
-            "epe0": round(epe0, 3), "epe": round(float(m["epe"]), 4),
-            "psnr": round(float(m["psnr"]), 2),
+            "epe0": round(epe0, 3), "epe": epe_traj[-1],
+            "psnr": psnr_traj[-1],
+            "epe_traj": epe_traj, "psnr_traj": psnr_traj,
+            "milestone_stride": stride,
             "frames_per_sec": round(b * iters / (time.time() - t0), 2),
             "wall_s": round(time.time() - t0, 1)}
 
