@@ -183,14 +183,17 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
     one_step()
     if time.perf_counter() - t0 > timeout_s:
         return None
-    steps = 3
+    steps = 4
     reps = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(steps):
             one_step()
         reps.append(steps * b / (time.perf_counter() - t0))
-    return sorted(reps)[1]
+    # best-of-4: contention noise on the single-core box is strictly
+    # one-sided (it only slows torch down), so the fastest rep is both the
+    # most reproducible and the CONSERVATIVE choice for the ratio
+    return max(reps)
 
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
@@ -309,12 +312,12 @@ def bench_torch_cpu_flow_baseline(h: int, w: int, timeout_s: float = 600.0):
         return None
     steps = 2
     reps = []
-    for _ in range(3):   # median-of-3 (see bench_torch_cpu_baseline)
+    for _ in range(3):   # best-of-3 (see bench_torch_cpu_baseline)
         t0 = time.perf_counter()
         for _ in range(steps):
             one_step()
         reps.append(steps * b / (time.perf_counter() - t0))
-    return sorted(reps)[1]
+    return max(reps)
 
 
 def main():
