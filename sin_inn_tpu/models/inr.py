@@ -150,6 +150,11 @@ class INRSpec:
     # MLP matmul/activation dtype: 'float32' (default bf16-pass matmuls),
     # 'bfloat16' (explicit bf16 chain), 'float32_highest' (true f32)
     compute_dtype: str = "float32"
+    # Fused Pallas encode->mask->MLP kernel with hand-derived weight-grad
+    # backward (ops/pallas/inr.py): 'auto' (on TPU when eligible), 'on',
+    # 'off'. Eligibility: fixed (non-trainable) rbf/ff encodings, vector
+    # or no mask, 128-multiple widths — see fused_inr_supported.
+    use_pallas: str = "off"
 
 
 # name -> (kind, encoding, progressive)   (reference model_dict, model.py:681-684)
@@ -223,7 +228,7 @@ def build_inr(key: jax.Array, name: str, cfg: FlowConfig
     mask_dim = enc_ch + d if progressive else enc_ch
     spec = INRSpec(name, "encoded", encoding, d, mask_dim, progressive,
                    cfg.hidden_dim, cfg.num_layers, cfg.output_channels,
-                   cfg.compute_dtype)
+                   cfg.compute_dtype, getattr(cfg, "use_pallas", "off"))
     mlp = mlp_init(k_mlp, [mask_dim] + [cfg.hidden_dim] * cfg.num_layers
                    + [cfg.output_channels])
     return spec, {"mlp": mlp, "enc": enc_params}, {"enc": enc_consts}
@@ -256,6 +261,23 @@ def inr_apply(spec: INRSpec, params, consts, x: jnp.ndarray,
               override_mask: Optional[jnp.ndarray] = None,
               alpha: Optional[float] = None) -> jnp.ndarray:
     """encode -> mask -> MLP (model.py:95-99)."""
+    if spec.use_pallas in ("on", "auto"):
+        from sin_inn_tpu.ops.pallas.inr import (fused_inr_apply,
+                                                fused_inr_available,
+                                                fused_inr_supported)
+        mask = override_mask
+        if (mask is None and alpha is not None and spec.is_progressive
+                and alpha < 1):
+            mask = alpha_mask(spec, alpha)
+        if ((spec.use_pallas == "on" or fused_inr_available())
+                and fused_inr_supported(spec, params, consts, x, mask)):
+            interp = (spec.use_pallas == "on"
+                      and not fused_inr_available())
+            # interpret mode (CPU tests) keeps f32 operands so the fused
+            # path matches XLA-on-CPU; on TPU both paths round matmul
+            # operands to bf16 (the default-precision pass) identically
+            return fused_inr_apply(spec, params, consts, x, mask,
+                                   precise=interp, interpret=interp)
     code = get_encoding(spec, params, consts, x)
     out_dtype = code.dtype
     if spec.compute_dtype not in (None, "float32", "float32_highest",
