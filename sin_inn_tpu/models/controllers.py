@@ -359,6 +359,98 @@ def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
     return m.reshape(-1, e)
 
 
+def spatial_grid_mask_split(cfg: SpatialConfig, state: SpatialState,
+                            times: jnp.ndarray, h: int, w: int,
+                            enc_perm=None, dtype=None
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`spatial_grid_mask` split into its (coords, encoding) halves
+    for the fused Pallas INR kernel (ops/pallas/inr.py).
+
+    Returns ``(mc, me)`` with ``mc`` the coordinate-channel mask
+    TRANSPOSED to (d, B*H*W) — the (n, d) layout lane-pads d->128 in
+    tiled HBM — and ``me`` the (B*H*W, E-d) encoding-channel mask, its
+    columns optionally permuted by ``enc_perm`` into the kernel's blocked
+    sin||cos layout. Both the split and the permutation are applied at
+    the (res^3, E) blurred cell grid, where they cost nothing; the three
+    separable contractions are identical to :func:`spatial_grid_mask`
+    (same ``dtype`` contract: the big last contraction emits ``dtype``).
+    """
+    if cfg.mask_dim != 3:
+        raise ValueError("spatial_grid_mask_split expects a (t, y, x) grid")
+    res, e = cfg.res, cfg.encoding_dim
+    d = cfg.mask_dim
+    blurred = _box_blur_cells(cfg, state.mask).reshape(res, res, res, e)
+    if enc_perm is not None:
+        b_enc = blurred[..., jnp.asarray(enc_perm) + d]
+    else:
+        b_enc = blurred[..., d:]
+    wt = grid_axis_weights(cfg, times)
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h))
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w))
+    g = jnp.einsum("bt,xytE->bxyE", wt, b_enc)
+    g = jnp.einsum("hy,bxyE->bxhE", wy, g)
+    wx_e = wx
+    if dtype is not None:
+        g = g.astype(dtype)
+        wx_e = wx.astype(dtype)
+    me = jnp.einsum("wx,bxhE->bhwE", wx_e, g).reshape(-1, e - d)
+    gc = jnp.einsum("bt,xytE->bxyE", wt, blurred[..., :d])
+    gc = jnp.einsum("hy,bxyE->bxhE", wy, gc)
+    mc = jnp.einsum("wx,bxhE->Ebhw", wx, gc).reshape(d, -1)
+    if dtype is not None:
+        mc = mc.astype(dtype)
+    return mc, me
+
+
+class SpatialSlabMask(NamedTuple):
+    """Row-slab factorization of the per-point spatial mask for the fused
+    Pallas INR kernel (ops/pallas/inr.py, slab mode).
+
+    The dense pose grid is regular, so the multilinear mask factors per
+    axis; contracting the (res^3, E) blurred cell grid over t and y leaves
+    one tiny (res, E) slab PER IMAGE ROW — the kernel streams that
+    (~100 KB vs the ~1 MB-per-tile materialized (n, E) mask) and rebuilds
+    the per-point mask in VMEM with one (W, res) x (res, E) matmul against
+    the constant x-axis hat weights. Mask HBM traffic drops ~20x and the
+    (n, E) production einsum disappears entirely.
+    """
+    enc: jnp.ndarray     # (B*H, res, E-d) t/y-contracted encoding channels
+    coord: jnp.ndarray   # (B*H, res, d) t/y-contracted coordinate channels
+    wx: jnp.ndarray      # (W, res) x-axis multilinear hat weights, f32
+
+
+def spatial_grid_mask_slabs(cfg: SpatialConfig, state: SpatialState,
+                            times: jnp.ndarray, h: int, w: int,
+                            enc_perm=None, dtype=None) -> SpatialSlabMask:
+    """:func:`spatial_grid_mask` factored into per-row slabs (see
+    :class:`SpatialSlabMask`). ``enc_perm`` permutes the encoding channels
+    into the fused kernel's blocked sin||cos layout at the cell grid,
+    where it costs nothing; ``dtype`` casts the slabs (the only streamed
+    operands) — the x contraction happens in-kernel."""
+    if cfg.mask_dim != 3:
+        raise ValueError("spatial_grid_mask_slabs expects a (t, y, x) grid")
+    res, e = cfg.res, cfg.encoding_dim
+    d = cfg.mask_dim
+    blurred = _box_blur_cells(cfg, state.mask).reshape(res, res, res, e)
+    wt = grid_axis_weights(cfg, times)
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h))
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w))
+    g = jnp.einsum("bt,xytE->bxyE", wt, blurred)    # tiny (B, res, res, E)
+    # channel permutation + enc/coord split on the t-contracted
+    # intermediate (B*res^2*E elements) — doing either on the (B, H,
+    # res, E) output would re-stream ~140 MB at Sintel scale
+    ge = g[..., jnp.asarray(enc_perm) + d] if enc_perm is not None \
+        else g[..., d:]
+    gc = g[..., :d]
+    enc = jnp.einsum("hy,bxyE->bhxE", wy, ge)       # (B, H, res, E-d)
+    coord = jnp.einsum("hy,bxyE->bhxE", wy, gc)
+    if dtype is not None:
+        enc = enc.astype(dtype)
+        coord = coord.astype(dtype)
+    return SpatialSlabMask(enc=enc.reshape(-1, res, e - d),
+                           coord=coord.reshape(-1, res, d), wx=wx)
+
+
 def spatial_grid_update(cfg: SpatialConfig, state: SpatialState,
                         point_loss: jnp.ndarray, times: jnp.ndarray,
                         h: int, w: int) -> SpatialState:

@@ -278,6 +278,28 @@ def inr_apply(spec: INRSpec, params, consts, x: jnp.ndarray,
             # operands to bf16 (the default-precision pass) identically
             return fused_inr_apply(spec, params, consts, x, mask,
                                    precise=interp, interpret=interp)
+    if isinstance(override_mask, tuple):
+        # factored spatial masks emitted for the fused Pallas path
+        # (controllers.spatial_grid_mask_split / spatial_grid_mask_slabs);
+        # reassemble the dense (n, E) mask for the XLA fallback — only hit
+        # when the kernel is unavailable/ineligible
+        from sin_inn_tpu.ops.pallas.inr import inr_mask_perm
+        perm = inr_mask_perm(spec)
+        if len(override_mask) == 3:
+            # row slabs: contract the x axis the kernel would have done
+            enc, coord, wx = override_mask
+            wx = wx.astype(enc.dtype)
+            me = jnp.einsum("wr,SrE->SwE", wx, enc).reshape(
+                -1, enc.shape[-1])
+            mc = jnp.einsum("wr,SrD->SwD", wx, coord).reshape(
+                -1, coord.shape[-1])
+        else:
+            mc, me = override_mask
+            mc = mc.T
+        if perm is not None:
+            import numpy as np
+            me = me[:, np.argsort(perm)]
+        override_mask = jnp.concatenate([mc.astype(me.dtype), me], axis=-1)
     code = get_encoding(spec, params, consts, x)
     out_dtype = code.dtype
     if spec.compute_dtype not in (None, "float32", "float32_highest",

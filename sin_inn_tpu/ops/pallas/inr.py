@@ -41,9 +41,22 @@ grid's DMA anyway). The kernels:
     the transposed matmuls expressed as dot_general contractions so every
     operand stays tile-aligned.
 
+Spatial-controller (per-point) masks run in **slab mode**: with one tile
+per image row (tn = W) the kernel streams the t/y-contracted
+(res, E) row slab of the blurred cell grid and rebuilds the per-point
+mask in VMEM with one (W, res) x (res, E) matmul against the constant
+x-axis hat weights (controllers.SpatialSlabMask) — the (n, E) mask never
+exists in HBM. Measured at Sintel scale (PFF bf16 spatial step):
+143.3 -> 116.8 ms (25.7 f/s). The naive alternative — materializing the
+mask and streaming it per tile ('point' mode, kept for forced-'on'
+non-row-aligned widths) — measured SLOWER than XLA end-to-end (169.6 vs
+142.4 ms): the kernel wins 37 vs 75 ms on fwd+grad, but turning the mask
+into a custom-call operand costs ~65 ms of production+materialization
+that XLA avoids by fusing the mask einsum into its consumer.
+
 Excluded (falls back to the XLA path, models/inr.py): trainable-encoding
-models (RFF/PRFF), per-point spatial masks, ``float32_highest`` parity
-runs, and non-128-multiple encoding/hidden widths.
+models (RFF/PRFF), ``float32_highest`` parity runs, and non-128-multiple
+encoding/hidden widths.
 """
 
 from __future__ import annotations
@@ -87,7 +100,7 @@ def _dg(a, b, dims, precise):
                                preferred_element_type=jnp.float32)
 
 
-def _encode(kind, xt, enc_refs, me, precise):
+def _encode(kind, xt, enc_refs, mev, precise):
     """TRANSPOSED (R, TN) coord slab -> masked (TN, E) code in VMEM.
 
     The coords ride as (d, N) (plus an |x|^2 row for RBF): an (N, d) f32
@@ -109,10 +122,26 @@ def _encode(kind, xt, enc_refs, me, precise):
         (f_ref,) = enc_refs                  # (d, F) 2*pi*frequencies
         ph = _dg(xt, f_ref[...], ((0,), (0,)), precise)
         code = jnp.concatenate([jnp.sin(ph), jnp.cos(ph)], axis=1)
-    return code * me[...]                    # (1, E) channel mask
+    return code * mev                        # (1|TN, E) channel mask
 
 
-def _fwd_kernel(*refs, kind, prog, n_lin, precise):
+def _mask_values(mode, me_ref, mc_ref, wx_ref, precise):
+    """Resolve the mask refs into per-tile (mev (1|TN, E), mcv (d, 1|TN))
+    f32 VALUES. 'slab' rebuilds the per-point mask in VMEM from the
+    t/y-contracted row slab (controllers.SpatialSlabMask): one
+    (TN, res) x (res, E) matmul against the constant x-axis hat weights —
+    the (n, E) mask never exists in HBM."""
+    if mode == "slab":
+        wxv = wx_ref[...]                              # (TN, res)
+        mev = _mm(wxv, me_ref[0], precise)             # (TN, E) f32
+        mcv = _dg(mc_ref[0], wxv, ((0,), (1,)), precise)  # (d, TN)
+        return mev, mcv
+    mev = me_ref[...].astype(jnp.float32)              # (1|TN, E)
+    mcv = mc_ref[...].astype(jnp.float32) if mc_ref is not None else None
+    return mev, mcv
+
+
+def _fwd_kernel(*refs, kind, prog, n_lin, precise, mode):
     n_enc = 2 if kind == "rbf" else 1
     it = iter(refs)
     x_ref = next(it)
@@ -120,22 +149,24 @@ def _fwd_kernel(*refs, kind, prog, n_lin, precise):
     me_ref = next(it)
     mc_ref = next(it) if prog else None
     wc_ref = next(it) if prog else None
+    wx_ref = next(it) if mode == "slab" else None
     wb = [(next(it), next(it)) for _ in range(n_lin)]
     out_ref = next(it)
 
+    mev, mcv = _mask_values(mode, me_ref, mc_ref, wx_ref, precise)
     xt = x_ref[...].astype(jnp.float32)      # (R, TN) transposed coords
-    h = _encode(kind, xt, enc_refs, me_ref, precise)
+    h = _encode(kind, xt, enc_refs, mev, precise)
     for l, (w_ref, b_ref) in enumerate(wb):
         z = _mm(h, w_ref[...], precise)
         if l == 0 and prog:
-            xm = xt[:mc_ref.shape[0]] * mc_ref[...]      # (d, TN) masked
+            xm = xt[:mcv.shape[0]] * mcv                 # (d, TN) masked
             z = z + _dg(xm, wc_ref[...], ((0,), (0,)), precise)
         z = z + b_ref[...]
         h = jnp.maximum(z, 0.0) if l < n_lin - 1 else z
     out_ref[...] = h
 
 
-def _bwd_kernel(*refs, kind, prog, n_lin, precise):
+def _bwd_kernel(*refs, kind, prog, n_lin, precise, mode):
     n_enc = 2 if kind == "rbf" else 1
     it = iter(refs)
     x_ref = next(it)
@@ -143,6 +174,7 @@ def _bwd_kernel(*refs, kind, prog, n_lin, precise):
     me_ref = next(it)
     mc_ref = next(it) if prog else None
     wc_ref = next(it) if prog else None
+    wx_ref = next(it) if mode == "slab" else None
     wb = [(next(it), next(it)) for _ in range(n_lin)]
     g_ref = next(it)
     dwc_ref = next(it) if prog else None
@@ -157,9 +189,10 @@ def _bwd_kernel(*refs, kind, prog, n_lin, precise):
             db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
     # recompute the forward chain in VMEM
+    mev, mcv = _mask_values(mode, me_ref, mc_ref, wx_ref, precise)
     xt = x_ref[...].astype(jnp.float32)      # (R, TN) transposed coords
-    acts = [_encode(kind, xt, enc_refs, me_ref, precise)]
-    xm = xt[:mc_ref.shape[0]] * mc_ref[...] if prog else None
+    acts = [_encode(kind, xt, enc_refs, mev, precise)]
+    xm = xt[:mcv.shape[0]] * mcv if prog else None
     for l, (w_ref, b_ref) in enumerate(wb[:-1]):
         z = _mm(acts[-1], w_ref[...], precise)
         if l == 0 and prog:
@@ -187,14 +220,31 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _common_specs(kind, prog, d, r, enc_shapes, ws, tn):
+def _common_specs(kind, prog, d, r, enc_shapes, ws, tn, mode, res=None):
     specs = [pl.BlockSpec((r, tn), lambda i: (0, i),
                           memory_space=pltpu.VMEM)]
     specs += [_const_spec(s) for s in enc_shapes]
-    specs.append(_const_spec((1, ws[0][0].shape[0])))      # mask_enc
+    e_enc = ws[0][0].shape[0]
+    if mode == "slab":                  # (B*H, res, E-d) per-row slab
+        specs.append(pl.BlockSpec((1, res, e_enc), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    elif mode == "point":               # spatial controller: (n, E) mask
+        specs.append(pl.BlockSpec((tn, e_enc), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+    else:
+        specs.append(_const_spec((1, e_enc)))              # mask_enc
     if prog:
-        specs.append(_const_spec((d, 1)))                  # mask_coord
+        if mode == "slab":              # (B*H, res, d) coord slab
+            specs.append(pl.BlockSpec((1, res, d), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        elif mode == "point":           # transposed (d, n) coord mask
+            specs.append(pl.BlockSpec((d, tn), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        else:
+            specs.append(_const_spec((d, 1)))              # mask_coord
         specs.append(_const_spec((d, ws[0][0].shape[1])))  # W1_coord
+    if mode == "slab":
+        specs.append(_const_spec((tn, res)))               # x hat weights
     for w, b in ws:
         specs.append(_const_spec(w.shape))
         specs.append(_const_spec((1, b.shape[0])))
@@ -219,25 +269,60 @@ def _prep_x(kind, x, tn):
     return jnp.pad(xt, ((0, 0), (0, nt * tn - n))), nt
 
 
+def _mask_mode(me, n):
+    if me.ndim == 3:
+        return "slab"
+    if me.ndim == 2 and me.shape[0] == n:
+        return "point"
+    return "const"
+
+
+def _mask_args(mode, prog, me, mc, tn, n, nt):
+    """Shared mask-operand assembly for the fwd/bwd pallas calls."""
+    args = []
+    if mode == "slab":
+        if n != nt * tn or me.shape[0] * tn != n:
+            raise ValueError("slab mask requires n == rows * tn (tn = W)")
+        args.append(me)
+    elif mode == "point":
+        args.append(_pad_rows(me, tn)[0])
+    else:
+        args.append(me.reshape(1, -1))
+    if prog:
+        if mode == "slab":
+            args.append(mc)
+        elif mode == "point":
+            args.append(jnp.pad(mc, ((0, 0), (0, nt * tn - n))))
+        else:
+            args.append(mc.reshape(-1, 1))
+    return args
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _fused_fwd_call(kind, prog, precise, tn, interpret,
-                    enc_ops, ws, wc, x, me, mc):
+                    enc_ops, ws, wc, x, me, mc, wx):
     n, d = x.shape
     out_ch = ws[-1][1].shape[0]
     x_pad, nt = _prep_x(kind, x, tn)
-    args = [x_pad, *enc_ops, me.reshape(1, -1)]
+    mode = _mask_mode(me, n)
+    args = [x_pad, *enc_ops]
+    args += _mask_args(mode, prog, me, mc, tn, n, nt)
     if prog:
-        args += [mc.reshape(-1, 1), wc]
+        args.append(wc)
+    if mode == "slab":
+        args.append(wx)
     for w, b in ws:
         args += [w, b.reshape(1, -1)]
     kern = functools.partial(_fwd_kernel, kind=kind, prog=prog,
-                             n_lin=len(ws), precise=precise)
+                             n_lin=len(ws), precise=precise, mode=mode)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nt * tn, out_ch), jnp.float32),
         grid=(nt,),
         in_specs=_common_specs(kind, prog, d, x_pad.shape[0],
-                               [e.shape for e in enc_ops], ws, tn),
+                               [e.shape for e in enc_ops], ws, tn,
+                               mode, res=me.shape[1] if mode == "slab"
+                               else None),
         out_specs=pl.BlockSpec((tn, out_ch), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -247,18 +332,23 @@ def _fused_fwd_call(kind, prog, precise, tn, interpret,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _fused_bwd_call(kind, prog, precise, tn, interpret,
-                    enc_ops, ws, wc, x, me, mc, g):
+                    enc_ops, ws, wc, x, me, mc, wx, g):
     n, d = x.shape
     x_pad, nt = _prep_x(kind, x, tn)
     g_pad, _ = _pad_rows(g.astype(jnp.float32), tn)
-    args = [x_pad, *enc_ops, me.reshape(1, -1)]
+    mode = _mask_mode(me, n)
+    args = [x_pad, *enc_ops]
+    args += _mask_args(mode, prog, me, mc, tn, n, nt)
     if prog:
-        args += [mc.reshape(-1, 1), wc]
+        args.append(wc)
+    if mode == "slab":
+        args.append(wx)
     for w, b in ws:
         args += [w, b.reshape(1, -1)]
     args.append(g_pad)
     in_specs = _common_specs(kind, prog, d, x_pad.shape[0],
-                             [e.shape for e in enc_ops], ws, tn)
+                             [e.shape for e in enc_ops], ws, tn, mode,
+                             res=me.shape[1] if mode == "slab" else None)
     in_specs.append(pl.BlockSpec((tn, g.shape[1]), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))
     out_shapes = []
@@ -272,7 +362,7 @@ def _fused_bwd_call(kind, prog, precise, tn, interpret,
         out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
         out_specs.append(_const_spec((1, b.shape[0])))
     kern = functools.partial(_bwd_kernel, kind=kind, prog=prog,
-                             n_lin=len(ws), precise=precise)
+                             n_lin=len(ws), precise=precise, mode=mode)
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(out_shapes),
@@ -297,8 +387,8 @@ def fused_encoded_mlp(kind: str, prog: bool, precise: bool, tn: int,
                       interpret: bool, enc_ops: Tuple[jnp.ndarray, ...],
                       ws: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],
                       wc: Optional[jnp.ndarray], x: jnp.ndarray,
-                      me: jnp.ndarray, mc: Optional[jnp.ndarray]
-                      ) -> jnp.ndarray:
+                      me: jnp.ndarray, mc: Optional[jnp.ndarray],
+                      wx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fused encode->mask->MLP forward.
 
     kind: 'rbf' | 'ff'. enc_ops: rbf -> (centres^T (d,E), [|c|^2; sigma^2]
@@ -306,33 +396,36 @@ def fused_encoded_mlp(kind: str, prog: bool, precise: bool, tn: int,
     column convention (wrapper permutes). ws: ((W,b), ...) linear layers
     with W1 covering only the encoding rows; wc/mc: coord-row weight slab
     and coord mask for progressive models (None otherwise). x: (N, d)
-    points; me: (E,) channel mask (ones when unmasked).
+    points; me: (E,) channel mask (ones when unmasked), (N, E-d)
+    per-point mask stream, or (rows, res, E-d) row slabs with wx the
+    (W=tn, res) constant x-axis hat weights (slab mode — see
+    :func:`_mask_values`; wx is None otherwise).
 
     Backward returns gradients for ws/wc ONLY (x, masks and encoding
     constants are structurally gradient-free in the flow step — see
     module docstring); their cotangents are symbolic zeros.
     """
     return _fused_fwd_call(kind, prog, precise, tn, interpret,
-                           enc_ops, ws, wc, x, me, mc)
+                           enc_ops, ws, wc, x, me, mc, wx)
 
 
 def _fused_vjp_fwd(kind, prog, precise, tn, interpret,
-                   enc_ops, ws, wc, x, me, mc):
+                   enc_ops, ws, wc, x, me, mc, wx=None):
     out = _fused_fwd_call(kind, prog, precise, tn, interpret,
-                          enc_ops, ws, wc, x, me, mc)
-    return out, (enc_ops, ws, wc, x, me, mc)
+                          enc_ops, ws, wc, x, me, mc, wx)
+    return out, (enc_ops, ws, wc, x, me, mc, wx)
 
 
 def _fused_vjp_bwd(kind, prog, precise, tn, interpret, res, g):
-    enc_ops, ws, wc, x, me, mc = res
+    enc_ops, ws, wc, x, me, mc, wx = res
     dws, dwc = _fused_bwd_call(kind, prog, precise, tn, interpret,
-                               enc_ops, ws, wc, x, me, mc, g)
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, (enc_ops, x, me, mc))
+                               enc_ops, ws, wc, x, me, mc, wx, g)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, (enc_ops, x, me, mc, wx))
     dws = tuple((dw.astype(w.dtype), db.astype(b.dtype))
                 for (dw, db), (w, b) in zip(dws, ws))
     if wc is not None:
         dwc = dwc.astype(wc.dtype)
-    return (zeros[0], dws, dwc, zeros[1], zeros[2], zeros[3])
+    return (zeros[0], dws, dwc, zeros[1], zeros[2], zeros[3], zeros[4])
 
 
 fused_encoded_mlp.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
@@ -358,8 +451,29 @@ def fused_inr_supported(spec, params, consts, x,
         return False
     if x.ndim != 2:
         return False
-    if mask is not None and mask.ndim != 1:
-        return False                          # per-point spatial mask
+    if isinstance(mask, tuple) and len(mask) == 3:
+        # row-slab spatial mask (controllers.SpatialSlabMask): requires
+        # row-aligned tiles (tn = W) with a lane-clean width
+        if not spec.is_progressive:
+            return False
+        enc, coord, wx = mask
+        if enc.ndim != 3 or coord.ndim != 3 or wx.ndim != 2:
+            return False
+        if wx.shape[0] % 128 != 0:
+            return False
+        if enc.shape[0] * wx.shape[0] != x.shape[0]:
+            return False
+    elif isinstance(mask, tuple):
+        # pre-split per-point mask (mc (d, n), me (n, E-d)) from
+        # controllers.spatial_grid_mask_split, me already in the kernel's
+        # blocked channel order
+        if not spec.is_progressive:
+            return False
+        mc, me = mask
+        if mc.ndim != 2 or me.ndim != 2 or me.shape[0] != x.shape[0]:
+            return False
+    elif mask is not None and mask.ndim != 1:
+        return False                          # unsplit per-point mask
     enc_ch = spec.encoding_dim - (spec.domain_dim if spec.is_progressive
                                   else 0)
     if enc_ch % 128 != 0 or spec.hidden_dim % 128 != 0:
@@ -372,6 +486,18 @@ def _ff_perm(nf: int):
     [sin...| cos...] position."""
     import numpy as np
     return np.concatenate([np.arange(nf) * 2, np.arange(nf) * 2 + 1])
+
+
+def inr_mask_perm(spec):
+    """Column permutation a pre-split per-point mask's encoding half must
+    carry for :func:`fused_inr_apply` (None = natural order). Pass to
+    ``controllers.spatial_grid_mask_split(enc_perm=...)`` so it is applied
+    at the cell grid, where it is free."""
+    if spec.encoding in _FF_ENCODINGS:
+        enc_ch = spec.encoding_dim - (spec.domain_dim
+                                      if spec.is_progressive else 0)
+        return _ff_perm(enc_ch // 2)
+    return None
 
 
 def fused_inr_apply(spec, params, consts, x,
@@ -403,12 +529,20 @@ def fused_inr_apply(spec, params, consts, x,
         enc_ops = (freqs * (2.0 * jnp.pi),)
 
     w1 = mlp[0]["w"].astype(jnp.float32)
+    pre_split = isinstance(mask, tuple)   # split or slab: channel order
+    slab = pre_split and len(mask) == 3   # already blocked-permuted
+    wx = None
     if prog:
         wc = w1[:d]
         w1e = w1[d:]
         if mask is None:
             me = jnp.ones((w1e.shape[0],), jnp.float32)
             mc = jnp.ones((d,), jnp.float32)
+        elif slab:
+            me, mc, wx = mask             # (rows,res,E-d),(rows,res,d),(W,res)
+            tn = wx.shape[0]              # one kernel tile per image row
+        elif pre_split:
+            mc, me = mask
         else:
             mc = mask[:d].astype(jnp.float32)
             me = mask[d:].astype(jnp.float32)
@@ -420,11 +554,13 @@ def fused_inr_apply(spec, params, consts, x,
               else mask.astype(jnp.float32))
     if perm is not None:
         w1e = w1e[perm]
-        me = me[perm]
+        if not pre_split:
+            me = me[perm]
 
     ws = tuple([(w1e, mlp[0]["b"].astype(jnp.float32))]
                + [(l["w"].astype(jnp.float32), l["b"].astype(jnp.float32))
                   for l in mlp[1:]])
     out = fused_encoded_mlp(kind, prog, precise, tn, interpret,
-                            enc_ops, ws, wc, x.astype(jnp.float32), me, mc)
+                            enc_ops, ws, wc, x.astype(jnp.float32), me, mc,
+                            wx)
     return out.astype(x.dtype)

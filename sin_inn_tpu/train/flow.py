@@ -98,8 +98,35 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
                 # inr_apply would otherwise round-trip the f32 version.
                 mdt = (jnp.bfloat16 if spec.compute_dtype == "bfloat16"
                        else None)
-                mask = ctrl.spatial_grid_mask(ctrl_cfg, ctrl_state, times,
-                                              h, w, dtype=mdt)
+                from sin_inn_tpu.ops.pallas.inr import (
+                    fused_inr_available, fused_inr_supported,
+                    inr_mask_perm)
+                use_fused = (spec.use_pallas == "on"
+                             or (spec.use_pallas == "auto"
+                                 and fused_inr_available()))
+                eligible = (use_fused
+                            and fused_inr_supported(spec, params, consts,
+                                                    pts, None))
+                if eligible and w % 128 == 0:
+                    # fused Pallas INR path: the mask rides as per-row
+                    # t/y-contracted slabs + constant x hat weights and
+                    # is rebuilt in VMEM — the (n, E) mask never exists
+                    # (the materialized stream variant below measured
+                    # SLOWER than XLA: 169.6 vs 142.4 ms in-step)
+                    mask = ctrl.spatial_grid_mask_slabs(
+                        ctrl_cfg, ctrl_state, times, h, w,
+                        enc_perm=inr_mask_perm(spec), dtype=mdt)
+                elif eligible and spec.use_pallas == "on":
+                    # forced-pallas fallback for non-row-aligned widths:
+                    # stream the pre-split (n, E) mask (measured slower
+                    # than the XLA path at Sintel scale — kept only so
+                    # 'on' honours the request on any shape)
+                    mask = ctrl.spatial_grid_mask_split(
+                        ctrl_cfg, ctrl_state, times, h, w,
+                        enc_perm=inr_mask_perm(spec), dtype=mdt)
+                else:
+                    mask = ctrl.spatial_grid_mask(ctrl_cfg, ctrl_state,
+                                                  times, h, w, dtype=mdt)
             else:   # 2-D domain (pair experiment): generic point path
                 mask, inds, alphas = ctrl.spatial_point_mask(
                     ctrl_cfg, ctrl_state, pts)

@@ -138,3 +138,224 @@ def test_inr_apply_routes_through_fused():
     ref = inr_apply(spec_off, params, consts, x, override_mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0.05, atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# per-point spatial masks (pre-split, controllers.spatial_grid_mask_split)
+# ---------------------------------------------------------------------------
+
+def _spatial_setup(net="PFF", nf=64, hidden=128):
+    from sin_inn_tpu.models import controllers as C
+    from sin_inn_tpu.train.flow import pose_grid
+
+    cfg_f = _cfg(net=net, num_frequencies=nf, hidden_dim=hidden,
+                 spatially_adaptive=True)
+    spec, params, consts = build_inr(jax.random.PRNGKey(51), net, cfg_f)
+    cfg = C.SpatialConfig.create(spec, res=5, block_iterations=4)
+    state = C.spatial_init(cfg)
+    state = state._replace(mask=state.mask.at[:, :].set(
+        jnp.linspace(0, 1, cfg.cells)[:, None]
+        * jnp.linspace(1, 0.5, cfg.encoding_dim)[None, :]))
+    b, h, w = 2, 7, 9
+    times = jnp.linspace(-1.0, 1.0, b)
+    pts = pose_grid(times, h, w).reshape(-1, 3)
+    return spec, params, consts, cfg, state, times, h, w, pts
+
+
+def test_split_mask_matches_joint():
+    from sin_inn_tpu.models import controllers as C
+    from sin_inn_tpu.ops.pallas.inr import inr_mask_perm
+
+    spec, _, _, cfg, state, times, h, w, _ = _spatial_setup()
+    joint = C.spatial_grid_mask(cfg, state, times, h, w)
+    mc, me = C.spatial_grid_mask_split(cfg, state, times, h, w)
+    np.testing.assert_allclose(np.asarray(mc), np.asarray(joint[:, :3].T),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(me), np.asarray(joint[:, 3:]),
+                               rtol=1e-6, atol=1e-6)
+    perm = inr_mask_perm(spec)
+    assert perm is not None
+    _, me_p = C.spatial_grid_mask_split(cfg, state, times, h, w,
+                                        enc_perm=perm)
+    np.testing.assert_allclose(np.asarray(me_p),
+                               np.asarray(joint[:, 3:][:, perm]),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("net", ["PFF", "PRBF"])
+def test_fused_per_point_mask_matches_xla(net):
+    from sin_inn_tpu.models import controllers as C
+    from sin_inn_tpu.ops.pallas.inr import inr_mask_perm
+
+    (spec, params, consts, cfg, state, times, h, w,
+     pts) = _spatial_setup(net=net)
+    joint = C.spatial_grid_mask(cfg, state, times, h, w)
+    split = C.spatial_grid_mask_split(cfg, state, times, h, w,
+                                      enc_perm=inr_mask_perm(spec))
+    assert fused_inr_supported(spec, params, consts, pts, split)
+    ref = inr_apply(spec, params, consts, pts, override_mask=joint)
+    out = fused_inr_apply(spec, params, consts, pts, split,
+                          precise=True, tn=128, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # gradients through the fused per-point path
+    tgt = jax.random.normal(jax.random.PRNGKey(53), ref.shape)
+
+    def loss_ref(p):
+        return jnp.mean((inr_apply(spec, p, consts, pts,
+                                   override_mask=joint) - tgt) ** 2)
+
+    def loss_fused(p):
+        return jnp.mean((fused_inr_apply(spec, p, consts, pts, split,
+                                         precise=True, tn=128,
+                                         interpret=INTERPRET) - tgt) ** 2)
+
+    g_ref = jax.tree_util.tree_leaves(jax.grad(loss_ref)(params))
+    g_fus = jax.tree_util.tree_leaves(jax.grad(loss_fused)(params))
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=3e-4)
+
+
+def test_inr_apply_xla_fallback_accepts_split_mask():
+    from sin_inn_tpu.models import controllers as C
+    from sin_inn_tpu.ops.pallas.inr import inr_mask_perm
+
+    (spec, params, consts, cfg, state, times, h, w,
+     pts) = _spatial_setup()
+    joint = C.spatial_grid_mask(cfg, state, times, h, w)
+    split = C.spatial_grid_mask_split(cfg, state, times, h, w,
+                                      enc_perm=inr_mask_perm(spec))
+    ref = inr_apply(spec, params, consts, pts, override_mask=joint)
+    out = inr_apply(spec, params, consts, pts, override_mask=split)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_spatial_flow_forward_routes_fused():
+    """flow_forward with a spatial controller and spec.use_pallas='on'
+    (interpret on CPU) must match the XLA path."""
+    import dataclasses as dc
+
+    from sin_inn_tpu.train import flow as FT
+
+    cfg_f = _cfg(net="PFF", spatially_adaptive=True)
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(57), cfg_f)
+    times = jnp.linspace(-1.0, 1.0, 2)
+    scale = jnp.float32(3.0)
+    f12, f21, _ = FT.flow_forward(dc.replace(spec, use_pallas="on"),
+                                  params, consts, ctrl_cfg, ctrl_state,
+                                  times, 7, 9, scale)
+    r12, r21, _ = FT.flow_forward(dc.replace(spec, use_pallas="off"),
+                                  params, consts, ctrl_cfg, ctrl_state,
+                                  times, 7, 9, scale)
+    np.testing.assert_allclose(np.asarray(f12), np.asarray(r12),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(f21), np.asarray(r21),
+                               rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# row-slab spatial masks (controllers.spatial_grid_mask_slabs)
+# ---------------------------------------------------------------------------
+
+def test_slab_mask_matches_joint():
+    from sin_inn_tpu.models import controllers as C
+    from sin_inn_tpu.ops.pallas.inr import inr_mask_perm
+
+    spec, _, _, cfg, state, times, h, w, _ = _spatial_setup()
+    joint = C.spatial_grid_mask(cfg, state, times, h, w)
+    enc, coord, wx = C.spatial_grid_mask_slabs(cfg, state, times, h, w)
+    me = jnp.einsum("wr,SrE->SwE", wx, enc).reshape(-1, enc.shape[-1])
+    mc = jnp.einsum("wr,SrD->SwD", wx, coord).reshape(-1, 3)
+    np.testing.assert_allclose(np.asarray(mc), np.asarray(joint[:, :3]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(me), np.asarray(joint[:, 3:]),
+                               rtol=1e-5, atol=1e-6)
+    perm = inr_mask_perm(spec)
+    enc_p, _, _ = C.spatial_grid_mask_slabs(cfg, state, times, h, w,
+                                            enc_perm=perm)
+    me_p = jnp.einsum("wr,SrE->SwE", wx, enc_p).reshape(-1, enc.shape[-1])
+    np.testing.assert_allclose(np.asarray(me_p),
+                               np.asarray(joint[:, 3:][:, perm]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("net", ["PFF", "PRBF"])
+def test_fused_slab_mask_matches_xla(net):
+    """Slab mode: per-row t/y-contracted slabs + in-VMEM x contraction
+    must match the XLA path with the dense joint mask, fwd and grads."""
+    from sin_inn_tpu.models import controllers as C
+    from sin_inn_tpu.ops.pallas.inr import inr_mask_perm
+    from sin_inn_tpu.train.flow import pose_grid
+
+    (spec, params, consts, cfg, state, times, _, _,
+     _) = _spatial_setup(net=net)
+    h, w = 7, 128                       # slab mode needs w % 128 == 0
+    pts = pose_grid(times, h, w).reshape(-1, 3)
+    joint = C.spatial_grid_mask(cfg, state, times, h, w)
+    slabs = C.spatial_grid_mask_slabs(cfg, state, times, h, w,
+                                      enc_perm=inr_mask_perm(spec))
+    assert fused_inr_supported(spec, params, consts, pts, slabs)
+    ref = inr_apply(spec, params, consts, pts, override_mask=joint)
+    out = fused_inr_apply(spec, params, consts, pts, slabs,
+                          precise=True, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    tgt = jax.random.normal(jax.random.PRNGKey(61), ref.shape)
+
+    def loss_ref(p):
+        return jnp.mean((inr_apply(spec, p, consts, pts,
+                                   override_mask=joint) - tgt) ** 2)
+
+    def loss_fused(p):
+        return jnp.mean((fused_inr_apply(spec, p, consts, pts, slabs,
+                                         precise=True,
+                                         interpret=INTERPRET) - tgt) ** 2)
+
+    g_ref = jax.tree_util.tree_leaves(jax.grad(loss_ref)(params))
+    g_fus = jax.tree_util.tree_leaves(jax.grad(loss_fused)(params))
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=3e-4)
+
+
+def test_inr_apply_xla_fallback_accepts_slab_mask():
+    from sin_inn_tpu.models import controllers as C
+    from sin_inn_tpu.ops.pallas.inr import inr_mask_perm
+    from sin_inn_tpu.train.flow import pose_grid
+
+    (spec, params, consts, cfg, state, times, h, w,
+     pts) = _spatial_setup()
+    joint = C.spatial_grid_mask(cfg, state, times, h, w)
+    slabs = C.spatial_grid_mask_slabs(cfg, state, times, h, w,
+                                      enc_perm=inr_mask_perm(spec))
+    ref = inr_apply(spec, params, consts, pts, override_mask=joint)
+    out = inr_apply(spec, params, consts, pts, override_mask=slabs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_flow_forward_routes_slab():
+    """flow_forward with a spatial controller, w % 128 == 0 and
+    use_pallas='on' (interpret on CPU) must route slabs and match XLA."""
+    import dataclasses as dc
+
+    from sin_inn_tpu.train import flow as FT
+
+    cfg_f = _cfg(net="PFF", spatially_adaptive=True)
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(67), cfg_f)
+    times = jnp.linspace(-1.0, 1.0, 2)
+    scale = jnp.float32(3.0)
+    f12, f21, _ = FT.flow_forward(dc.replace(spec, use_pallas="on"),
+                                  params, consts, ctrl_cfg, ctrl_state,
+                                  times, 5, 128, scale)
+    r12, r21, _ = FT.flow_forward(dc.replace(spec, use_pallas="off"),
+                                  params, consts, ctrl_cfg, ctrl_state,
+                                  times, 5, 128, scale)
+    np.testing.assert_allclose(np.asarray(f12), np.asarray(r12),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(f21), np.asarray(r21),
+                               rtol=2e-3, atol=2e-3)
