@@ -322,6 +322,24 @@ def grid_axis_weights(cfg: SpatialConfig, coords: jnp.ndarray) -> jnp.ndarray:
                         (xs - lo)[:, None], 0.0))
 
 
+def _blur_axis_matrix(cfg: SpatialConfig) -> jnp.ndarray:
+    """(res, res) linear operator of ONE axis of :func:`_box_blur_cells`
+    (k-box, replicate padding). The box blur is separable per grid axis
+    and each mask producer contracts the grid per axis, so blur and
+    contraction commute: folding B into the tiny (n, res) hat weights
+    (``w @ B``) gives bit-identical math without ever materializing the
+    blurred (cells, E) grid (~257 MB + 3k slice passes at res=50,
+    E=515)."""
+    import numpy as np
+    res, k = cfg.res, cfg.k
+    half = k // 2
+    b = np.zeros((res, res), np.float32)
+    for i in range(res):
+        for s in range(k):
+            b[i, min(max(i + s - half, 0), res - 1)] += 1.0 / k
+    return jnp.asarray(b)
+
+
 def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
                       times: jnp.ndarray, h: int, w: int,
                       dtype=None) -> jnp.ndarray:
@@ -345,11 +363,13 @@ def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
     if cfg.mask_dim != 3:
         raise ValueError("spatial_grid_mask expects a (t, y, x) cell grid")
     res, e = cfg.res, cfg.encoding_dim
-    # cell flat index = t + y*res + x*res^2  =>  grid dims [x, y, t]
-    blurred = _box_blur_cells(cfg, state.mask).reshape(res, res, res, e)
-    wt = grid_axis_weights(cfg, times)
-    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h))
-    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w))
+    # cell flat index = t + y*res + x*res^2  =>  grid dims [x, y, t];
+    # the box blur rides the hat weights (see _blur_axis_matrix)
+    blurred = state.mask.reshape(res, res, res, e)
+    bm = _blur_axis_matrix(cfg)
+    wt = grid_axis_weights(cfg, times) @ bm
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)) @ bm
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)) @ bm
     g = jnp.einsum("bt,xytE->bxyE", wt, blurred)
     g = jnp.einsum("hy,bxyE->bxhE", wy, g)
     if dtype is not None:
@@ -379,14 +399,15 @@ def spatial_grid_mask_split(cfg: SpatialConfig, state: SpatialState,
         raise ValueError("spatial_grid_mask_split expects a (t, y, x) grid")
     res, e = cfg.res, cfg.encoding_dim
     d = cfg.mask_dim
-    blurred = _box_blur_cells(cfg, state.mask).reshape(res, res, res, e)
+    blurred = state.mask.reshape(res, res, res, e)
     if enc_perm is not None:
         b_enc = blurred[..., jnp.asarray(enc_perm) + d]
     else:
         b_enc = blurred[..., d:]
-    wt = grid_axis_weights(cfg, times)
-    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h))
-    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w))
+    bm = _blur_axis_matrix(cfg)
+    wt = grid_axis_weights(cfg, times) @ bm
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)) @ bm
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)) @ bm
     g = jnp.einsum("bt,xytE->bxyE", wt, b_enc)
     g = jnp.einsum("hy,bxyE->bxhE", wy, g)
     wx_e = wx
@@ -431,10 +452,11 @@ def spatial_grid_mask_slabs(cfg: SpatialConfig, state: SpatialState,
         raise ValueError("spatial_grid_mask_slabs expects a (t, y, x) grid")
     res, e = cfg.res, cfg.encoding_dim
     d = cfg.mask_dim
-    blurred = _box_blur_cells(cfg, state.mask).reshape(res, res, res, e)
-    wt = grid_axis_weights(cfg, times)
-    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h))
-    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w))
+    blurred = state.mask.reshape(res, res, res, e)
+    bm = _blur_axis_matrix(cfg)
+    wt = grid_axis_weights(cfg, times) @ bm
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)) @ bm
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)) @ bm
     g = jnp.einsum("bt,xytE->bxyE", wt, blurred)    # tiny (B, res, res, E)
     # channel permutation + enc/coord split on the t-contracted
     # intermediate (B*res^2*E elements) — doing either on the (B, H,
