@@ -273,11 +273,18 @@ def inr_apply(spec: INRSpec, params, consts, x: jnp.ndarray,
                 and fused_inr_supported(spec, params, consts, x, mask)):
             interp = (spec.use_pallas == "on"
                       and not fused_inr_available())
-            # interpret mode (CPU tests) keeps f32 operands so the fused
-            # path matches XLA-on-CPU; on TPU both paths round matmul
-            # operands to bf16 (the default-precision pass) identically
+            # Operand dtype follows the compute_dtype contract: only an
+            # explicit bfloat16 config gets bf16 matmul operands. XLA's
+            # default f32 matmuls on TPU are NOT one bf16 pass — measured:
+            # at lr 3e-3/scale 204 the XLA-f32 flow run converges (EPE
+            # 0.41) while XLA-bf16 and a bf16-operand kernel both diverge
+            # — so an f32 config must keep f32 operands in the kernel too
+            # (multi-pass Mosaic matmuls; the kernel's win is the
+            # recompute-in-VMEM backward, not matmul throughput).
+            # interpret mode (CPU tests) is always precise.
+            precise = interp or spec.compute_dtype != "bfloat16"
             return fused_inr_apply(spec, params, consts, x, mask,
-                                   precise=interp, interpret=interp)
+                                   precise=precise, interpret=interp)
     if isinstance(override_mask, tuple):
         # factored spatial masks emitted for the fused Pallas path
         # (controllers.spatial_grid_mask_split / spatial_grid_mask_slabs);

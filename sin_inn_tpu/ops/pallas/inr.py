@@ -110,17 +110,24 @@ def _encode(kind, xt, enc_refs, mev, precise):
     ct = [-2 c^T; 1] the augmented contraction gives |x|^2 - 2 x.c in one
     dot_general over the row axis.
 
-    Matmul precision follows the MLP contract: bf16 operands = XLA's
-    default f32-as-one-bf16-pass semantics (a true-f32 Mosaic matmul is
-    multi-pass); ``precise`` keeps f32 for parity tests."""
+    The ENCODING contraction always runs with f32 operands, regardless of
+    ``precise``: XLA lowers the K=d x@c contraction to f32 VPU fma (no
+    MXU), while a bf16 operand cast quantizes the coordinates to ~8-bit
+    mantissa — coarser than the pose-grid pixel spacing at Sintel widths
+    (2/1023 vs bf16's 1/128 near |x|=1), so adjacent pixels collide BEFORE
+    the nonlinearity and training diverges (RBF EPE 106 vs 0.41 at 300
+    iters, measured). K = d+1 <= 4, so the multi-pass f32 Mosaic matmul
+    costs nothing. The MLP matmuls keep bf16 operands (= XLA's default
+    f32-as-one-bf16-pass semantics); ``precise`` keeps those f32 too for
+    parity tests."""
     if kind == "rbf":
         ct_ref, cc_ref = enc_refs            # ct: (d+1, E) = [-2 c^T; 1]
         cc = cc_ref[...]                     # (2, E): |c|^2 row, sigma^2 row
-        d2 = _dg(xt, ct_ref[...], ((0,), (0,)), precise) + cc[0:1, :]
+        d2 = _dg(xt, ct_ref[...], ((0,), (0,)), True) + cc[0:1, :]
         code = jnp.exp(-jnp.maximum(d2, 0.0) * cc[1:2, :])
     else:                                    # 'ff': blocked sin||cos layout
         (f_ref,) = enc_refs                  # (d, F) 2*pi*frequencies
-        ph = _dg(xt, f_ref[...], ((0,), (0,)), precise)
+        ph = _dg(xt, f_ref[...], ((0,), (0,)), True)
         code = jnp.concatenate([jnp.sin(ph), jnp.cos(ph)], axis=1)
     return code * mev                        # (1|TN, E) channel mask
 

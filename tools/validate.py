@@ -70,7 +70,8 @@ def validate_sr(epochs: int) -> dict:
 
 
 def validate_flow(iters: int, net: str, splat_max_dy: int,
-                  splat_max_dx: int) -> dict:
+                  splat_max_dx: int, use_pallas: str = "auto",
+                  scale: float = 1.0, spatial: bool = False) -> dict:
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
     import jax
@@ -89,10 +90,11 @@ def validate_flow(iters: int, net: str, splat_max_dy: int,
     b = int(f1.shape[0])
     gt = jnp.zeros((b, h, w, 2)).at[..., 0].set(-2.0)
     batch = {"frame1": f1, "frame2": f2, "times": jnp.linspace(-1, 1, b),
-             "scale": jnp.asarray(np.float32(1.0)), "gt_flow": gt}
+             "scale": jnp.asarray(np.float32(scale)), "gt_flow": gt}
     cfg = FlowConfig(net=net, epochs=iters, lr=3e-3,
                      splat_max_dy=splat_max_dy, splat_chunk=2,
-                     splat_max_dx=splat_max_dx or None)
+                     splat_max_dx=splat_max_dx or None,
+                     use_pallas=use_pallas, spatially_adaptive=spatial)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         jax.random.key(0), cfg)
     step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
@@ -107,6 +109,7 @@ def validate_flow(iters: int, net: str, splat_max_dy: int,
             epe_traj.append(round(float(m["epe"]), 4))
             psnr_traj.append(round(float(m["psnr"]), 2))
     return {"check": "flow_convergence", "net": net, "iters": iters,
+            "use_pallas": use_pallas, "scale": scale, "spatial": spatial,
             "epe0": round(epe0, 3), "epe": epe_traj[-1],
             "psnr": psnr_traj[-1],
             "epe_traj": epe_traj, "psnr_traj": psnr_traj,
@@ -123,12 +126,18 @@ def main():
     ap.add_argument("--net", default="RBF")
     ap.add_argument("--splat-max-dy", type=int, default=64)
     ap.add_argument("--splat-max-dx", type=int, default=128)
+    ap.add_argument("--use-pallas", default="auto",
+                    help="flow: kernel routing for fused-vs-XLA A/Bs")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="flow: output scale (the trainer uses W/5)")
+    ap.add_argument("--spatial", action="store_true")
     args = ap.parse_args()
     if args.pipeline == "sr":
         out = validate_sr(args.epochs)
     else:
         out = validate_flow(args.iters, args.net, args.splat_max_dy,
-                            args.splat_max_dx)
+                            args.splat_max_dx, use_pallas=args.use_pallas,
+                            scale=args.scale, spatial=args.spatial)
     print(json.dumps(out))
 
 
