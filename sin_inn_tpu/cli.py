@@ -60,6 +60,9 @@ def _sr_parser(sub):
                     choices=["float32", "bfloat16", "float32_highest"])
     ap.add_argument("--use_pallas", default="auto",
                     choices=["auto", "on", "off"])
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each coupling (stash only coupling "
+                         "inputs; recompute subnets in the backward)")
     ap.add_argument("--mesh_data", type=int, default=None,
                     help="data-parallel mesh axis (default: all devices)")
     ap.add_argument("--mesh_model", type=int, default=1,
@@ -95,7 +98,7 @@ def sr_config_from_args(a) -> SRConfig:
         resume_state=a.resume_state,
         val_batch_size=a.val_batch_size, hidden_channels=a.hidden_channels,
         dense_gc=a.dense_gc, compute_dtype=a.compute_dtype,
-        use_pallas=a.use_pallas, mesh_data=a.mesh_data,
+        use_pallas=a.use_pallas, remat=a.remat, mesh_data=a.mesh_data,
         mesh_model=a.mesh_model, distributed=a.distributed,
         tcr_stop_grad=a.tcr_stop_grad, auto_lr=a.auto_lr,
         auto_batch=a.auto_batch, profile_steps=a.profile,

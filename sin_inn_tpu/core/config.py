@@ -85,6 +85,10 @@ class SRConfig:
     # fused Pallas kernels for the 1x1-subnet GLOW couplings:
     # 'auto' (on TPU), 'on', 'off'
     use_pallas: str = "auto"
+    # jax.checkpoint each coupling: backward stashes only coupling inputs
+    # and recomputes the subnet chain (the IRN dense blocks' concat
+    # activations never round-trip HBM). Measured A/B in docs/PERF.md.
+    remat: bool = False
     data_axis: str = "data"          # mesh axis the batch is sharded over
     donate_state: bool = True
     # Multi-chip execution (first-class, not test-only): mesh_data=None means

@@ -210,18 +210,31 @@ def _apply_layer(layer: LayerSpec, p: Optional[Dict], x: jnp.ndarray,
 
 def inn_apply(spec: Sequence[LayerSpec], params: Sequence[Optional[Dict]],
               x: jnp.ndarray, rev: bool = False,
-              with_log_det: bool = False):
+              with_log_det: bool = False, remat: bool = False):
     """Run the INN forward (HR -> LR||z) or inverse (LR||z -> HR).
 
     Mirrors ``InvRescaleNet.forward`` (/root/reference/archs.py:223-233) /
     ``ReversibleGraphNet`` traversal, as one traced XLA program.
+
+    ``remat=True`` wraps each parameterized coupling in ``jax.checkpoint``:
+    the backward stashes only each coupling's input and recomputes the
+    subnet chain in the VJP — the dense blocks' concat activations
+    (6 tensors per block per direction) never round-trip HBM. Trades
+    ~1 extra forward of FLOPs for the stash traffic; see docs/PERF.md
+    for the measured flagship A/B.
     """
     log_det = jnp.zeros((x.shape[0],), x.dtype)
     pairs = list(zip(spec, params))
     if rev:
         pairs = pairs[::-1]
     for layer, p in pairs:
-        x, ld = _apply_layer(layer, p, x, rev, with_log_det=with_log_det)
+        if remat and layer.kind in ("glow", "invblock"):
+            step = jax.checkpoint(
+                partial(_apply_layer, layer, rev=rev,
+                        with_log_det=with_log_det))
+            x, ld = step(p, x)
+        else:
+            x, ld = _apply_layer(layer, p, x, rev, with_log_det=with_log_det)
         log_det = log_det + ld
     if with_log_det:
         return x, log_det

@@ -76,7 +76,8 @@ def sr_loss(params, spec, cfg: SRConfig, sup: Dict, unsup: Optional[Dict],
     # feeds the chain in bfloat16 so the activations (and the conv im2col
     # buffers that bound the IRN dense blocks) ride bf16 end to end;
     # losses reduce in f32 at the boundary.
-    lr_z_hat = inn_apply(spec, params, hr.astype(zdt)).astype(hr.dtype)
+    lr_z_hat = inn_apply(spec, params, hr.astype(zdt),
+                         remat=cfg.remat).astype(hr.dtype)
     fwd_loss = cfg.lambda_fwd_rec * L.reconstruction(
         lr_z_hat[..., :cfg.lr_dims], lr)
     if cfg.lambda_fwd_mmd:
@@ -89,7 +90,8 @@ def sr_loss(params, spec, cfg: SRConfig, sup: Dict, unsup: Optional[Dict],
     # Inverse pass: (LR || z) -> HR. In bf16 mode the activations ride
     # bfloat16 through the whole inverse chain (conv2d returns its input
     # dtype); losses are computed in f32 at the boundary.
-    hr_hat = inn_apply(spec, params, lr_z, rev=True).astype(hr.dtype)
+    hr_hat = inn_apply(spec, params, lr_z, rev=True,
+                       remat=cfg.remat).astype(hr.dtype)
     bwd_loss = cfg.lambda_bwd_rec * L.reconstruction(hr_hat, hr)
     if cfg.lambda_bwd_mmd:
         bwd_loss = bwd_loss + cfg.lambda_bwd_mmd * L.mmd(hr_hat, hr, rev=True)
@@ -108,10 +110,11 @@ def sr_loss(params, spec, cfg: SRConfig, sup: Dict, unsup: Optional[Dict],
                                    scale=1.0 / cfg.scale,
                                    stop_grad=cfg.tcr_stop_grad)
             tcr_lr_z = jnp.concatenate([tcr_lr.astype(zdt), zi], axis=-1)
-            tcr_hr_hat = inn_apply(spec, params, tcr_lr_z,
-                                   rev=True).astype(lr_u.dtype)
+            tcr_hr_hat = inn_apply(spec, params, tcr_lr_z, rev=True,
+                                   remat=cfg.remat).astype(lr_u.dtype)
             hr_hat_tcr = tcr_transform(
-                inn_apply(spec, params, lr_zi, rev=True).astype(lr_u.dtype),
+                inn_apply(spec, params, lr_zi, rev=True,
+                          remat=cfg.remat).astype(lr_u.dtype),
                 rand, cfg.rotation, cfg.translation,
                 stop_grad=cfg.tcr_stop_grad)
             li = L.reconstruction(tcr_hr_hat, hr_hat_tcr)

@@ -244,3 +244,22 @@ def test_flow_spatial_controller_step_dp_matches_single():
     np.testing.assert_allclose(np.asarray(sstate2.ctrl_state.mask),
                                np.asarray(sstate1.ctrl_state.mask),
                                atol=1e-5)
+
+
+def test_sr_dp_remat_matches_single_device():
+    """cfg.remat (jax.checkpoint'd couplings) under a DP mesh: same loss as
+    the single-device non-remat step — remat must not change math or
+    interfere with sharding propagation."""
+    cfg, spec, state, tx, batch = _sr_setup()
+    single = _sr_loss(cfg, spec, state, batch)
+
+    import dataclasses
+    rcfg = dataclasses.replace(cfg, remat=True)
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        sstate = place_state(mesh, state)
+        sbatch = place_batch(mesh, batch)
+        loss = jax.jit(lambda p, b: SR.sr_loss(
+            p, spec, rcfg, b, None, jax.random.key(7))[0])(
+                sstate.params, sbatch)
+    assert float(loss) == pytest.approx(single, rel=1e-4)

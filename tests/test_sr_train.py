@@ -193,3 +193,21 @@ def test_sr_train_auto_lr_and_batch(tmp_path):
     video = synthetic_sr_video(cfg, h=16, w=16)
     out = L.run_sr_train(cfg, video=video)
     assert np.isfinite(out["metrics"]["loss"])
+
+
+def test_remat_step_matches_no_remat(key, sr_setup):
+    """cfg.remat wraps couplings in jax.checkpoint — identical math, so one
+    train step must produce the same loss and (near-)identical params."""
+    cfg, video, sup, unsup, val = sr_setup
+    batch = jax.device_put(sup.gather(np.arange(min(2, len(sup)))))
+    out = {}
+    for remat in (False, True):
+        c = tiny_cfg(remat=remat)
+        spec, state, tx = SR.create_train_state(key, c)
+        step = SR.make_train_step(spec, c, tx)
+        state, aux = step(state, batch, None, jax.random.key(0))
+        out[remat] = (float(aux["loss"]), state.params)
+    assert out[False][0] == pytest.approx(out[True][0], rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        out[False][1], out[True][1])
