@@ -343,6 +343,35 @@ def main():
                     help="skip the flow numbers in the default (sr) output")
     args = ap.parse_args()
 
+    # The axon relay occasionally drops for minutes at a time (observed
+    # 2026-08: >1 h outage with backend init hanging). A failed/hung TPU
+    # backend is cached for the life of the process, so recovery needs a
+    # fresh interpreter: re-exec this script up to 3 times, 5 min apart,
+    # before giving up — the driver runs bench unattended at round end.
+    import os
+    tries = int(os.environ.get("SIN_INN_BENCH_TRY", "0"))
+    if tries < 3:
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("backend init hung")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(180)       # init also HANGS during outages, not just errors
+        try:
+            import jax
+
+            jax.devices()
+            signal.alarm(0)
+        except Exception as e:  # noqa: BLE001 - retry on relay outage
+            signal.alarm(0)
+            print(f"backend init failed (try {tries}): {e}", file=sys.stderr)
+            time.sleep(300)
+            os.environ["SIN_INN_BENCH_TRY"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        finally:
+            signal.signal(signal.SIGALRM, old)
+
     def median3(fn):
         # median-of-3 full reps: pins the recorded ratio against both the
         # relay's and the single-core torch side's run-to-run noise
