@@ -195,14 +195,16 @@ def test_sr_train_auto_lr_and_batch(tmp_path):
     assert np.isfinite(out["metrics"]["loss"])
 
 
-def test_remat_step_matches_no_remat(key, sr_setup):
+@pytest.mark.parametrize("arch", ["IRN", "SRF"])
+def test_remat_step_matches_no_remat(key, sr_setup, arch):
     """cfg.remat wraps couplings in jax.checkpoint — identical math, so one
-    train step must produce the same loss and (near-)identical params."""
+    train step must produce the same loss and (near-)identical params.
+    Covers both coupling kinds: invblock (IRN) and glow (SRF)."""
     cfg, video, sup, unsup, val = sr_setup
     batch = jax.device_put(sup.gather(np.arange(min(2, len(sup)))))
     out = {}
     for remat in (False, True):
-        c = tiny_cfg(remat=remat)
+        c = tiny_cfg(remat=remat, architecture=arch)
         spec, state, tx = SR.create_train_state(key, c)
         step = SR.make_train_step(spec, c, tx)
         state, aux = step(state, batch, None, jax.random.key(0))
