@@ -176,9 +176,9 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
         (fwd_loss + bwd_loss).backward()
         opt.step()
 
-    # warmup step (allocator/graph build), then median-of-3 reps of 3 warm
+    # warmup step (allocator/graph build), then best-of-4 reps of 4 warm
     # steps each — the single-core torch side is noisy (VERDICT r2 weak #7);
-    # the median pins the recorded ratio to a reproducible draw
+    # see the rationale below on why best-of pins the recorded ratio
     t0 = time.perf_counter()
     one_step()
     if time.perf_counter() - t0 > timeout_s:

@@ -157,6 +157,11 @@ def _flow_parser(sub):
                     help="column bound |dx|<=N px for the windowed metric "
                          "warps: 'auto', 'off', or an int")
     ap.add_argument("--splat-col-chunk", type=int, default=256)
+    ap.add_argument("--use-pallas", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="fused Pallas splat/gather/INR kernels: 'auto' "
+                         "(TPU only), 'on' (forced; interpret mode "
+                         "off-TPU), 'off' (XLA paths)")
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
@@ -185,7 +190,8 @@ def flow_config_from_args(a) -> FlowConfig:
         hidden_dim=a.hidden_dim, num_layers=a.num_layers,
         compute_dtype=a.compute_dtype, splat_max_dy=a.splat_max_dy,
         splat_chunk=a.splat_chunk, splat_max_dx=a.splat_max_dx,
-        splat_col_chunk=a.splat_col_chunk, mesh_data=a.mesh_data,
+        splat_col_chunk=a.splat_col_chunk, use_pallas=a.use_pallas,
+        mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,
         flow_producer=a.flow_producer, profile_steps=a.profile,
     )

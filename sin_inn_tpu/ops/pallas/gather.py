@@ -289,11 +289,13 @@ def _resample_region_bwd(max_dy, max_dx, interpret, res, g):
                                       interpret)
     d_flow = jnp.stack([dpx * sx, dpy * sy], axis=-1).astype(flow.dtype)
     # image gradient = splat adjoint of the cotangent along the effective
-    # displacement (warp.py:425-442); DCE'd when img is a constant
-    ys = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    xs = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    px = (xs + flow[..., 0]) * sx - 0.5
-    py = (ys + flow[..., 1]) * sy - 0.5
+    # displacement (warp.py:425-442); DCE'd when img is a constant.
+    # Coordinates are built in f32 regardless of flow.dtype: a bf16 arange
+    # cannot represent integers > 256 (multi-pixel placement error).
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    px = (xs + flow[..., 0].astype(jnp.float32)) * sx - 0.5
+    py = (ys + flow[..., 1].astype(jnp.float32)) * sy - 0.5
     eff = jnp.stack([px - xs, py - ys], axis=-1)
     d_img = _splat_region_call(g, eff, max_dy, max_dx, interpret)
     return d_img, d_flow

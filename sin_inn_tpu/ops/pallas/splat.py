@@ -120,6 +120,11 @@ def _splat_region_call(values: jnp.ndarray, flow: jnp.ndarray,
     flow: (N, H, W, 2) pixel displacements (dx, dy). Returns (N, H, W, C).
     """
     n, h, w, c = values.shape
+    out_dtype = values.dtype
+    # the VMEM scratch windows are f32; DMA requires matching dtypes (the
+    # sibling gather kernel casts likewise) — cast any bf16 operands here
+    values = values.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
     B, CB = _B, _CB
     hb = -(-h // B)
     wb = -(-w // CB)
@@ -166,7 +171,7 @@ def _splat_region_call(values: jnp.ndarray, flow: jnp.ndarray,
 
     # (N, HB, C, B, WB*CB) -> (N, HB*B, WB*CB, C) -> crop
     out = out.reshape(n, hb, c, B, wb * CB).transpose(0, 1, 3, 4, 2)
-    return out.reshape(n, hb * B, wb * CB, c)[:, :h, :w]
+    return out.reshape(n, hb * B, wb * CB, c)[:, :h, :w].astype(out_dtype)
 
 
 def pallas_splat_available() -> bool:
@@ -218,12 +223,8 @@ def softsplat_region_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
                                    max_dx: int, interpret: bool = False):
     """softsplat_with_coverage on the Pallas region kernel (softmax mode:
     softsplat.py:334-359 packing, shared coverage channel)."""
-    e = jnp.exp(metric)
-    ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
-    cat = jnp.concatenate([inp * e, e, ones], axis=-1)
-    out = splat_region(max_dy, max_dx, interpret, cat, flow)
-    num = out[..., :-2]
-    den = out[..., -2:-1]
-    coverage = out[..., -1:]
-    soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
-    return soft, jax.lax.stop_gradient(coverage)
+    from sin_inn_tpu.ops.splat import softmax_coverage_via
+
+    return softmax_coverage_via(
+        lambda cat, fl: splat_region(max_dy, max_dx, interpret, cat, fl),
+        inp, flow, metric)

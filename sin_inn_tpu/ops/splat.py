@@ -89,6 +89,26 @@ def softsplat(inp: jnp.ndarray, flow: jnp.ndarray,
     return jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
 
 
+def softmax_coverage_via(splat_fn, inp: jnp.ndarray, flow: jnp.ndarray,
+                         metric: jnp.ndarray):
+    """Shared softmax+coverage packing over any splat backend.
+
+    Packs [inp*exp(metric), exp(metric), ones] so the softmax numerator,
+    denominator, and Wang coverage channel all ride ONE splat pass
+    (softsplat.py:334-359 packing; trainer.py:51-68 needs both outputs
+    along the same flow). Used by the scatter, windowed-matmul, and Pallas
+    region backends — keep the den==0 guard / coverage stop_gradient
+    changes HERE so the three paths cannot diverge."""
+    e = jnp.exp(metric)
+    ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
+    out = splat_fn(jnp.concatenate([inp * e, e, ones], axis=-1), flow)
+    num = out[..., :-2]
+    den = out[..., -2:-1]
+    coverage = out[..., -1:]
+    soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
+    return soft, jax.lax.stop_gradient(coverage)
+
+
 def softsplat_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
                             metric: jnp.ndarray):
     """Softmax splat + plain coverage map in ONE scatter.
@@ -99,15 +119,7 @@ def softsplat_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
     the dominant cost on TPU — so both payloads ride one scatter-add.
     Returns (softmax_out (N,H,W,C), coverage (N,H,W,1)).
     """
-    e = jnp.exp(metric)
-    ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
-    cat = jnp.concatenate([inp * e, e, ones], axis=-1)
-    out = splat_scatter(cat, flow)
-    num = out[..., :-2]
-    den = out[..., -2:-1]
-    coverage = out[..., -1:]
-    soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
-    return soft, jax.lax.stop_gradient(coverage)
+    return softmax_coverage_via(splat_scatter, inp, flow, metric)
 
 
 def splat_windowed(values: jnp.ndarray, flow: jnp.ndarray,
@@ -347,13 +359,7 @@ def softsplat_windowed_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
                                      max_dx: Optional[int] = None,
                                      col_chunk: int = 128):
     """softsplat_with_coverage on the windowed matmul splat."""
-    e = jnp.exp(metric)
-    ones = jnp.ones(inp.shape[:3] + (1,), inp.dtype)
-    cat = jnp.concatenate([inp * e, e, ones], axis=-1)
-    out = splat_windowed(cat, flow, max_dy, chunk, max_dx=max_dx,
-                         col_chunk=col_chunk)
-    num = out[..., :-2]
-    den = out[..., -2:-1]
-    coverage = out[..., -1:]
-    soft = jnp.where(den != 0.0, num / jnp.where(den == 0.0, 1.0, den), 0.0)
-    return soft, jax.lax.stop_gradient(coverage)
+    return softmax_coverage_via(
+        lambda cat, fl: splat_windowed(cat, fl, max_dy, chunk, max_dx=max_dx,
+                                       col_chunk=col_chunk),
+        inp, flow, metric)

@@ -168,12 +168,15 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
         pallas_splat_available, softsplat_region_with_coverage)
     use_pal = (cfg.use_pallas == "on"
                or (cfg.use_pallas == "auto" and pallas_splat_available()))
+    # forced-'on' off-TPU runs the kernels in interpret mode (same
+    # semantics as the fused INR path, models/inr.py)
+    interp = cfg.use_pallas == "on" and not pallas_splat_available()
     if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
         # fused Pallas windowed gather (fwd + analytic flow-grad in one
         # grads-mode kernel call; image-grad adjoint DCEs — gather.py)
         from sin_inn_tpu.ops.pallas.gather import resample2d_region
         warp = lambda im, fl: resample2d_region(
-            cfg.splat_max_dy, cfg.splat_max_dx, False, im, fl)
+            cfg.splat_max_dy, cfg.splat_max_dx, interp, im, fl)
     elif cfg.splat_max_dy and cfg.splat_max_dx:
         warp = lambda im, fl: resample2d_windowed(
             im, fl, cfg.splat_max_dy, cfg.resample_chunk,
@@ -189,7 +192,8 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
         if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
             # fused Pallas region-scatter kernel (2D-windowed; both bounds)
             splat_fn = lambda f, fl, m: softsplat_region_with_coverage(
-                f, fl, m, cfg.splat_max_dy, cfg.splat_max_dx)
+                f, fl, m, cfg.splat_max_dy, cfg.splat_max_dx,
+                interpret=interp)
         elif cfg.splat_max_dy:
             splat_fn = lambda f, fl, m: softsplat_windowed_with_coverage(
                 f, fl, m, cfg.splat_max_dy, cfg.splat_chunk)

@@ -388,3 +388,56 @@ def test_fused_coupling_bf16_inputs(coupling_setup):
     assert dparams["s1"]["conv1"]["w"].dtype == jnp.float32
     assert all(np.isfinite(np.asarray(l, np.float32)).all()
                for l in jax.tree_util.tree_leaves((dparams, dx)))
+
+
+def test_splat_region_bf16_inputs(rng):
+    """bf16 frames/flow through the region splat: the wrapper casts to f32
+    for the VMEM scratch DMA (dtype-matched copies) and returns the input
+    dtype. Values are bf16-quantized first so the f32 reference run sees
+    the SAME numbers — the paths then differ only by the (f32) kernel
+    internals."""
+    from sin_inn_tpu.ops.pallas.splat import (_splat_region_call,
+                                              softsplat_region_with_coverage)
+
+    n, h, w, c = 1, 40, 50, 3
+    v32 = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    fl32 = jnp.asarray((rng.rand(n, h, w, 2) * 10 - 5).astype(np.float32))
+    v32 = v32.astype(jnp.bfloat16).astype(jnp.float32)
+    fl32 = fl32.astype(jnp.bfloat16).astype(jnp.float32)
+
+    got = _splat_region_call(v32.astype(jnp.bfloat16),
+                             fl32.astype(jnp.bfloat16), 8, 8, INTERPRET)
+    assert got.dtype == jnp.bfloat16
+    ref = _splat_region_call(v32, fl32, 8, 8, INTERPRET)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               atol=0.05)
+
+    m32 = (jnp.asarray(rng.rand(n, h, w, 1).astype(np.float32))
+           .astype(jnp.bfloat16).astype(jnp.float32))
+    soft, cover = softsplat_region_with_coverage(
+        v32.astype(jnp.bfloat16), fl32.astype(jnp.bfloat16),
+        m32.astype(jnp.bfloat16), 8, 8, interpret=INTERPRET)
+    assert soft.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(soft, np.float32)).all()
+
+
+def test_resample_region_bf16_flow_image_grad(rng):
+    """bf16 flow through resample2d_region's backward: the image-grad splat
+    builds its pixel coordinates in f32 (a bf16 arange cannot represent
+    integers > 256), so with bf16-quantized flow the image gradient matches
+    the f32-flow run."""
+    from sin_inn_tpu.ops.pallas.gather import resample2d_region
+
+    n, h, w, c = 1, 40, 50, 3
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    fl32 = (jnp.asarray((rng.rand(n, h, w, 2) * 10 - 5).astype(np.float32))
+            .astype(jnp.bfloat16).astype(jnp.float32))
+
+    def loss(im, f_):
+        return jnp.sum(jnp.sin(
+            resample2d_region(8, 8, INTERPRET, im, f_) * 3))
+
+    d_ref = jax.grad(loss, 0)(img, fl32)
+    d_b16 = jax.grad(loss, 0)(img, fl32.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(d_b16), np.asarray(d_ref),
+                               atol=2e-4)
