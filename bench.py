@@ -346,11 +346,12 @@ def main():
     # The axon relay occasionally drops for minutes at a time (observed
     # 2026-08: >1 h outage with backend init hanging). A failed/hung TPU
     # backend is cached for the life of the process, so recovery needs a
-    # fresh interpreter: re-exec this script up to 3 times, 5 min apart,
+    # fresh interpreter: re-exec this script up to 8 times, 5 min apart,
     # before giving up — the driver runs bench unattended at round end.
     import os
     tries = int(os.environ.get("SIN_INN_BENCH_TRY", "0"))
-    if tries < 3:
+    # 8 tries x 5 min covers the longest observed outage (~45 min) with margin
+    if tries < 8:
         import signal
 
         def _alarm(signum, frame):

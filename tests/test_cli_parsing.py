@@ -94,9 +94,10 @@ def test_flow_runtime_flags():
                "--spatial-res", "25", "--mesh-data", "2",
                "--compute-dtype", "bfloat16", "--num-frequencies", "32",
                "--hidden-dim", "64", "--num-layers", "2",
-               "--flow-dir", "/flows",
+               "--flow-dir", "/flows", "--use-pallas", "on",
                "--flow-producer", "raft:ck.pth@8"])
     cfg = cli.flow_config_from_args(a)
+    assert cfg.use_pallas == "on"
     assert cfg.splat_max_dy == 64 and cfg.splat_chunk == 8
     assert cfg.spatial_res == 25 and cfg.mesh_data == 2
     assert cfg.compute_dtype == "bfloat16"

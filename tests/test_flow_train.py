@@ -187,6 +187,30 @@ def test_flow_loss_auto_bounds_self_resolve(key, rng):
     assert float(la) == pytest.approx(float(le), rel=1e-6)
 
 
+def test_flow_loss_forced_pallas_matches_xla_windowed(key, rng):
+    """--use-pallas on off-TPU dispatches the region kernels in interpret
+    mode (train/flow.py's `interp` wiring); loss and flow-gradient match
+    the XLA windowed path within the kernels' documented one-step
+    coordinate-rounding tolerance (~2e-4)."""
+    from sin_inn_tpu.train.flow import photometric_flow_loss
+
+    f1 = jnp.asarray(rng.rand(1, 12, 16, 3).astype(np.float32))
+    f2 = jnp.asarray(rng.rand(1, 12, 16, 3).astype(np.float32))
+    fl = jnp.asarray((rng.rand(1, 12, 16, 2) * 2 - 1).astype(np.float32))
+
+    cfg_pal = FlowConfig(splat_max_dy=8, splat_max_dx=8, use_pallas="on")
+    cfg_xla = FlowConfig(splat_max_dy=8, splat_max_dx=8, use_pallas="off")
+
+    def loss_fn(cfg):
+        return lambda flow: photometric_flow_loss(cfg, f1, f2,
+                                                  flow, -flow)[0]
+
+    lp, gp = jax.value_and_grad(loss_fn(cfg_pal))(fl)
+    lx, gx = jax.value_and_grad(loss_fn(cfg_xla))(fl)
+    assert float(lp) == pytest.approx(float(lx), abs=2e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-4)
+
+
 def test_flow_step_2d_domain_pair(key, rng):
     """The reference pair_flow.py experiment config: domain_dim=2 nets
     train on a single pair (pose grid drops the time coordinate)."""
