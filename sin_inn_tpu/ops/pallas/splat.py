@@ -212,7 +212,10 @@ def _splat_region_bwd(max_dy, max_dx, interpret, res, g):
     values, flow = res
     d_values, d_ax, d_ay = _gather_region_call(
         g, flow, values, max_dy, max_dx, _RAW, True, interpret)
-    return d_values, jnp.stack([d_ax, d_ay], axis=-1)
+    # the gather kernel's outputs carry g.dtype (== values.dtype); the flow
+    # cotangent must match flow.dtype, which can differ under mixed bf16
+    return (d_values.astype(values.dtype),
+            jnp.stack([d_ax, d_ay], axis=-1).astype(flow.dtype))
 
 
 splat_region.defvjp(_splat_region_fwd, _splat_region_bwd)

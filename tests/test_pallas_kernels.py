@@ -421,6 +421,26 @@ def test_splat_region_bf16_inputs(rng):
     assert np.isfinite(np.asarray(soft, np.float32)).all()
 
 
+def test_splat_region_mixed_dtype_grads(rng):
+    """bf16 values with f32 flow through the region splat's custom_vjp:
+    cotangent dtypes must match the primals (the kernel outputs carry the
+    values dtype; the flow cotangent is cast back)."""
+    from sin_inn_tpu.ops.pallas.splat import splat_region
+
+    n, h, w, c = 1, 24, 32, 3
+    v = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    fl = jnp.asarray((rng.rand(n, h, w, 2) * 6 - 3).astype(np.float32))
+
+    def loss(v_, f_):
+        return jnp.sum(splat_region(8, 8, INTERPRET, v_, f_)
+                       .astype(jnp.float32))
+
+    dv, dfl = jax.grad(loss, (0, 1))(v, fl)
+    assert dv.dtype == jnp.bfloat16 and dfl.dtype == jnp.float32
+    assert np.isfinite(np.asarray(dfl)).all()
+
+
 def test_resample_region_bf16_flow_image_grad(rng):
     """bf16 flow through resample2d_region's backward: the image-grad splat
     builds its pixel coordinates in f32 (a bf16 arange cannot represent
