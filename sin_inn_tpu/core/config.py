@@ -290,16 +290,21 @@ class FlowConfig:
         ceil(dim/8) rounded up to a multiple of 16 (Sintel 436x1024 ->
         dy=64, dx=128 — exactly the bounds measured fastest, CLAUDE.md) and
         falls back to the exact scatter for frames under 128 px (windowing
-        buys nothing when the window covers most of the image). Idempotent
-        for already-integer bounds.
+        buys nothing when the window covers most of the image) — unless
+        splat_max_dx was pinned to an explicit int, which is a request for
+        the windowed path and keeps dy on its auto value (the silent
+        fallback would contradict the loud ValueError the same dy-off +
+        dx-int contradiction raises at construction time). Idempotent for
+        already-integer bounds.
         """
         def auto(dim):
             eighth = -(-dim // 8)                       # ceil(dim / 8)
             return max(16, (eighth + 15) // 16 * 16)    # to multiple of 16
 
         dy, dx = self.splat_max_dy, self.splat_max_dx
+        dx_pinned = isinstance(dx, int) and not self._bound_off(dx)
         if dy == "auto":
-            dy = None if min(h, w) < 128 else auto(h)
+            dy = None if (min(h, w) < 128 and not dx_pinned) else auto(h)
         elif self._bound_off(dy):
             dy = None
         if dx == "auto":

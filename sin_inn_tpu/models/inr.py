@@ -264,13 +264,12 @@ def inr_apply(spec: INRSpec, params, consts, x: jnp.ndarray,
     if spec.use_pallas in ("on", "auto"):
         from sin_inn_tpu.ops.pallas.inr import (fused_inr_apply,
                                                 fused_inr_available,
-                                                fused_inr_supported)
+                                                fused_inr_eligible)
         mask = override_mask
         if (mask is None and alpha is not None and spec.is_progressive
                 and alpha < 1):
             mask = alpha_mask(spec, alpha)
-        if ((spec.use_pallas == "on" or fused_inr_available())
-                and fused_inr_supported(spec, params, consts, x, mask)):
+        if fused_inr_eligible(spec, params, consts, x, mask):
             interp = (spec.use_pallas == "on"
                       and not fused_inr_available())
             # Operand dtype follows the compute_dtype contract: only an

@@ -488,6 +488,36 @@ def fused_inr_supported(spec, params, consts, x,
     return True
 
 
+def fused_inr_eligible(spec, params, consts, x,
+                       mask: Optional[jnp.ndarray]) -> bool:
+    """The ONE gate combining the ``use_pallas`` knob with the static
+    support check. Both altitudes that decide the fused path — the mask
+    FORMAT choice in ``train.flow.flow_forward`` and the kernel dispatch in
+    ``models.inr.inr_apply`` — must call this (directly or via
+    :func:`fused_spatial_mask_format`) so they cannot drift apart: a
+    divergence makes flow_forward build a factored mask that inr_apply
+    then reassembles into the dense (n, E) form the slab path exists to
+    avoid — a silent per-step perf cliff, not an error."""
+    if spec.use_pallas == "on":
+        return fused_inr_supported(spec, params, consts, x, mask)
+    return (spec.use_pallas == "auto" and fused_inr_available()
+            and fused_inr_supported(spec, params, consts, x, mask))
+
+
+def fused_spatial_mask_format(spec, params, consts, x, w: int) -> str:
+    """Which spatial-mask format ``flow_forward`` should emit for the dense
+    pose grid: ``'slabs'`` (row-aligned fused path, the fast one),
+    ``'split'`` (forced-pallas fallback on non-row-aligned widths) or
+    ``'dense'`` (XLA path). Single source of truth for the format/dispatch
+    agreement — see :func:`fused_inr_eligible`."""
+    if fused_inr_eligible(spec, params, consts, x, None):
+        if w % 128 == 0:
+            return "slabs"
+        if spec.use_pallas == "on":
+            return "split"
+    return "dense"
+
+
 def _ff_perm(nf: int):
     """interleaved [sin f0, cos f0, ...] row index for each blocked
     [sin...| cos...] position."""

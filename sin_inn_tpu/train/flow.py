@@ -99,15 +99,13 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
                 mdt = (jnp.bfloat16 if spec.compute_dtype == "bfloat16"
                        else None)
                 from sin_inn_tpu.ops.pallas.inr import (
-                    fused_inr_available, fused_inr_supported,
-                    inr_mask_perm)
-                use_fused = (spec.use_pallas == "on"
-                             or (spec.use_pallas == "auto"
-                                 and fused_inr_available()))
-                eligible = (use_fused
-                            and fused_inr_supported(spec, params, consts,
-                                                    pts, None))
-                if eligible and w % 128 == 0:
+                    fused_spatial_mask_format, inr_mask_perm)
+                # one shared gate with inr_apply's kernel dispatch — see
+                # fused_inr_eligible's docstring for why it must not be
+                # re-derived here
+                fmt = fused_spatial_mask_format(spec, params, consts,
+                                                pts, w)
+                if fmt == "slabs":
                     # fused Pallas INR path: the mask rides as per-row
                     # t/y-contracted slabs + constant x hat weights and
                     # is rebuilt in VMEM — the (n, E) mask never exists
@@ -116,7 +114,7 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
                     mask = ctrl.spatial_grid_mask_slabs(
                         ctrl_cfg, ctrl_state, times, h, w,
                         enc_perm=inr_mask_perm(spec), dtype=mdt)
-                elif eligible and spec.use_pallas == "on":
+                elif fmt == "split":
                     # forced-pallas fallback for non-row-aligned widths:
                     # stream the pre-split (n, E) mask (measured slower
                     # than the XLA path at Sintel scale — kept only so

@@ -282,6 +282,35 @@ def _scene_flow_dir(flow_dir, scene: str):
     return sub if path.isdir(sub) else None
 
 
+def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
+                                    fh: int, fw: int) -> FlowConfig:
+    """Materialize 'auto' splat-window bounds for the loaded frame size
+    (the tuned windowed path is the default — VERDICT r2 weak #1), then,
+    when GT/pseudo-GT flow exists, probe its magnitude and tighten to 1.5x
+    the observed max rounded up to 16 — smaller windows shrink the dense
+    splat/warp contractions quadratically; the per-save-cadence monitor
+    warns loudly if training flow ever outgrows them. The probe only
+    tightens bounds the user left on 'auto': an explicit int pins that
+    axis (config.py contract), checked per axis."""
+    was_auto_dy = cfg.splat_max_dy == "auto"
+    was_auto_dx = cfg.splat_max_dx == "auto"
+    cfg = cfg.resolve_splat_bounds(fh, fw)
+    if ((was_auto_dy or was_auto_dx)
+            and getattr(media, "gt_available", False)
+            and media.flow is not None
+            and isinstance(cfg.splat_max_dy, int)):
+        to16 = lambda v: max(16, int(-(-(1.5 * float(v)) // 16) * 16))
+        probe_dx = to16(np.abs(media.flow[..., 0]).max())
+        probe_dy = to16(np.abs(media.flow[..., 1]).max())
+        cfg = cfg.replace(
+            splat_max_dy=(min(cfg.splat_max_dy, probe_dy)
+                          if was_auto_dy else cfg.splat_max_dy),
+            splat_max_dx=(min(cfg.splat_max_dx, probe_dx)
+                          if was_auto_dx and cfg.splat_max_dx is not None
+                          else cfg.splat_max_dx))
+    return cfg
+
+
 def _maybe_pseudo_gt(cfg: FlowConfig, media, scene: str):
     """Attach producer-generated pseudo-GT flow when the media has no GT —
     the reference's pre-train RAFT pass (video-interpolation/data.py:32-62)
@@ -324,24 +353,8 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     same = val_media is media
     media = _maybe_pseudo_gt(cfg, media, scene)
     val_media = media if same else _maybe_pseudo_gt(cfg, val_media, scene)
-    # materialize 'auto' splat-window bounds now that the frame size is known
-    # (the tuned windowed path is the default — VERDICT r2 weak #1). When
-    # GT/pseudo-GT flow exists, probe its magnitude and tighten the bounds
-    # to 1.5x the observed max (rounded up to 16) — smaller windows shrink
-    # the dense splat/warp contractions quadratically; the per-save-cadence
-    # monitor warns loudly if training flow ever outgrows them.
     fh, fw = media.video.shape[1:3]
-    was_auto = cfg.splat_max_dy == "auto"
-    cfg = cfg.resolve_splat_bounds(fh, fw)
-    if (was_auto and getattr(media, "gt_available", False)
-            and media.flow is not None
-            and isinstance(cfg.splat_max_dy, int)):
-        to16 = lambda v: max(16, int(-(-(1.5 * float(v)) // 16) * 16))
-        probe_dx = to16(np.abs(media.flow[..., 0]).max())
-        probe_dy = to16(np.abs(media.flow[..., 1]).max())
-        cfg = cfg.replace(splat_max_dy=min(cfg.splat_max_dy, probe_dy),
-                          splat_max_dx=min(cfg.splat_max_dx, probe_dx)
-                          if cfg.splat_max_dx is not None else None)
+    cfg = _resolve_and_probe_splat_bounds(cfg, media, fh, fw)
     key = R.root_key(cfg.random_seed)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         R.named_fold(key, "init"), cfg)

@@ -170,6 +170,39 @@ def test_flow_config_splat_bounds_auto_resolution():
     assert r.splat_max_dy is None and r.splat_max_dx is None
     with pytest.raises(ValueError, match="splat_max_dy"):
         FlowConfig(splat_max_dy="sometimes")
+    # a pinned dx is a request for the windowed path: the tiny-frame auto
+    # fallback must not silently discard it (it would contradict the loud
+    # ValueError the explicit dy-off + dx-int contradiction raises above)
+    r = FlowConfig(splat_max_dx=64).resolve_splat_bounds(100, 120)
+    assert r.splat_max_dx == 64 and isinstance(r.splat_max_dy, int)
+
+
+def test_flow_gt_probe_respects_pinned_bounds():
+    """The GT-flow magnitude probe only tightens axes left on 'auto' — an
+    explicit int pins that axis (config.py contract)."""
+    from sin_inn_tpu.train.loop import _resolve_and_probe_splat_bounds
+
+    class _M:
+        gt_available = True
+        flow = np.zeros((2, 436, 1024, 2), np.float32)  # max |f| ~ 20 px
+    _M.flow[..., 0] = 20.0
+    _M.flow[..., 1] = 20.0
+
+    # both auto: probe tightens both (1.5 * 20 -> 32)
+    cfg = _resolve_and_probe_splat_bounds(FlowConfig(), _M(), 436, 1024)
+    assert cfg.splat_max_dy == 32 and cfg.splat_max_dx == 32
+    # pinned dx survives; auto dy still tightens
+    cfg = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dx=96), _M(), 436, 1024)
+    assert cfg.splat_max_dx == 96 and cfg.splat_max_dy == 32
+    # pinned dy survives; auto dx still tightens
+    cfg = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dy=80), _M(), 436, 1024)
+    assert cfg.splat_max_dy == 80 and cfg.splat_max_dx == 32
+    # both pinned: probe is a no-op
+    cfg = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dy=80, splat_max_dx=96), _M(), 436, 1024)
+    assert cfg.splat_max_dy == 80 and cfg.splat_max_dx == 96
 
 
 def test_flow_loss_auto_bounds_self_resolve(key, rng):
