@@ -350,8 +350,9 @@ def main():
     # before giving up — the driver runs bench unattended at round end.
     import os
     tries = int(os.environ.get("SIN_INN_BENCH_TRY", "0"))
-    # 8 tries x 5 min covers the longest observed outage (~45 min) with margin
-    if tries < 8:
+    # 24 tries x 5 min (~2-3 h incl. the 180 s hang alarms) — outages longer
+    # than the round-2 ~45 min one have since been observed (2026-08: >1.5 h)
+    if tries < 24:
         import signal
 
         def _alarm(signum, frame):
