@@ -125,6 +125,30 @@ def test_eligibility_gates():
     assert not fused_inr_supported(spec4, params4, consts4, x, None)
 
 
+def test_fused_spatial_mask_format_contract():
+    """The one shared gate (flow_forward's mask format must agree with
+    inr_apply's dispatch — a drift is a silent perf cliff)."""
+    from sin_inn_tpu.ops.pallas.inr import (fused_inr_eligible,
+                                            fused_spatial_mask_format)
+    key = jax.random.PRNGKey(43)
+    x = _points(key, 64)
+    # forced 'on': eligible regardless of TPU availability; slab for
+    # row-aligned widths, pre-split otherwise
+    spec, params, consts = build_inr(key, "RBF", _cfg(use_pallas="on"))
+    assert fused_inr_eligible(spec, params, consts, x, None)
+    assert fused_spatial_mask_format(spec, params, consts, x, 256) == "slabs"
+    assert fused_spatial_mask_format(spec, params, consts, x, 250) == "split"
+    # 'auto' on CPU (no TPU): XLA path, dense mask
+    s_auto = dataclasses.replace(spec, use_pallas="auto")
+    assert not fused_inr_eligible(s_auto, params, consts, x, None)
+    assert (fused_spatial_mask_format(s_auto, params, consts, x, 256)
+            == "dense")
+    # ineligible spec (non-128 hidden): dense even when forced
+    s96, p96, c96 = build_inr(key, "RBF", _cfg(hidden_dim=96,
+                                               use_pallas="on"))
+    assert fused_spatial_mask_format(s96, p96, c96, x, 256) == "dense"
+
+
 def test_inr_apply_routes_through_fused():
     # use_pallas='on' forces the fused path (interpret mode on CPU)
     cfg = _cfg(use_pallas="on")
