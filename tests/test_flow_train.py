@@ -56,6 +56,25 @@ def test_flow_step_with_spatial_controller(key, rng):
     assert int(state.ctrl_state.iteration) >= 1
 
 
+def test_flow_training_deterministic(key, rng):
+    """Same seed => bitwise-identical flow trajectory (SURVEY §5: the
+    deterministic-scatter + explicit-controller-state design)."""
+    cfg = tiny_cfg(net="PFF")
+    batch = synthetic_batch(rng)
+
+    def run():
+        spec, state, consts, ctrl_cfg, tx = F.create_flow_state(
+            jax.random.key(11), cfg)
+        step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+        losses = []
+        for _ in range(3):
+            state, metrics = step(state, consts, batch)
+            losses.append(np.asarray(metrics["loss"]))
+        return losses
+
+    np.testing.assert_array_equal(np.stack(run()), np.stack(run()))
+
+
 def test_flow_epe_against_gt(key, rng):
     cfg = tiny_cfg(net="RBF")
     spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)

@@ -71,6 +71,31 @@ def test_sr_train_step_with_tcr_and_mmd(key, sr_setup):
     assert float(aux["tcr"]) != 0.0
 
 
+def test_sr_training_deterministic(key, sr_setup):
+    """Two runs from the same seed produce bitwise-identical trajectories
+    (SURVEY §5 determinism: sorted scatters, explicit key threading — no
+    hidden host RNG in the step)."""
+    cfg, video, sup, unsup, val = sr_setup
+    sup_b = jax.device_put(sup.gather(np.arange(min(2, len(sup)))))
+    unsup_b = jax.device_put(unsup.random_batch(2))
+
+    def run():
+        spec, state, tx = SR.create_train_state(jax.random.key(7), cfg)
+        step = SR.make_train_step(spec, cfg, tx)
+        losses = []
+        for _ in range(3):
+            state, aux = step(state, sup_b, unsup_b, jax.random.key(3))
+            losses.append(np.asarray(aux["loss"]))
+        return losses, state.params
+
+    l1, p1 = run()
+    l2, p2 = run()
+    np.testing.assert_array_equal(np.stack(l1), np.stack(l2))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), p1, p2)
+
+
 def test_sr_eval_and_infer(key, sr_setup):
     cfg, video, sup, unsup, val = sr_setup
     spec, state, tx = SR.create_train_state(key, cfg)
