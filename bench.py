@@ -176,7 +176,7 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
         (fwd_loss + bwd_loss).backward()
         opt.step()
 
-    # warmup step (allocator/graph build), then best-of-4 reps of 4 warm
+    # warmup step (allocator/graph build), then best-of-8 reps of 4 warm
     # steps each — the single-core torch side is noisy (VERDICT r2 weak #7);
     # see the rationale below on why best-of pins the recorded ratio
     t0 = time.perf_counter()
@@ -193,8 +193,8 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
     # best-of-8 (~6 s total at the 88x160 shape): contention noise on the
     # single-core box is strictly one-sided (it only slows torch down), so
     # the fastest rep is both the most reproducible and the CONSERVATIVE
-    # choice for the ratio; 4 reps still swung the recorded SR ratio
-    # 60-100% run-to-run, 8 pins it
+    # choice for the ratio; with 4 reps the recorded SR ratio still swung
+    # ~60-100x run-to-run, 8 pins it tighter
     return max(reps)
 
 
@@ -348,8 +348,9 @@ def main():
     # The axon relay occasionally drops for minutes at a time (observed
     # 2026-08: >1 h outage with backend init hanging). A failed/hung TPU
     # backend is cached for the life of the process, so recovery needs a
-    # fresh interpreter: re-exec this script up to 8 times, 5 min apart,
-    # before giving up — the driver runs bench unattended at round end.
+    # fresh interpreter: re-exec this script every 5 min (see the try cap
+    # below) before giving up — the driver runs bench unattended at round
+    # end.
     import os
     tries = int(os.environ.get("SIN_INN_BENCH_TRY", "0"))
     # 24 tries x 5 min (~2-3 h incl. the 180 s hang alarms) — outages longer

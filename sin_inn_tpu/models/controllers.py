@@ -340,6 +340,21 @@ def _blur_axis_matrix(cfg: SpatialConfig) -> jnp.ndarray:
     return jnp.asarray(b)
 
 
+def _grid_mask_operands(cfg: SpatialConfig, state: SpatialState,
+                        times: jnp.ndarray, h: int, w: int, what: str):
+    """Shared preamble of the three grid mask producers: the (res,res,res,E)
+    cell grid plus the blur-folded per-axis hat weights (wt, wy, wx)."""
+    if cfg.mask_dim != 3:
+        raise ValueError(f"{what} expects a (t, y, x) cell grid")
+    res, e = cfg.res, cfg.encoding_dim
+    cells = state.mask.reshape(res, res, res, e)
+    bm = _blur_axis_matrix(cfg)
+    wt = grid_axis_weights(cfg, times) @ bm
+    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)) @ bm
+    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)) @ bm
+    return cells, wt, wy, wx
+
+
 def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
                       times: jnp.ndarray, h: int, w: int,
                       dtype=None) -> jnp.ndarray:
@@ -360,16 +375,11 @@ def spatial_grid_mask(cfg: SpatialConfig, state: SpatialState,
     einsum. Kept as the explicit dtype contract rather than relying on
     that fusion.
     """
-    if cfg.mask_dim != 3:
-        raise ValueError("spatial_grid_mask expects a (t, y, x) cell grid")
-    res, e = cfg.res, cfg.encoding_dim
     # cell flat index = t + y*res + x*res^2  =>  grid dims [x, y, t];
     # the box blur rides the hat weights (see _blur_axis_matrix)
-    blurred = state.mask.reshape(res, res, res, e)
-    bm = _blur_axis_matrix(cfg)
-    wt = grid_axis_weights(cfg, times) @ bm
-    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)) @ bm
-    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)) @ bm
+    blurred, wt, wy, wx = _grid_mask_operands(cfg, state, times, h, w,
+                                              "spatial_grid_mask")
+    e = cfg.encoding_dim
     g = jnp.einsum("bt,xytE->bxyE", wt, blurred)
     g = jnp.einsum("hy,bxyE->bxhE", wy, g)
     if dtype is not None:
@@ -395,19 +405,13 @@ def spatial_grid_mask_split(cfg: SpatialConfig, state: SpatialState,
     separable contractions are identical to :func:`spatial_grid_mask`
     (same ``dtype`` contract: the big last contraction emits ``dtype``).
     """
-    if cfg.mask_dim != 3:
-        raise ValueError("spatial_grid_mask_split expects a (t, y, x) grid")
-    res, e = cfg.res, cfg.encoding_dim
-    d = cfg.mask_dim
-    blurred = state.mask.reshape(res, res, res, e)
+    blurred, wt, wy, wx = _grid_mask_operands(cfg, state, times, h, w,
+                                              "spatial_grid_mask_split")
+    e, d = cfg.encoding_dim, cfg.mask_dim
     if enc_perm is not None:
         b_enc = blurred[..., jnp.asarray(enc_perm) + d]
     else:
         b_enc = blurred[..., d:]
-    bm = _blur_axis_matrix(cfg)
-    wt = grid_axis_weights(cfg, times) @ bm
-    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)) @ bm
-    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)) @ bm
     g = jnp.einsum("bt,xytE->bxyE", wt, b_enc)
     g = jnp.einsum("hy,bxyE->bxhE", wy, g)
     wx_e = wx
@@ -448,15 +452,9 @@ def spatial_grid_mask_slabs(cfg: SpatialConfig, state: SpatialState,
     into the fused kernel's blocked sin||cos layout at the cell grid,
     where it costs nothing; ``dtype`` casts the slabs (the only streamed
     operands) — the x contraction happens in-kernel."""
-    if cfg.mask_dim != 3:
-        raise ValueError("spatial_grid_mask_slabs expects a (t, y, x) grid")
-    res, e = cfg.res, cfg.encoding_dim
-    d = cfg.mask_dim
-    blurred = state.mask.reshape(res, res, res, e)
-    bm = _blur_axis_matrix(cfg)
-    wt = grid_axis_weights(cfg, times) @ bm
-    wy = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, h)) @ bm
-    wx = grid_axis_weights(cfg, jnp.linspace(-1.0, 1.0, w)) @ bm
+    blurred, wt, wy, wx = _grid_mask_operands(cfg, state, times, h, w,
+                                              "spatial_grid_mask_slabs")
+    res, e, d = cfg.res, cfg.encoding_dim, cfg.mask_dim
     g = jnp.einsum("bt,xytE->bxyE", wt, blurred)    # tiny (B, res, res, E)
     # channel permutation + enc/coord split on the t-contracted
     # intermediate (B*res^2*E elements) — doing either on the (B, H,

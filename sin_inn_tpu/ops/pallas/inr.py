@@ -561,7 +561,6 @@ def fused_inr_apply(spec, params, consts, x,
         kind = "ff"
         freqs = consts["enc"]["frequencies"].astype(jnp.float32)  # (d, F)
         nf = freqs.shape[1]
-        import numpy as np
         perm = _ff_perm(nf)
         enc_ops = (freqs * (2.0 * jnp.pi),)
 
