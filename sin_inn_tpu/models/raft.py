@@ -29,6 +29,18 @@ flat ``dict[str, jnp.ndarray]`` keyed by the official torch module paths
 transpose-and-strip pass and the parity test can diff key sets directly.
 Numerics are pinned against an independent torch replica of the official
 modules in ``tests/test_raft.py``.
+
+.. caution:: **Fidelity caveat.** The parity tests validate against a torch
+   replica written from the paper and the official module structure — NOT
+   against outputs of the official repository run with a real
+   ``raft-things.pth`` (no network access / checkpoint in this environment).
+   The importer fails loudly on any key/shape mismatch, and
+   ``tests/test_raft.py`` pins shape-preserving conventions (ConvGRU gate-slab
+   order, corr-pyramid level order, upsample-mask softmax axis) against the
+   replica on randomized weights — but a systematic convention shared by the
+   replica and the port would not be caught. Treat pseudo-GT from this port
+   as unvalidated against upstream until diffed once against the official
+   implementation's output on the same frame pair.
 """
 
 from __future__ import annotations
