@@ -33,6 +33,11 @@ def _sr_parser(sub):
     ap.add_argument("--scale", type=int, default=4)
     ap.add_argument("-c", "--num_coupling", type=int, default=4)
     ap.add_argument("-r", "--resume_state", default=None)
+    ap.add_argument("--import-torch", default=None, metavar="CKPT",
+                    help="seed params from a reference torch/Lightning "
+                         "checkpoint (IRN or FrEIA-SRF state_dict); a "
+                         "framework checkpoint on disk still takes "
+                         "precedence when resuming")
     ap.add_argument("-w", "--working_dir", default="experiments")
     ap.add_argument("-e", "--epochs", type=int, default=10000)
     ap.add_argument("--save_iter", type=int, default=100)
@@ -92,7 +97,8 @@ def sr_config_from_args(a) -> SRConfig:
         lambda_fwd_rec=a.lambda_fwd_rec, lambda_fwd_mmd=a.lambda_fwd_mmd,
         lambda_latent_nll=a.lambda_latent_nll,
         lambda_bwd_rec=a.lambda_bwd_rec, lambda_bwd_mmd=a.lambda_bwd_mmd,
-        random_seed=a.random_seed, lambda_bwd_tcr=a.lambda_bwd_tcr,
+        random_seed=a.random_seed, import_torch=a.import_torch,
+        lambda_bwd_tcr=a.lambda_bwd_tcr,
         rotation=a.rotation, translation=a.translation,
         tcr_iters=a.tcr_iters, temp=a.temp, working_dir=a.working_dir,
         resume_state=a.resume_state,

@@ -78,6 +78,10 @@ class SRConfig:
     # Runtime
     working_dir: str = "experiments"
     resume_state: Optional[str] = None
+    # seed params from a reference torch/Lightning checkpoint
+    # (models/torch_import.py); an on-disk framework checkpoint (resume)
+    # takes precedence over the import
+    import_torch: Optional[str] = None
     # subnet MXU precision: 'float32' (default TPU bf16-pass matmuls),
     # 'bfloat16' (explicit bf16 inputs), or 'float32_highest' (true f32
     # 6-pass matmuls for strict inversion/parity runs)

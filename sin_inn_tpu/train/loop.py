@@ -233,9 +233,12 @@ def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,
             cfg.resume_state or
             path.join(sr_dirs(cfg, "train"), "checkpoints"))
         restored, _ = store.restore(state)
-        if restored is None:
+        if restored is not None:
+            state = jax.tree_util.tree_map(jnp.asarray, restored)
+        elif not cfg.import_torch:
+            # with --import-torch the freshly created state already carries
+            # the reference checkpoint's weights (train/sr.py)
             raise FileNotFoundError("no checkpoint to test from")
-        state = jax.tree_util.tree_map(jnp.asarray, restored)
 
     infer = SR.make_infer_step(spec, cfg)
     exp_dir = sr_dirs(cfg, "test")

@@ -49,6 +49,12 @@ def create_train_state(key: jax.Array, cfg: SRConfig):
     """
     spec, _ = build_inn_spec(cfg, c=3)
     params = init_inn(key, spec, c_in=3)
+    if cfg.import_torch:
+        # seed from a reference torch/Lightning checkpoint; shapes are
+        # validated against this spec inside the importer
+        from sin_inn_tpu.models.torch_import import load_reference_checkpoint
+        _, params = load_reference_checkpoint(cfg.import_torch, cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
     tx = adam_l2(cfg.learning_rate, cfg.adam_betas,
                  weight_decay=cfg.weight_decay)
     state = SRTrainState(params=params, opt_state=tx.init(params),

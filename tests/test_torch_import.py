@@ -1,0 +1,239 @@
+"""Reference torch-checkpoint importer (models/torch_import.py).
+
+Builds state_dicts with the reference's exact key schemas —
+``operations.{i}.{F,G,H}.conv{1..5}`` for InvRescaleNet
+(/root/reference/archs.py:201-233) and ``module_list.{i}.s{1,2}.{0,2}`` for
+the FrEIA UncondSRFlow graph (/root/reference/archs.py:19-71) — and checks
+
+* round-trip: params -> reference state_dict -> import == original params;
+* semantics: the imported params run through ``inn_apply`` agree with the
+  independent torch replica (``parity_torch_ref``) fed the SAME state_dict
+  through its own test-local adapter — catching transpose, ordering, octave,
+  and role-assignment errors, not just naming;
+* the Lightning wrapper format (``inn.`` prefix, ``state_dict`` +
+  ``hyper_parameters``) through a real ``torch.save`` file, including the
+  hyperparameter cross-check;
+* loud failures on schema mismatches (wrong arch size, foreign trainable
+  keys, corrupted Haar banks).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import parity_torch_ref as T
+from sin_inn_tpu.core.config import SRConfig
+from sin_inn_tpu.models import torch_import as TI
+from sin_inn_tpu.models.inn import build_inn_spec, init_inn, inn_apply
+from sin_inn_tpu.train import sr as SR
+
+
+def _cfg(arch, **kw):
+    kw.setdefault("scale", 2)
+    kw.setdefault("num_coupling", 2)
+    kw.setdefault("lr_window", 1)
+    kw.setdefault("hidden_channels", 16)
+    kw.setdefault("dense_gc", 8)
+    return SRConfig(architecture=arch, **kw)
+
+
+def _oihw(p):
+    return torch.tensor(np.asarray(p["w"]).transpose(3, 2, 0, 1))
+
+
+def _haar_bank(c):
+    f = np.ones((4, 1, 2, 2), np.float32)
+    f[1, 0, 0, 1] = f[1, 0, 1, 1] = -1.0
+    f[2, 0, 1, 0] = f[2, 0, 1, 1] = -1.0
+    f[3, 0, 1, 0] = f[3, 0, 0, 1] = -1.0
+    return np.concatenate([f] * c, axis=0)
+
+
+def make_irn_sd(spec, params, c_in=3):
+    """Reference-schema state_dict from a params pytree (archs.py naming:
+    operations.{i} in op order, F/G/H DenseBlocks with conv1..conv5)."""
+    sd = {}
+    c = c_in
+    for i, (layer, p) in enumerate(zip(spec, params)):
+        if layer.kind == "haar":
+            sd[f"operations.{i}.haar_weights"] = torch.tensor(_haar_bank(c))
+            c *= 4
+            continue
+        for sub in ("F", "G", "H"):
+            for ci in range(1, 6):
+                sd[f"operations.{i}.{sub}.conv{ci}.weight"] = _oihw(
+                    p[sub][f"conv{ci}"])
+                sd[f"operations.{i}.{sub}.conv{ci}.bias"] = torch.tensor(
+                    np.asarray(p[sub][f"conv{ci}"]["b"]))
+    return sd
+
+
+def make_srf_sd(spec, params):
+    """FrEIA-schema state_dict (module_list.{i}.s{1,2}.{0,2}). Uses sparse
+    module_list indices — squeezes/permutes occupy graph slots without
+    parameters — to exercise the index-robust coupling grouping."""
+    sd = {}
+    mi = 0
+    for layer, p in zip(spec, params):
+        if layer.kind != "glow":
+            mi += 1  # param-less module occupies a graph slot
+            continue
+        for sub in ("s1", "s2"):
+            for cname, si in (("conv1", 0), ("conv2", 2)):
+                sd[f"module_list.{mi}.{sub}.{si}.weight"] = _oihw(
+                    p[sub][cname])
+                sd[f"module_list.{mi}.{sub}.{si}.bias"] = torch.tensor(
+                    np.asarray(p[sub][cname]["b"]))
+        mi += 1
+    return sd
+
+
+def _replica_params_from_sd(spec, sd, family):
+    """Test-local adapter: reference state_dict -> parity_torch_ref param
+    format (torch OIHW dicts), written directly against the reference's
+    attribute semantics — independent of the importer under test."""
+    out = []
+    op_i = 0
+    mi = 0
+    for layer in spec:
+        if family == "irn":
+            if layer.kind == "haar":
+                out.append(None)
+                op_i += 1
+                continue
+            p = {}
+            for sub in ("F", "G", "H"):
+                p[sub] = {f"conv{ci}": {
+                    "w": sd[f"operations.{op_i}.{sub}.conv{ci}.weight"],
+                    "b": sd[f"operations.{op_i}.{sub}.conv{ci}.bias"]}
+                    for ci in range(1, 6)}
+            out.append(p)
+            op_i += 1
+        else:
+            if layer.kind != "glow":
+                out.append(None)
+                mi += 1
+                continue
+            p = {}
+            for sub in ("s1", "s2"):
+                p[sub] = {cname: {
+                    "w": sd[f"module_list.{mi}.{sub}.{si}.weight"],
+                    "b": sd[f"module_list.{mi}.{sub}.{si}.bias"]}
+                    for cname, si in (("conv1", 0), ("conv2", 2))}
+            out.append(p)
+            mi += 1
+    return out
+
+
+def _tree_allclose(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0,
+                                   atol=0)
+
+
+@pytest.mark.parametrize("arch", ["IRN", "SRF"])
+def test_roundtrip_and_semantics(arch):
+    cfg = _cfg(arch)
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(jax.random.PRNGKey(3), spec)
+    # zero-init conv5s make the IRN forward ~identity; randomize everything
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.05 * np.random.default_rng(0).standard_normal(
+            l.shape).astype(np.float32), params)
+
+    family = "irn" if arch == "IRN" else "srf"
+    sd = (make_irn_sd if arch == "IRN" else
+          lambda s, p: make_srf_sd(s, p))(spec, params)
+    imported = TI.import_state_dict(spec, dict(sd))
+    _tree_allclose(imported, params)
+
+    # semantic parity: same state_dict through the independent torch replica
+    x = np.random.default_rng(1).standard_normal((2, 3, 8, 8)).astype(
+        np.float32)
+    ours = inn_apply(spec, imported, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    theirs = T.t_inn_apply(spec, _replica_params_from_sd(spec, sd, family),
+                           torch.tensor(x))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.detach().numpy().transpose(0, 2, 3, 1),
+        atol=2e-5)
+    # and back through the inverse
+    inv = inn_apply(spec, imported, ours, rev=True)
+    np.testing.assert_allclose(np.asarray(inv), x.transpose(0, 2, 3, 1),
+                               atol=1e-4)
+
+
+def test_lightning_checkpoint_file(tmp_path):
+    cfg = _cfg("IRN")
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(jax.random.PRNGKey(5), spec)
+    sd = {f"inn.{k}": v for k, v in make_irn_sd(spec, params).items()}
+    opt = argparse.Namespace(architecture="IRN", scale=cfg.scale,
+                             num_coupling=cfg.num_coupling)
+    ckpt = {"state_dict": sd, "hyper_parameters": {"opt": opt},
+            "epoch": 7}
+    path = tmp_path / "ref.ckpt"
+    torch.save(ckpt, path)
+
+    spec2, imported = TI.load_reference_checkpoint(str(path), cfg)
+    _tree_allclose(imported, params)
+
+    # hyperparameter cross-check: wrong num_coupling for this checkpoint
+    with pytest.raises(TI.TorchImportError, match="num_coupling"):
+        TI.load_reference_checkpoint(str(path),
+                                     cfg.replace(num_coupling=1))
+
+
+def test_create_train_state_imports(tmp_path):
+    cfg = _cfg("IRN")
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(jax.random.PRNGKey(5), spec)
+    path = tmp_path / "ref.ckpt"
+    torch.save({"state_dict": {f"inn.{k}": v for k, v in
+                               make_irn_sd(spec, params).items()}}, path)
+    _, state, _ = SR.create_train_state(
+        jax.random.PRNGKey(0), cfg.replace(import_torch=str(path)))
+    _tree_allclose(state.params, params)
+
+
+def test_schema_mismatches_fail_loudly():
+    cfg = _cfg("IRN")
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(jax.random.PRNGKey(1), spec)
+    sd = make_irn_sd(spec, params)
+
+    # wrong arch size: a num_coupling=1 spec can't take this checkpoint
+    spec1, _ = build_inn_spec(cfg.replace(num_coupling=1), c=3)
+    with pytest.raises(TI.TorchImportError, match="sequence"):
+        TI.import_state_dict(spec1, dict(sd))
+
+    # a trainable key the mapping didn't consume
+    bad = dict(sd)
+    bad["operations.9.extra.weight"] = torch.zeros(1, 1, 1, 1)
+    with pytest.raises(TI.TorchImportError):
+        TI.import_state_dict(spec, bad)
+
+    # corrupted fixed Haar bank
+    bad = dict(sd)
+    bad["operations.0.haar_weights"] = torch.zeros_like(
+        bad["operations.0.haar_weights"])
+    with pytest.raises(TI.TorchImportError, match="Haar"):
+        TI.import_state_dict(spec, bad)
+
+    # SRF: wrong kernel alternation is caught by shape validation
+    cfg_s = _cfg("SRF")
+    spec_s, _ = build_inn_spec(cfg_s, c=3)
+    params_s = init_inn(jax.random.PRNGKey(2), spec_s)
+    sd_s = make_srf_sd(spec_s, params_s)
+    k = "module_list.2.s1.0.weight"
+    assert k in sd_s
+    bad = dict(sd_s)
+    bad[k] = bad[k][:, :, :1, :1]  # 3x3 coupling handed a 1x1 kernel
+    with pytest.raises(TI.TorchImportError):
+        TI.import_state_dict(spec_s, bad)
