@@ -178,6 +178,11 @@ def _flow_parser(sub):
                     help="pseudo-GT producer when no GT exists: "
                          "'raft:<ckpt.pth>[@iters]' (TPU-native RAFT), "
                          "'py:<module>:<fn>', or a '{f1} {f2} {out}' command")
+    ap.add_argument("--import-torch", default=None, metavar="CKPT",
+                    help="seed weights/encoding buffers/controller mask from "
+                         "a reference torch/Lightning flow checkpoint; a "
+                         "framework checkpoint on disk still takes "
+                         "precedence when resuming")
 
 
 def flow_config_from_args(a) -> FlowConfig:
@@ -199,7 +204,8 @@ def flow_config_from_args(a) -> FlowConfig:
         splat_col_chunk=a.splat_col_chunk, use_pallas=a.use_pallas,
         mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,
-        flow_producer=a.flow_producer, profile_steps=a.profile,
+        flow_producer=a.flow_producer, import_torch=a.import_torch,
+        profile_steps=a.profile,
     )
 
 

@@ -263,6 +263,10 @@ class FlowConfig:
     # (the TPU-native RAFT port, models/raft.py), 'py:<module>:<fn>', or a
     # '{f1} {f2} {out}' subprocess template (data.flow_media.resolve_producer)
     flow_producer: Optional[str] = None
+    # seed params/encoding buffers/controller mask from a reference
+    # torch/Lightning flow checkpoint (models/torch_import.py); an on-disk
+    # framework checkpoint (resume) takes precedence over the import
+    import_torch: Optional[str] = None
 
     def __post_init__(self):
         if self.edge_func not in ("exp", "gauss"):

@@ -50,6 +50,7 @@ import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sin_inn_tpu.core.config import SRConfig
@@ -288,19 +289,208 @@ def _check_hyperparams(ckpt, cfg: SRConfig) -> None:
                 f"{ours}={getattr(cfg, ours)}")
 
 
+def _torch_load(path: str):
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Lightning checkpoints pickle the argparse Namespace in
+        # hyper_parameters; fall back to a full unpickle for those.
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def load_reference_checkpoint(path: str, cfg: SRConfig, c_in: int = 3
                               ) -> Tuple[List[LayerSpec],
                                          List[Optional[Dict]]]:
     """torch.load a reference checkpoint file and import it for ``cfg``."""
-    import torch
-
-    try:
-        ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # Lightning checkpoints pickle the argparse Namespace in
-        # hyper_parameters; fall back to a full unpickle for those.
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load(path)
     if isinstance(ckpt, dict):
         _check_hyperparams(ckpt, cfg)
     spec, _ = build_inn_spec(cfg, c=c_in)
     return spec, import_state_dict(spec, ckpt, c_in=c_in)
+
+
+# ===========================================================================
+# Flow pipeline (INR + progressive controller) checkpoints
+# ===========================================================================
+#
+# The reference FlowTrainer holds the (optionally controller-wrapped) INR at
+# ``self.net`` (video-interpolation/trainer.py:19; wiring main.py:136-143),
+# so Lightning state_dict keys are
+#   net.mask_stashed                      controller mask as per-cell float
+#                                         channel-counts (save_mask,
+#                                         progressive_controller.py:75-81)
+#   net.{in_progress,log_buffer,log_counter}   StashedSpatial buffers
+#   net.model.<model keys>                when controller-wrapped, else
+#   net.<model keys>                      for non-progressive nets
+# and within a model (model.py):
+#   encode.<buffer>                       encoding buffers/params
+#   model.model.{2j}.{weight,bias}        MLP Sequential linears
+#   model.{i}.linear.* / model.{n}.*      SIREN sine layers + final linear
+#
+# The dense mask is rebuilt from the stashed counts with the reference's
+# load_mask rule (progressive_controller.py:57-67): ones below
+# floor(count), the fractional part at channel floor(count). The reference
+# does not persist the controller's iteration/block pointers (plain python
+# attributes, not buffers), so — exactly like a reference reload — a
+# fine-tune continues with freshly initialized schedule pointers and the
+# imported mask.
+
+# spec.encoding -> [(reference buffer name, ours, trainable?), ...]
+_ENC_BUFFERS = {
+    "gaussian_ff": [("frequencies", "frequencies", False)],
+    "uniform_ff": [("frequencies", "frequencies", False)],
+    "rotated_ff": [("frequencies", "frequencies", True),
+                   ("magnitudes", "magnitudes", False)],
+    "positional": [("freqs", "freqs", False)],
+    "rbf": [("centres", "centres", False), ("sigma", "sigma", False)],
+    "rbf_grid_random": [("offsets", "offsets", False),
+                        ("sigma", "sigma", False)],
+    "rbf_grid_uniform": [("offsets", "offsets", False),
+                         ("sigma", "sigma", False)],
+    "piecewise_gaussian": [("frequencies", "frequencies", False)],
+    "piecewise_uniform": [("frequencies", "frequencies", False)],
+}
+
+
+def mask_from_counts(counts: np.ndarray, encoding_dim: int) -> np.ndarray:
+    """Reference load_mask (progressive_controller.py:57-67): counts (cells,)
+    -> dense soft mask (cells, encoding_dim)."""
+    counts = np.asarray(counts, np.float32).reshape(-1)
+    idx = np.arange(encoding_dim)[None, :]
+    fl = np.floor(counts)[:, None]
+    mask = (idx < fl).astype(np.float32)
+    boundary = (idx == fl) & (counts[:, None] < encoding_dim)
+    return np.where(boundary, (counts % 1.0)[:, None], mask)
+
+
+def _linear(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """torch nn.Linear at ``prefix`` -> {'w': (in, out), 'b': (out,)}."""
+    wk, bk = f"{prefix}.weight", f"{prefix}.bias"
+    for k in (wk, bk):
+        if k not in sd:
+            raise TorchImportError(f"missing key {k!r}")
+    w = sd[wk]
+    if w.ndim != 2:
+        raise TorchImportError(f"{wk}: expected a 2-D linear weight, got "
+                               f"shape {w.shape}")
+    return {"w": w.T, "b": sd[bk]}
+
+
+def import_flow_state_dict(spec, ctrl_cfg, ctrl_state, params, consts, ckpt):
+    """Import a reference flow checkpoint onto (params, consts, ctrl_state).
+
+    ``spec``/``ctrl_cfg`` and the template pytrees come from
+    :func:`sin_inn_tpu.train.flow.build_flow_model`; every imported tensor is
+    shape-checked against its template leaf. Returns the updated
+    (params, consts, ctrl_state).
+    """
+    import copy
+
+    from sin_inn_tpu.models import controllers as ctrl
+
+    sd = {}
+    for k, v in flatten_checkpoint(ckpt).items():
+        sd[k[len("net."):] if k.startswith("net.") else k] = v
+
+    wrapped = "mask_stashed" in sd
+    if wrapped and not spec.is_progressive:
+        raise TorchImportError(
+            f"checkpoint is controller-wrapped (mask_stashed present) but "
+            f"--net {spec.name} is not progressive")
+    if spec.is_progressive and not wrapped:
+        raise TorchImportError(
+            f"--net {spec.name} is progressive but the checkpoint has no "
+            f"controller mask — was it trained with a non-progressive net?")
+    mp = "model." if wrapped else ""
+    consumed = set()
+
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    consts = copy.deepcopy(jax.tree_util.tree_map(
+        lambda l: np.asarray(l) if hasattr(l, "shape") else l, consts))
+
+    def take(dst, dst_key, src_key, trainable_note=""):
+        if src_key not in sd:
+            raise TorchImportError(f"missing key {src_key!r}{trainable_note}")
+        v = sd[src_key]
+        want = dst[dst_key]
+        if tuple(v.shape) != tuple(np.shape(want)):
+            raise TorchImportError(
+                f"{src_key}: shape {tuple(v.shape)}, expected "
+                f"{tuple(np.shape(want))} — wrong --num-frequencies/"
+                f"--hidden-dim/--num-layers for this checkpoint?")
+        dst[dst_key] = v
+        consumed.add(src_key)
+
+    # ---- MLP / SIREN stack ----
+    mlp = params["mlp"]
+    if spec.kind == "siren":
+        # SineLayers wrap their linear (model.py:123-147); the final linear
+        # sits bare at the last Sequential slot (model.py:163-171)
+        for j in range(len(mlp)):
+            bare = j == len(mlp) - 1
+            prefix = (f"{mp}model.{j}" if bare
+                      else f"{mp}model.{j}.linear")
+            lin = _linear(sd, prefix)
+            _check_shapes(j, lin, jax.tree_util.tree_map(np.asarray, mlp[j]))
+            mlp[j] = lin
+            consumed.update({f"{prefix}.weight", f"{prefix}.bias"})
+    else:
+        for j in range(len(mlp)):
+            prefix = f"{mp}model.model.{2 * j}"
+            lin = _linear(sd, prefix)
+            _check_shapes(j, lin, jax.tree_util.tree_map(np.asarray, mlp[j]))
+            mlp[j] = lin
+            consumed.update({f"{prefix}.weight", f"{prefix}.bias"})
+
+    # ---- encoding buffers ----
+    if spec.kind == "encoded":
+        for ref_name, ours, trainable in _ENC_BUFFERS[spec.encoding]:
+            key = f"{mp}encode.{ref_name}"
+            dst = params["enc"] if trainable else consts["enc"]
+            take(dst, ours, key)
+
+    # ---- controller mask + spatial buffers ----
+    if wrapped:
+        counts = sd["mask_stashed"]
+        consumed.add("mask_stashed")
+        mask = mask_from_counts(counts, spec.encoding_dim)
+        if isinstance(ctrl_state, ctrl.SpatialState):
+            if mask.shape[0] != ctrl_cfg.cells:
+                raise TorchImportError(
+                    f"spatial mask has {mask.shape[0]} cells, config grid "
+                    f"has {ctrl_cfg.cells} (res {ctrl_cfg.res}^"
+                    f"{ctrl_cfg.mask_dim}) — wrong --spatial-res?")
+            repl = {"mask": jnp.asarray(mask)}
+            for name in ("in_progress", "log_buffer", "log_counter"):
+                if name in sd:
+                    v = sd[name]
+                    tmpl = getattr(ctrl_state, name)
+                    if tuple(v.shape) != tuple(tmpl.shape):
+                        raise TorchImportError(
+                            f"{name}: shape {tuple(v.shape)}, expected "
+                            f"{tuple(tmpl.shape)}")
+                    repl[name] = jnp.asarray(v).astype(tmpl.dtype)
+                    consumed.add(name)
+            ctrl_state = ctrl_state._replace(**repl)
+        else:
+            if mask.shape[0] != 1:
+                raise TorchImportError(
+                    f"checkpoint mask is spatial ({mask.shape[0]} cells) but "
+                    f"--spatially-adaptive is off")
+            ctrl_state = ctrl_state._replace(mask=jnp.asarray(mask[0]))
+
+    _check_leftovers(sd, consumed)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    consts = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(l) if hasattr(l, "shape") else l, consts)
+    return params, consts, ctrl_state
+
+
+def load_flow_reference_checkpoint(path: str, spec, ctrl_cfg, ctrl_state,
+                                   params, consts):
+    """torch.load a reference flow checkpoint and import it onto the
+    templates from build_flow_model."""
+    return import_flow_state_dict(spec, ctrl_cfg, ctrl_state, params, consts,
+                                  _torch_load(path))

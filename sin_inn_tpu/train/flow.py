@@ -271,6 +271,13 @@ def flow_loss(spec: INRSpec, cfg: FlowConfig, params, consts, ctrl_cfg,
 
 def create_flow_state(key: jax.Array, cfg: FlowConfig):
     spec, params, consts, ctrl_cfg, ctrl_state = build_flow_model(key, cfg)
+    if cfg.import_torch:
+        # seed weights/encoding buffers/controller mask from a reference
+        # checkpoint; every tensor is shape-checked against the templates
+        from sin_inn_tpu.models.torch_import import (
+            load_flow_reference_checkpoint)
+        params, consts, ctrl_state = load_flow_reference_checkpoint(
+            cfg.import_torch, spec, ctrl_cfg, ctrl_state, params, consts)
     tx = lamb(cfg.lr)
     state = FlowTrainState(params=params, opt_state=tx.init(params),
                            ctrl_state=ctrl_state,

@@ -486,9 +486,12 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
             R.named_fold(key, "init"), cfg)
         store = CheckpointStore(flow_ckpt_dir(cfg, scene))
         restored, _ = store.restore(state)
-        if restored is None:
+        if restored is not None:
+            state = jax.tree_util.tree_map(jnp.asarray, restored)
+        elif not cfg.import_torch:
+            # with --import-torch the fresh state already carries the
+            # reference checkpoint's weights + controller mask (train/flow.py)
             raise FileNotFoundError(f"no checkpoint for scene {scene}")
-        state = jax.tree_util.tree_map(jnp.asarray, restored)
 
     infer = FT.make_flow_infer(spec, cfg, ctrl_cfg)
     occl = OCCLUSIONS.get(cfg.occl)

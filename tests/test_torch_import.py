@@ -237,3 +237,173 @@ def test_schema_mismatches_fail_loudly():
     bad[k] = bad[k][:, :, :1, :1]  # 3x3 coupling handed a 1x1 kernel
     with pytest.raises(TI.TorchImportError):
         TI.import_state_dict(spec_s, bad)
+
+
+# ===========================================================================
+# Flow pipeline (INR + controller) checkpoints
+# ===========================================================================
+
+from sin_inn_tpu.core.config import FlowConfig
+from sin_inn_tpu.models import controllers as ctrl
+from sin_inn_tpu.models.inr import inr_apply
+from sin_inn_tpu.train import flow as FT
+
+# reverse of torch_import._ENC_BUFFERS: our (pytree, name) -> reference buffer
+_ENC_REV = {
+    "rbf": [("consts", "centres", "centres"), ("consts", "sigma", "sigma")],
+    "gaussian_ff": [("consts", "frequencies", "frequencies")],
+    "rotated_ff": [("params", "frequencies", "frequencies"),
+                   ("consts", "magnitudes", "magnitudes")],
+    "positional": [("consts", "freqs", "freqs")],
+    "rbf_grid_uniform": [("consts", "offsets", "offsets"),
+                         ("consts", "sigma", "sigma")],
+    "piecewise_uniform": [("consts", "frequencies", "frequencies")],
+}
+
+
+def _flow_cfg(**kw):
+    kw.setdefault("net", "RBF")
+    kw.setdefault("num_frequencies", 8)
+    kw.setdefault("hidden_dim", 16)
+    kw.setdefault("num_layers", 2)
+    kw.setdefault("epochs", 40)
+    return FlowConfig(**kw)
+
+
+def make_flow_sd(spec, params, consts, counts=None, spatial_extra=None):
+    """Reference-schema flow state_dict (trainer.py self.net +
+    progressive_controller/model.py naming) from our pytrees."""
+    sd = {}
+    mp = "net.model." if counts is not None else "net."
+    for j, lin in enumerate(params["mlp"]):
+        if spec.kind == "siren":
+            bare = j == len(params["mlp"]) - 1
+            prefix = f"{mp}model.{j}" if bare else f"{mp}model.{j}.linear"
+        else:
+            prefix = f"{mp}model.model.{2 * j}"
+        sd[f"{prefix}.weight"] = torch.tensor(np.asarray(lin["w"]).T)
+        sd[f"{prefix}.bias"] = torch.tensor(np.asarray(lin["b"]))
+    if spec.kind == "encoded":
+        for tree, ours, ref in _ENC_REV[spec.encoding]:
+            src = params["enc"] if tree == "params" else consts["enc"]
+            sd[f"{mp}encode.{ref}"] = torch.tensor(np.asarray(src[ours]))
+    if counts is not None:
+        sd["net.mask_stashed"] = torch.tensor(
+            np.asarray(counts, np.float32))
+        for k, v in (spatial_extra or {}).items():
+            sd[f"net.{k}"] = torch.tensor(np.asarray(v, np.float32))
+    return sd
+
+
+def test_mask_from_counts_matches_reference_rule():
+    """mask_from_counts vs a direct torch transcription of load_mask
+    (progressive_controller.py:57-67)."""
+    e = 9
+    counts = torch.tensor([0.0, 0.5, 3.0, 6.7, 9.0])
+    mask = torch.zeros(counts.shape[0], e)
+    arange = torch.arange(e).unsqueeze(0).repeat(counts.shape[0], 1)
+    fill_a = arange.lt(torch.floor(counts[:, None]))
+    fill_b = ~fill_a * arange.le(counts[:, None])
+    mask[fill_a] = 1
+    mask[fill_b] = counts[counts.lt(e)] % 1
+    ours = TI.mask_from_counts(counts.numpy(), e)
+    np.testing.assert_allclose(ours, mask.numpy(), atol=0)
+
+
+@pytest.mark.parametrize("net", ["RBF", "FFN", "RFF", "PE", "RBFG", "siren",
+                                 "base"])
+def test_flow_nonprogressive_roundtrip(net):
+    cfg = _flow_cfg(net=net)
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(0), cfg)
+    assert ctrl_state is None
+    sd = make_flow_sd(spec, params, consts)
+    p2, c2, s2 = TI.import_flow_state_dict(spec, ctrl_cfg, ctrl_state,
+                                           params, consts, sd)
+    _tree_allclose(p2, params)
+    _tree_allclose(c2, consts)
+    # imported model reproduces the original forward exactly
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (32, spec.domain_dim)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(inr_apply(spec, p2, c2, x)),
+                               np.asarray(inr_apply(spec, params, consts, x)),
+                               atol=0)
+
+
+@pytest.mark.parametrize("net", ["PFF", "PRBF", "MPFF", "PRFF"])
+def test_flow_progressive_roundtrip(net):
+    cfg = _flow_cfg(net=net)
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(1), cfg)
+    sd = make_flow_sd(spec, params, consts, counts=[7.3])
+    p2, c2, s2 = TI.import_flow_state_dict(spec, ctrl_cfg, ctrl_state,
+                                           params, consts, sd)
+    _tree_allclose(p2, params)
+    mask = np.asarray(s2.mask)
+    assert mask.shape == (spec.encoding_dim,)
+    np.testing.assert_allclose(mask[:7], 1.0)
+    np.testing.assert_allclose(mask[7], 0.3, rtol=1e-6)
+    np.testing.assert_allclose(mask[8:], 0.0)
+
+
+def test_flow_spatial_roundtrip():
+    cfg = _flow_cfg(net="PFF", spatially_adaptive=True, spatial_res=3)
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(2), cfg)
+    cells = ctrl_cfg.cells
+    rng = np.random.default_rng(3)
+    counts = rng.uniform(0, spec.encoding_dim, (cells,)).astype(np.float32)
+    extra = {"in_progress": rng.integers(0, 2, (cells,)),
+             "log_buffer": rng.standard_normal((cells,)),
+             "log_counter": rng.uniform(0, 5, (cells,))}
+    sd = make_flow_sd(spec, params, consts, counts=counts,
+                      spatial_extra=extra)
+    p2, c2, s2 = TI.import_flow_state_dict(spec, ctrl_cfg, ctrl_state,
+                                           params, consts, sd)
+    assert isinstance(s2, ctrl.SpatialState)
+    np.testing.assert_allclose(np.asarray(s2.mask),
+                               TI.mask_from_counts(counts,
+                                                   spec.encoding_dim))
+    np.testing.assert_allclose(np.asarray(s2.log_buffer),
+                               extra["log_buffer"].astype(np.float32),
+                               rtol=1e-6)
+    assert np.array_equal(np.asarray(s2.in_progress),
+                          extra["in_progress"].astype(bool))
+
+
+def test_flow_schema_mismatches():
+    cfg = _flow_cfg(net="PFF")
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(0), cfg)
+    sd = make_flow_sd(spec, params, consts, counts=[3.0])
+
+    # progressive config, non-progressive checkpoint
+    sd_nomask = {k: v for k, v in sd.items() if k != "net.mask_stashed"}
+    with pytest.raises(TI.TorchImportError, match="no\ncontroller mask"
+                       .replace("\n", " ")):
+        TI.import_flow_state_dict(spec, ctrl_cfg, ctrl_state, params,
+                                  consts, sd_nomask)
+
+    # non-progressive config, controller checkpoint
+    cfg_np = _flow_cfg(net="FFN")
+    spec_np, params_np, consts_np, cc_np, cs_np = FT.build_flow_model(
+        jax.random.PRNGKey(0), cfg_np)
+    with pytest.raises(TI.TorchImportError, match="not progressive"):
+        TI.import_flow_state_dict(spec_np, cc_np, cs_np, params_np,
+                                  consts_np, sd)
+
+    # wrong num_frequencies shows up as a loud shape error
+    cfg_big = _flow_cfg(net="PFF", num_frequencies=16)
+    spec_b, params_b, consts_b, cc_b, cs_b = FT.build_flow_model(
+        jax.random.PRNGKey(0), cfg_big)
+    with pytest.raises(TI.TorchImportError, match="shape"):
+        TI.import_flow_state_dict(spec_b, cc_b, cs_b, params_b, consts_b,
+                                  sd)
+
+    # spatial checkpoint into a vector controller config
+    cells = 27
+    sd_sp = make_flow_sd(spec, params, consts,
+                         counts=np.full((cells,), 3.0, np.float32))
+    with pytest.raises(TI.TorchImportError, match="spatial"):
+        TI.import_flow_state_dict(spec, ctrl_cfg, ctrl_state, params,
+                                  consts, sd_sp)
