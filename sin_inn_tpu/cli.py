@@ -21,7 +21,10 @@ from sin_inn_tpu.core.config import FlowConfig, PrepareConfig, SRConfig
 
 def _sr_parser(sub):
     ap = sub.add_parser("sr", help="INN space-time super-resolution")
-    ap.add_argument("operation", choices=["train", "test"])
+    ap.add_argument("operation", choices=["train", "test", "export"])
+    ap.add_argument("--export-out", default=None, metavar="CKPT",
+                    help="sr export: output path for the reference-loadable "
+                         "torch state_dict")
     ap.add_argument("--dataset", default="datasets/adobe240f")
     ap.add_argument("-s", "--scene", default="IMG_0028_binning_4x")
     ap.add_argument("--suffix", default="default")
@@ -121,7 +124,11 @@ def _splat_bound(s: str):
 def _flow_parser(sub):
     ap = sub.add_parser("flow", help="INR optical flow / video interpolation")
     ap.add_argument("operation",
-                    choices=["train", "test", "summarize", "sintel"])
+                    choices=["train", "test", "summarize", "sintel",
+                             "export"])
+    ap.add_argument("--export-out", default=None, metavar="CKPT",
+                    help="flow export: output path for the reference-"
+                         "loadable torch state_dict")
     ap.add_argument("--input-video",
                     default="../datasets/sintel/training/final/alley_1")
     ap.add_argument("--name", default="temp")
@@ -249,6 +256,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = sr_config_from_args(a)
         if a.operation == "train":
             L.run_sr_train(cfg, use_wandb=a.wandb)
+        elif a.operation == "export":
+            print(L.run_sr_export(cfg, out=a.export_out))
         else:
             print(L.run_sr_test(cfg, save_images=a.save_images))
     elif a.command == "flow":
@@ -263,6 +272,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             out["writer"].close()
         elif a.operation == "test":
             print(L.run_flow_test(cfg, use_wandb=a.wandb))
+        elif a.operation == "export":
+            print(L.run_flow_export(cfg, out=a.export_out))
         elif a.operation == "summarize":
             L.run_flow_summarize(cfg)
         else:

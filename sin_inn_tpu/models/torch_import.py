@@ -494,3 +494,97 @@ def load_flow_reference_checkpoint(path: str, spec, ctrl_cfg, ctrl_state,
     templates from build_flow_model."""
     return import_flow_state_dict(spec, ctrl_cfg, ctrl_state, params, consts,
                                   _torch_load(path))
+
+
+# ===========================================================================
+# Export: framework params -> reference-loadable state_dicts
+# ===========================================================================
+#
+# The migration path in the other direction: train fast here, keep using
+# reference-side torch tooling. Keys carry the Lightning module prefixes the
+# reference loaders expect (``inn.`` for SingleVideoINN, ``net.`` for
+# FlowTrainer). The SRF export shares the FrEIA-layout caveat of the
+# importer (module-level docstring); IRN and flow schemas are exact. The
+# flow controller mask exports as the reference's own lossy stashed counts
+# (``mask.sum(-1)``, save_mask progressive_controller.py:75-81) — identical
+# information to a reference-side save.
+
+def _oihw(p: Dict) -> np.ndarray:
+    return np.ascontiguousarray(
+        np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1))
+
+
+def export_state_dict(spec: Sequence[LayerSpec], params: Sequence,
+                      c_in: int = 3) -> Dict[str, np.ndarray]:
+    """INN params -> reference SingleVideoINN state_dict (keys ``inn.*``)."""
+    sd: Dict[str, np.ndarray] = {}
+    if any(l.kind == "invblock" for l in spec):
+        c = c_in
+        for i, (layer, p) in enumerate(zip(spec, params)):
+            if layer.kind == "haar":
+                sd[f"inn.operations.{i}.haar_weights"] = \
+                    _expected_haar_bank(c)
+                c *= 4
+                continue
+            for sub in ("F", "G", "H"):
+                for ci in range(1, 6):
+                    cv = p[sub][f"conv{ci}"]
+                    sd[f"inn.operations.{i}.{sub}.conv{ci}.weight"] = \
+                        _oihw(cv)
+                    sd[f"inn.operations.{i}.{sub}.conv{ci}.bias"] = \
+                        np.asarray(cv["b"], np.float32)
+        return sd
+    # SRF: one module_list slot per graph node module, in node order —
+    # squeeze_init, then per octave squeeze + (glow, permute)*k, exactly the
+    # spec order, so the slot index is the spec position
+    for mi, (layer, p) in enumerate(zip(spec, params)):
+        if layer.kind != "glow":
+            continue
+        for sub in ("s1", "s2"):
+            for cname, si in (("conv1", 0), ("conv2", 2)):
+                cv = p[sub][cname]
+                sd[f"inn.module_list.{mi}.{sub}.{si}.weight"] = _oihw(cv)
+                sd[f"inn.module_list.{mi}.{sub}.{si}.bias"] = \
+                    np.asarray(cv["b"], np.float32)
+    return sd
+
+
+def export_flow_state_dict(spec, ctrl_state, params,
+                           consts) -> Dict[str, np.ndarray]:
+    """Flow INR (+controller) -> reference FlowTrainer state_dict
+    (keys ``net.*``)."""
+    from sin_inn_tpu.models import controllers as ctrl
+
+    sd: Dict[str, np.ndarray] = {}
+    mp = "net.model." if ctrl_state is not None else "net."
+    for j, lin in enumerate(params["mlp"]):
+        if spec.kind == "siren":
+            bare = j == len(params["mlp"]) - 1
+            prefix = f"{mp}model.{j}" if bare else f"{mp}model.{j}.linear"
+        else:
+            prefix = f"{mp}model.model.{2 * j}"
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(lin["w"], np.float32).T)
+        sd[f"{prefix}.bias"] = np.asarray(lin["b"], np.float32)
+    if spec.kind == "encoded":
+        for ref_name, ours, trainable in _ENC_BUFFERS[spec.encoding]:
+            src = params["enc"] if trainable else consts["enc"]
+            sd[f"{mp}encode.{ref_name}"] = np.asarray(src[ours], np.float32)
+    if ctrl_state is not None:
+        mask = np.asarray(ctrl_state.mask, np.float32)
+        counts = mask.sum(-1)
+        sd["net.mask_stashed"] = np.atleast_1d(counts)
+        if isinstance(ctrl_state, ctrl.SpatialState):
+            for name in ("in_progress", "log_buffer", "log_counter"):
+                sd[f"net.{name}"] = np.asarray(
+                    getattr(ctrl_state, name), np.float32)
+    return sd
+
+
+def save_reference_checkpoint(path: str, sd: Dict[str, np.ndarray]) -> str:
+    """Write a torch-loadable Lightning-style checkpoint file."""
+    import torch
+
+    torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
+               path)
+    return path

@@ -267,6 +267,26 @@ def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,
     return vw.path
 
 
+def run_sr_export(cfg: SRConfig, out: Optional[str] = None) -> str:
+    """Export the latest framework SR checkpoint as a reference-loadable
+    torch state_dict (the reverse of ``--import-torch``)."""
+    from sin_inn_tpu.models import torch_import as TI
+
+    key = R.root_key(cfg.random_seed)
+    spec, state, _ = SR.create_train_state(R.named_fold(key, "init"), cfg)
+    store = CheckpointStore(
+        cfg.resume_state or path.join(sr_dirs(cfg, "train"), "checkpoints"))
+    restored, _ = store.restore(state)
+    if restored is not None:
+        state = restored
+    elif not cfg.import_torch:
+        raise FileNotFoundError("no checkpoint to export")
+    out = out or path.join(sr_dirs(cfg, "train"),
+                           f"{cfg.architecture}_{cfg.suffix}_export.ckpt")
+    return TI.save_reference_checkpoint(
+        out, TI.export_state_dict(spec, state.params))
+
+
 # ===========================================================================
 # Flow pipeline
 # ===========================================================================
@@ -554,6 +574,29 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
             writer.close()
     return {"epe": mean_epe, "num_frames": len(flow_imgs),
             "flow_path": flow_path, "occl_path": occl_path}
+
+
+def run_flow_export(cfg: FlowConfig, out: Optional[str] = None) -> str:
+    """Export the latest framework flow checkpoint as a reference-loadable
+    torch state_dict (the reverse of ``--import-torch``). The controller
+    mask exports as the reference's own stashed counts (save_mask)."""
+    from sin_inn_tpu.models import torch_import as TI
+
+    # scene naming only — no need to load the frames (flow_media.get_video)
+    scene = path.splitext(path.basename(cfg.input_video))[0]
+    key = R.root_key(cfg.random_seed)
+    spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
+        R.named_fold(key, "init"), cfg)
+    store = CheckpointStore(flow_ckpt_dir(cfg, scene))
+    restored, _ = store.restore(state)
+    if restored is not None:
+        state = restored
+    elif not cfg.import_torch:
+        raise FileNotFoundError(f"no checkpoint for scene {scene}")
+    out = out or path.join(store.directory, f"{cfg.name}_export.ckpt")
+    return TI.save_reference_checkpoint(
+        out, TI.export_flow_state_dict(spec, state.ctrl_state, state.params,
+                                       consts))
 
 
 def run_flow_summarize(cfg: FlowConfig) -> float:

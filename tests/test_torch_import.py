@@ -407,3 +407,56 @@ def test_flow_schema_mismatches():
     with pytest.raises(TI.TorchImportError, match="spatial"):
         TI.import_flow_state_dict(spec, ctrl_cfg, ctrl_state, params,
                                   consts, sd_sp)
+
+
+# ===========================================================================
+# Export (reverse direction): framework -> reference-loadable state_dict
+# ===========================================================================
+
+@pytest.mark.parametrize("arch", ["IRN", "SRF"])
+def test_sr_export_roundtrip(arch, tmp_path):
+    cfg = _cfg(arch)
+    spec, _ = build_inn_spec(cfg, c=3)
+    params = init_inn(jax.random.PRNGKey(7), spec)
+    sd = TI.export_state_dict(spec, params)
+    assert all(k.startswith("inn.") for k in sd)
+    p = tmp_path / "export.ckpt"
+    TI.save_reference_checkpoint(str(p), sd)
+    _, imported = TI.load_reference_checkpoint(str(p), cfg)
+    _tree_allclose(imported, params)
+
+
+@pytest.mark.parametrize("net,spatial", [("RBF", False), ("PFF", False),
+                                         ("PFF", True), ("siren", False)])
+def test_flow_export_roundtrip(net, spatial, tmp_path):
+    cfg = _flow_cfg(net=net, spatially_adaptive=spatial, spatial_res=3)
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(8), cfg)
+    # canonical masks (prefix-of-ones + fraction) survive the reference's
+    # lossy count serialization exactly
+    if ctrl_state is not None:
+        if spatial:
+            counts = np.linspace(0.5, spec.encoding_dim,
+                                 ctrl_cfg.cells).astype(np.float32)
+            ctrl_state = ctrl_state._replace(
+                mask=jnp.asarray(TI.mask_from_counts(counts,
+                                                     spec.encoding_dim)),
+                log_buffer=jnp.arange(ctrl_cfg.cells, dtype=jnp.float32))
+        else:
+            ctrl_state = ctrl_state._replace(
+                mask=jnp.asarray(TI.mask_from_counts(
+                    [7.25], spec.encoding_dim)[0]))
+    sd = TI.export_flow_state_dict(spec, ctrl_state, params, consts)
+    p = tmp_path / "export.ckpt"
+    TI.save_reference_checkpoint(str(p), sd)
+    p2, c2, s2 = TI.load_flow_reference_checkpoint(
+        str(p), spec, ctrl_cfg,
+        FT.build_flow_model(jax.random.PRNGKey(9), cfg)[4], params, consts)
+    _tree_allclose(p2, params)
+    _tree_allclose(c2, consts)
+    if ctrl_state is not None:
+        np.testing.assert_allclose(np.asarray(s2.mask),
+                                   np.asarray(ctrl_state.mask), atol=1e-6)
+        if spatial:
+            np.testing.assert_allclose(np.asarray(s2.log_buffer),
+                                       np.asarray(ctrl_state.log_buffer))
