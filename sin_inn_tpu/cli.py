@@ -39,8 +39,9 @@ def _sr_parser(sub):
     ap.add_argument("--import-torch", default=None, metavar="CKPT",
                     help="seed params from a reference torch/Lightning "
                          "checkpoint (IRN or FrEIA-SRF state_dict); a "
-                         "framework checkpoint on disk still takes "
-                         "precedence when resuming")
+                         "framework checkpoint on disk always takes "
+                         "precedence (train resume AND test/export), "
+                         "with a loud warning when both exist")
     ap.add_argument("-w", "--working_dir", default="experiments")
     ap.add_argument("-e", "--epochs", type=int, default=10000)
     ap.add_argument("--save_iter", type=int, default=100)
@@ -188,8 +189,9 @@ def _flow_parser(sub):
     ap.add_argument("--import-torch", default=None, metavar="CKPT",
                     help="seed weights/encoding buffers/controller mask from "
                          "a reference torch/Lightning flow checkpoint; a "
-                         "framework checkpoint on disk still takes "
-                         "precedence when resuming")
+                         "framework checkpoint on disk always takes "
+                         "precedence (train resume AND test/export), "
+                         "with a loud warning when both exist")
 
 
 def flow_config_from_args(a) -> FlowConfig:

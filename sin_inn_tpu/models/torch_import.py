@@ -290,13 +290,18 @@ def _check_hyperparams(ckpt, cfg: SRConfig) -> None:
 
 
 def _torch_load(path: str):
+    import pickle
+
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError:
         # Lightning checkpoints pickle the argparse Namespace in
-        # hyper_parameters; fall back to a full unpickle for those.
+        # hyper_parameters, which weights_only refuses (UnpicklingError);
+        # those — and only those — take the full-unpickle path. Any other
+        # failure (truncated/corrupt file raises RuntimeError) re-raises
+        # the original diagnostic instead of being masked by a retry.
         return torch.load(path, map_location="cpu", weights_only=False)
 
 
@@ -536,7 +541,17 @@ def export_state_dict(spec: Sequence[LayerSpec], params: Sequence,
         return sd
     # SRF: one module_list slot per graph node module, in node order —
     # squeeze_init, then per octave squeeze + (glow, permute)*k, exactly the
-    # spec order, so the slot index is the spec position
+    # spec order, so the slot index is the spec position.
+    #
+    # CAVEAT (shared with the importer, module docstring): FrEIA is not
+    # installed here, so whether ReversibleGraphNet's module_list numbering
+    # includes extra nodes (e.g. the InputNode) is unverified. Our importer
+    # is deliberately index-robust (it sorts whatever glow indices exist),
+    # so a framework round-trip cannot detect a constant offset. If a
+    # reference-side load reports EVERY module_list key as unexpected, do
+    # NOT accept its strict=False fallback (that loads nothing): the
+    # numbering differs by a constant shift — fix the file with
+    # :func:`renumber_module_list` and reload strictly.
     for mi, (layer, p) in enumerate(zip(spec, params)):
         if layer.kind != "glow":
             continue
@@ -547,6 +562,22 @@ def export_state_dict(spec: Sequence[LayerSpec], params: Sequence,
                 sd[f"inn.module_list.{mi}.{sub}.{si}.bias"] = \
                     np.asarray(cv["b"], np.float32)
     return sd
+
+
+def renumber_module_list(sd: Dict[str, np.ndarray],
+                         offset: int) -> Dict[str, np.ndarray]:
+    """Shift every ``[inn.]module_list.{i}`` index by ``offset`` — the
+    one-line repair if a real FrEIA install numbers its module_list with a
+    constant shift relative to this export (see export_state_dict caveat)."""
+    pat = re.compile(r"^(inn\.)?module_list\.(\d+)\.(.*)$")
+    out = {}
+    for k, v in sd.items():
+        m = pat.match(k)
+        if m:
+            k = f"{m.group(1) or ''}module_list.{int(m.group(2)) + offset}." \
+                f"{m.group(3)}"
+        out[k] = v
+    return out
 
 
 def export_flow_state_dict(spec, ctrl_state, params,

@@ -172,6 +172,32 @@ def dense_block_apply(params: Dict, x: jnp.ndarray,
     the piece form's extra weight-slicing/recombination costs more than
     the concats it removes. Kept (default OFF) with a parity test as the
     measured record, like the coupling3x3 retirement.
+
+    **Why the IRN conv stack is at its ceiling (round-3 closure of the
+    "optimize IRN" item).** MXU tile-quantization accounting: a matmul
+    costs ceil(K/128)*ceil(N/128) tile-passes streaming M rows, so its
+    padded-FLOP cost is 2*M*K_pad*N_pad regardless of fill. Every
+    dense-block conv has cout = gc = 32 (or c_out <= 108), i.e. 25-84%
+    of ONE output tile. Summing over the flagship IRN stack:
+
+    * XLA's im2col form (K = 9*cin = 216..2124, N = 128-padded):
+      padded/ideal = 4.7x (oct1) / 2.9x (oct2) -> ~2.2 padded TFLOP per
+      forward -> >= 14.6 ms at the 151 TFLOP/s measured bf16 peak. The
+      shipped bf16 forward measures ~13-15 ms: **XLA already runs AT its
+      tile-quantization bound** — there is no implementation headroom
+      left, only traffic was left and bf16 took it.
+    * Any per-tap 9-shift form (XLA or Pallas, incl. a VMEM-fused dense
+      block): K = cin_pad per tap -> padded/ideal = 7.6x (oct1) / 3.7x
+      (oct2) -> >= 22 ms at peak with ZERO memory traffic — cannot beat
+      XLA even in the ideal limit. A winning kernel would need im2col
+      built in VMEM (K = 9*cin), which Mosaic cannot lower (the
+      lane-misaligned concat blocker recorded in
+      ops/pallas/coupling3x3.py).
+
+    The bound is architectural — InvRescaleNet's growth channel gc=32
+    fills a quarter of the MXU's 128-lane output tile — so 54.5 frames/s
+    (bf16 chain) is ~speed-of-light for this architecture on this
+    hardware; the lever that remains (gc=128) would change the model.
     """
     lrelu = lambda v: jax.nn.leaky_relu(v, negative_slope=0.2)
     if not fused:

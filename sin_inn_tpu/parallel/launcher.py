@@ -88,3 +88,49 @@ def aggregate_from_files(paths: List[str]) -> float:
         with open(p) as f:
             results.extend(SceneResult(**r) for r in json.load(f))
     return aggregate_aepe(results)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    """CLI: ``python -m sin_inn_tpu.parallel.launcher --root <scenes> [...]``.
+
+    The ``sbatch train_hpc.sh`` replacement: trains+tests this process's
+    shard of the scene subdirectories of ``--root`` (round-robin over
+    ``jax.process_index()``) and prints the frame-weighted AEPE. Every flag
+    of ``sin-inn flow train`` is accepted and forwarded. A multi-host sweep
+    writes per-host ``--out`` JSONs; ``--aggregate a.json b.json ...`` is
+    the final reduce (reference ``summarize``, main.py:96-106).
+    """
+    import argparse
+    import sys
+
+    argv = sys.argv[1:] if argv is None else list(argv)
+    pre = argparse.ArgumentParser(
+        prog="python -m sin_inn_tpu.parallel.launcher",
+        description="multi-scene flow runner (SLURM-array replacement); "
+                    "other flags are forwarded to `sin-inn flow train`")
+    pre.add_argument("--root", default=None,
+                     help="directory containing one subdirectory per scene")
+    pre.add_argument("--out", default=None,
+                     help="write this host's per-scene results JSON here")
+    pre.add_argument("--aggregate", nargs="+", default=None, metavar="JSON",
+                     help="combine per-host result JSONs and print the AEPE")
+    mine, rest = pre.parse_known_args(argv)
+    if mine.aggregate:
+        print(f"Normalized AEPE: {aggregate_from_files(mine.aggregate)}")
+        return 0
+    if not mine.root:
+        pre.error("--root is required (or use --aggregate)")
+
+    from sin_inn_tpu import cli as C
+
+    fp = argparse.ArgumentParser(prog=pre.prog)
+    sub = fp.add_subparsers(dest="command", required=True)
+    C._flow_parser(sub)
+    cfg = C.flow_config_from_args(fp.parse_args(["flow", "train"] + rest))
+    results = run_scenes(cfg, root=mine.root, out_path=mine.out)
+    print(f"Normalized AEPE: {aggregate_aepe(results)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

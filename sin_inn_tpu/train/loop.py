@@ -10,6 +10,7 @@ newest — SURVEY §5) made first-class via CheckpointStore.
 
 from __future__ import annotations
 
+import logging
 import os
 import os.path as path
 import time
@@ -86,6 +87,46 @@ def sr_dirs(cfg: SRConfig, operation: str):
     return exp_dir
 
 
+_log = logging.getLogger(__name__)
+
+
+def _warn_ckpt_overrides_import(cfg, store: CheckpointStore):
+    """One precedence rule for every driver (train/test/export, both
+    pipelines): an existing framework checkpoint wins over ``--import-torch``
+    — the import seeds a run, resume continues one, so ``test`` after
+    ``train --import-torch`` renders the *trained* weights. When both
+    sources exist the override is loud, and the torch.load + schema
+    validation are skipped entirely (they could not take effect)."""
+    step = store.latest_step()
+    if cfg.import_torch and step is not None:
+        _log.warning(
+            "--import-torch %s ignored: framework checkpoint at %s "
+            "(step %d) takes precedence. Delete that checkpoint dir or "
+            "point --resume_state/--checkpoints elsewhere to run from the "
+            "imported weights.", cfg.import_torch, store.directory, step)
+        return cfg.replace(import_torch=None)
+    return cfg
+
+
+def _sr_create_and_restore(cfg: SRConfig, init_key, require: str = ""):
+    """create_train_state + latest-scan restore (one code path for
+    train/test/export). Restore source = ``--resume_state`` when given, else
+    the experiment's own train checkpoint dir; ``require`` (an error
+    message) makes a missing checkpoint fatal unless ``--import-torch``
+    supplied the weights. Returns (spec, state, tx, store, start_epoch)."""
+    store = CheckpointStore(
+        cfg.resume_state or path.join(sr_dirs(cfg, "train"), "checkpoints"))
+    spec, state, tx = SR.create_train_state(
+        init_key, _warn_ckpt_overrides_import(cfg, store))
+    restored, step = store.restore(state)
+    if restored is not None:
+        return (spec, jax.tree_util.tree_map(jnp.asarray, restored), tx,
+                store, int(step))
+    if require and not cfg.import_torch:
+        raise FileNotFoundError(require)
+    return spec, state, tx, store, 0
+
+
 def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
                  use_wandb: bool = False) -> Dict:
     """SR training driver (reference main.py:85-118 + lit_wrapper loop).
@@ -122,20 +163,19 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
 
     mesh = resolve_mesh(cfg.mesh_data, cfg.mesh_model,
                         batch_size=cfg.batch_size)
-    spec, state, tx = SR.create_train_state(R.named_fold(key, "init"), cfg)
+    spec, state, tx, store, start_epoch = _sr_create_and_restore(
+        cfg, R.named_fold(key, "init"))
     step = SR.make_train_step(spec, cfg, tx)
     eval_step = SR.make_eval_step(spec, cfg)
 
     exp_dir = sr_dirs(cfg, "train")
-    store = CheckpointStore(path.join(exp_dir, "checkpoints"))
+    if cfg.resume_state:
+        # --resume_state restores from elsewhere (reference main.py:115);
+        # new checkpoints still belong to THIS experiment's dir
+        store = CheckpointStore(path.join(exp_dir, "checkpoints"))
     writer = MetricsWriter(exp_dir, run_name=cfg.exp_name,
                            use_wandb=use_wandb, wandb_project="sin-inn",
                            hyperparams=cfg.__dict__)
-    start_epoch = 0
-    restored, ckpt_step = store.restore(state)
-    if restored is not None:
-        state = jax.tree_util.tree_map(jnp.asarray, restored)
-        start_epoch = int(ckpt_step)
     if mesh is not None:
         state = place_state(mesh, state, model_parallel=cfg.mesh_model > 1)
 
@@ -228,17 +268,10 @@ def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,
     _, unsup, _ = make_datasets(video, cfg)
     key = R.root_key(cfg.random_seed)
     if state is None:
-        spec, state, _ = SR.create_train_state(R.named_fold(key, "init"), cfg)
-        store = CheckpointStore(
-            cfg.resume_state or
-            path.join(sr_dirs(cfg, "train"), "checkpoints"))
-        restored, _ = store.restore(state)
-        if restored is not None:
-            state = jax.tree_util.tree_map(jnp.asarray, restored)
-        elif not cfg.import_torch:
-            # with --import-torch the freshly created state already carries
-            # the reference checkpoint's weights (train/sr.py)
-            raise FileNotFoundError("no checkpoint to test from")
+        # with --import-torch and no framework checkpoint, the fresh state
+        # already carries the reference checkpoint's weights (train/sr.py)
+        spec, state, _, _, _ = _sr_create_and_restore(
+            cfg, R.named_fold(key, "init"), require="no checkpoint to test from")
 
     infer = SR.make_infer_step(spec, cfg)
     exp_dir = sr_dirs(cfg, "test")
@@ -273,14 +306,8 @@ def run_sr_export(cfg: SRConfig, out: Optional[str] = None) -> str:
     from sin_inn_tpu.models import torch_import as TI
 
     key = R.root_key(cfg.random_seed)
-    spec, state, _ = SR.create_train_state(R.named_fold(key, "init"), cfg)
-    store = CheckpointStore(
-        cfg.resume_state or path.join(sr_dirs(cfg, "train"), "checkpoints"))
-    restored, _ = store.restore(state)
-    if restored is not None:
-        state = restored
-    elif not cfg.import_torch:
-        raise FileNotFoundError("no checkpoint to export")
+    spec, state, _, _, _ = _sr_create_and_restore(
+        cfg, R.named_fold(key, "init"), require="no checkpoint to export")
     out = out or path.join(sr_dirs(cfg, "train"),
                            f"{cfg.architecture}_{cfg.suffix}_export.ckpt")
     return TI.save_reference_checkpoint(
@@ -293,6 +320,40 @@ def run_sr_export(cfg: SRConfig, out: Optional[str] = None) -> str:
 
 def flow_ckpt_dir(cfg: FlowConfig, scene: str) -> str:
     return path.join(cfg.checkpoints_dir, scene, cfg.name)
+
+
+def _flow_create_and_restore(cfg: FlowConfig, init_key, scene: str,
+                             require: str = ""):
+    """create_flow_state + latest-scan restore (one code path for
+    train/test/export/sintel).
+
+    Flow checkpoints carry the encoding consts alongside the train state
+    (``{"state", "consts"}``): consts stopped being a pure function of the
+    config when ``--import-torch`` landed (they may hold a reference
+    checkpoint's encoding buffers), and a restore must never silently pair
+    trained params with freshly seeded buffers — that also guards a resume
+    under a changed ``--random-seed``. Legacy bare-state checkpoints (orbax
+    raises on the structure mismatch) restore with the config-derived
+    consts, which is exactly what writing them would have recorded.
+    Returns (spec, state, consts, ctrl_cfg, tx, store, start_epoch)."""
+    store = CheckpointStore(flow_ckpt_dir(cfg, scene))
+    spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
+        init_key, _warn_ckpt_overrides_import(cfg, store))
+    as_arr = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    try:
+        restored, step = store.restore({"state": state, "consts": consts})
+        if restored is not None:
+            return (spec, as_arr(restored["state"]),
+                    as_arr(restored["consts"]), ctrl_cfg, tx, store,
+                    int(step))
+    except ValueError:
+        restored, step = store.restore(state)   # legacy bare-state format
+        if restored is not None:
+            return (spec, as_arr(restored), consts, ctrl_cfg, tx, store,
+                    int(step))
+    if require and not cfg.import_torch:
+        raise FileNotFoundError(require)
+    return spec, state, consts, ctrl_cfg, tx, store, 0
 
 
 def _scene_flow_dir(flow_dir, scene: str):
@@ -379,20 +440,14 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     fh, fw = media.video.shape[1:3]
     cfg = _resolve_and_probe_splat_bounds(cfg, media, fh, fw)
     key = R.root_key(cfg.random_seed)
-    spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
-        R.named_fold(key, "init"), cfg)
+    spec, state, consts, ctrl_cfg, tx, store, start_epoch = \
+        _flow_create_and_restore(cfg, R.named_fold(key, "init"), scene)
     step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
 
-    store = CheckpointStore(flow_ckpt_dir(cfg, scene))
     writer = MetricsWriter(store.directory, run_name=f"{scene}_{cfg.name}",
                            use_wandb=use_wandb,
                            wandb_project="optical_flow",
                            hyperparams=cfg.__dict__)
-    start_epoch = 0
-    restored, ckpt_step = store.restore(state)
-    if restored is not None:
-        state = jax.tree_util.tree_map(jnp.asarray, restored)
-        start_epoch = int(ckpt_step)
     if mesh is not None:
         state = place_state(mesh, state)
 
@@ -455,7 +510,7 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
             writer.log(epoch, last)
         saved = (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1
         if saved:
-            store.save(epoch + 1, state)
+            store.save(epoch + 1, {"state": state, "consts": consts})
             if "flow_max_y" in m and not window_warned:
                 # loud out-of-window fallback guidance: windowed ops DROP
                 # taps beyond the bound, so a flow that outgrew the window
@@ -473,7 +528,7 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                         "the exact scatter.", fy, fx, dy, dx, epoch + 1)
         if stop:
             if not saved:
-                store.save(epoch + 1, state)
+                store.save(epoch + 1, {"state": state, "consts": consts})
             break
     stop.restore()
     tracer.close()
@@ -502,16 +557,12 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
     media = _maybe_pseudo_gt(cfg, media, scene)
     key = R.root_key(cfg.random_seed)
     if state is None:
-        spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
-            R.named_fold(key, "init"), cfg)
-        store = CheckpointStore(flow_ckpt_dir(cfg, scene))
-        restored, _ = store.restore(state)
-        if restored is not None:
-            state = jax.tree_util.tree_map(jnp.asarray, restored)
-        elif not cfg.import_torch:
-            # with --import-torch the fresh state already carries the
-            # reference checkpoint's weights + controller mask (train/flow.py)
-            raise FileNotFoundError(f"no checkpoint for scene {scene}")
+        # with --import-torch and no framework checkpoint, the fresh state
+        # already carries the reference checkpoint's weights + controller
+        # mask + encoding consts (train/flow.py)
+        spec, state, consts, ctrl_cfg, _, _, _ = _flow_create_and_restore(
+            cfg, R.named_fold(key, "init"), scene,
+            require=f"no checkpoint for scene {scene}")
 
     infer = FT.make_flow_infer(spec, cfg, ctrl_cfg)
     occl = OCCLUSIONS.get(cfg.occl)
@@ -585,14 +636,9 @@ def run_flow_export(cfg: FlowConfig, out: Optional[str] = None) -> str:
     # scene naming only — no need to load the frames (flow_media.get_video)
     scene = path.splitext(path.basename(cfg.input_video))[0]
     key = R.root_key(cfg.random_seed)
-    spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
-        R.named_fold(key, "init"), cfg)
-    store = CheckpointStore(flow_ckpt_dir(cfg, scene))
-    restored, _ = store.restore(state)
-    if restored is not None:
-        state = restored
-    elif not cfg.import_torch:
-        raise FileNotFoundError(f"no checkpoint for scene {scene}")
+    spec, state, consts, ctrl_cfg, _, store, _ = _flow_create_and_restore(
+        cfg, R.named_fold(key, "init"), scene,
+        require=f"no checkpoint for scene {scene}")
     out = out or path.join(store.directory, f"{cfg.name}_export.ckpt")
     return TI.save_reference_checkpoint(
         out, TI.export_flow_state_dict(spec, state.ctrl_state, state.params,
@@ -626,13 +672,11 @@ def run_flow_sintel(cfg: FlowConfig, outroot: str = "sintel_submission"):
             scene_cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
             flow_dir=scene_cfg.flow_dir)
         key = R.root_key(cfg.random_seed)
-        spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
-            R.named_fold(key, "init"), scene_cfg)
-        store = CheckpointStore(flow_ckpt_dir(cfg, scene_name))
-        restored, _ = store.restore(state)
-        if restored is None:
+        spec, state, consts, ctrl_cfg, _, _, step = _flow_create_and_restore(
+            scene_cfg, R.named_fold(key, "init"), scene_name,
+            require=f"no checkpoint for {scene_name}")
+        if step == 0:
             raise FileNotFoundError(f"no checkpoint for {scene_name}")
-        state = jax.tree_util.tree_map(jnp.asarray, restored)
         infer = FT.make_flow_infer(spec, scene_cfg, ctrl_cfg)
         outdir = path.join(outroot, sub, scene_name)
         os.makedirs(outdir, exist_ok=True)

@@ -63,3 +63,31 @@ def test_run_scenes_end_to_end(tmp_path, monkeypatch):
     aepe = aggregate_aepe(results)
     assert np.isfinite(aepe)
     assert (tmp_path / "host0.json").exists()
+
+
+def test_launcher_main_aggregate_and_forwarding(tmp_path, monkeypatch, capsys):
+    """python -m sin_inn_tpu.parallel.launcher: --aggregate reduces per-host
+    JSONs; otherwise flow-train flags are forwarded into the FlowConfig and
+    run_scenes is invoked with --root/--out."""
+    import sin_inn_tpu.parallel.launcher as L
+
+    res = [SceneResult("a", 2.0, 1, {}), SceneResult("b", 5.0, 3, {})]
+    p = tmp_path / "host0.json"
+    p.write_text(json.dumps([r.__dict__ for r in res]))
+    assert L.main(["--aggregate", str(p)]) == 0
+    assert "Normalized AEPE: 4.25" in capsys.readouterr().out
+
+    seen = {}
+
+    def fake_run_scenes(cfg, root=None, out_path=None):
+        seen.update(cfg=cfg, root=root, out_path=out_path)
+        return res
+
+    monkeypatch.setattr(L, "run_scenes", fake_run_scenes)
+    assert L.main(["--root", str(tmp_path), "--out", str(p),
+                   "--net", "PFF", "--epochs", "7",
+                   "--splat-max-dy", "32"]) == 0
+    assert seen["root"] == str(tmp_path) and seen["out_path"] == str(p)
+    assert seen["cfg"].net == "PFF" and seen["cfg"].epochs == 7
+    assert seen["cfg"].splat_max_dy == 32
+    assert "Normalized AEPE: 4.25" in capsys.readouterr().out

@@ -460,3 +460,88 @@ def test_flow_export_roundtrip(net, spatial, tmp_path):
         if spatial:
             np.testing.assert_allclose(np.asarray(s2.log_buffer),
                                        np.asarray(ctrl_state.log_buffer))
+
+
+# ===========================================================================
+# Driver precedence + consts persistence (train/loop.py restore helpers)
+# ===========================================================================
+
+def test_sr_checkpoint_wins_over_import_and_skips_torch_load(tmp_path, caplog):
+    """One precedence rule everywhere: an on-disk framework checkpoint beats
+    --import-torch, loudly, and the torch.load/schema validation are skipped
+    entirely — proven by pointing import_torch at a nonexistent file."""
+    import logging
+    import os.path as path
+
+    from sin_inn_tpu.core.checkpoint import CheckpointStore
+    from sin_inn_tpu.train.loop import _sr_create_and_restore, sr_dirs
+
+    cfg = _cfg("IRN", working_dir=str(tmp_path))
+    spec, state, _ = SR.create_train_state(jax.random.PRNGKey(3), cfg)
+    marked = state._replace(step=jnp.asarray(7, jnp.int32))
+    CheckpointStore(path.join(sr_dirs(cfg, "train"), "checkpoints")).save(
+        1, marked)
+    with caplog.at_level(logging.WARNING):
+        _, s2, _, _, start = _sr_create_and_restore(
+            cfg.replace(import_torch=str(tmp_path / "missing.ckpt")),
+            jax.random.PRNGKey(0))
+    assert start == 1 and int(s2.step) == 7
+    assert "takes precedence" in caplog.text
+
+
+def test_flow_imported_consts_survive_checkpoint_roundtrip(tmp_path):
+    """Regression: flow --import-torch replaces the encoding consts; a later
+    test/export WITHOUT the flag must restore those consts from the
+    framework checkpoint, never rebuild seed-random ones (checkpoints carry
+    {"state", "consts"} since round 3)."""
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train.loop import (_flow_create_and_restore,
+                                        run_flow_train)
+
+    cfg = _flow_cfg(net="RBF", epochs=1,
+                    checkpoints_dir=str(tmp_path / "ck"),
+                    results_dir=str(tmp_path / "res"))
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(0), cfg)
+    # a reference checkpoint whose buffers no seed would reproduce
+    mod = jax.tree_util.tree_map(lambda a: np.asarray(a) * 1.5 + 0.25, consts)
+    sd = make_flow_sd(spec, params, mod)
+    ref = tmp_path / "ref.ckpt"
+    torch.save({"state_dict": sd}, ref)
+
+    video = np.random.RandomState(0).rand(3, 12, 16, 3).astype(np.float32)
+    run_flow_train(cfg.replace(import_torch=str(ref)),
+                   media=FlowMedia(video), scene="sc")
+    _, _, c2, _, _, _, step = _flow_create_and_restore(
+        cfg, jax.random.PRNGKey(1), "sc")
+    assert step >= 1
+    np.testing.assert_allclose(np.asarray(c2["enc"]["centres"]),
+                               np.asarray(mod["enc"]["centres"]), atol=0)
+    np.testing.assert_allclose(np.asarray(c2["enc"]["sigma"]),
+                               np.asarray(mod["enc"]["sigma"]), atol=0)
+
+
+def test_flow_legacy_bare_state_checkpoint_restores(tmp_path):
+    """Pre-round-3 flow checkpoints (bare FlowTrainState, no consts) still
+    restore, with the config-derived consts they were trained against."""
+    from sin_inn_tpu.core.checkpoint import CheckpointStore
+    from sin_inn_tpu.train.loop import _flow_create_and_restore, flow_ckpt_dir
+
+    cfg = _flow_cfg(net="RBF", checkpoints_dir=str(tmp_path / "ck"))
+    spec, state, consts, ctrl_cfg, _ = FT.create_flow_state(
+        jax.random.PRNGKey(0), cfg)
+    CheckpointStore(flow_ckpt_dir(cfg, "sc")).save(3, state)
+    _, s2, c2, _, _, _, step = _flow_create_and_restore(
+        cfg, jax.random.PRNGKey(0), "sc")
+    assert step == 3
+    _tree_allclose(c2, consts)
+    _tree_allclose(s2.params, state.params)
+
+
+def test_renumber_module_list_shifts_only_indices():
+    sd = {"inn.module_list.0.s1.0.weight": np.zeros(1),
+          "module_list.12.s2.2.bias": np.ones(1),
+          "other.key": np.ones(2)}
+    out = TI.renumber_module_list(sd, 1)
+    assert set(out) == {"inn.module_list.1.s1.0.weight",
+                        "module_list.13.s2.2.bias", "other.key"}
