@@ -126,10 +126,13 @@ def _flow_parser(sub):
     ap = sub.add_parser("flow", help="INR optical flow / video interpolation")
     ap.add_argument("operation",
                     choices=["train", "test", "summarize", "sintel",
-                             "export"])
+                             "export", "interpolate"])
     ap.add_argument("--export-out", default=None, metavar="CKPT",
                     help="flow export: output path for the reference-"
                          "loadable torch state_dict")
+    ap.add_argument("--interp-factor", type=int, default=2, metavar="N",
+                    help="flow interpolate: temporal upsampling factor "
+                         "(N-1 synthesized frames per adjacent pair)")
     ap.add_argument("--input-video",
                     default="../datasets/sintel/training/final/alley_1")
     ap.add_argument("--name", default="temp")
@@ -276,6 +279,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(L.run_flow_test(cfg, use_wandb=a.wandb))
         elif a.operation == "export":
             print(L.run_flow_export(cfg, out=a.export_out))
+        elif a.operation == "interpolate":
+            print(L.run_flow_interpolate(cfg, factor=a.interp_factor))
         elif a.operation == "summarize":
             L.run_flow_summarize(cfg)
         else:

@@ -138,6 +138,47 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
     return flows[..., :2], flows[..., 2:], stash
 
 
+def _splat_ops(cfg: FlowConfig):
+    """(warp, splat_with_coverage) per the config's window/Pallas routing —
+    one dispatch shared by the training loss and the interpolation renderer.
+    ``cfg`` must carry resolved (non-'auto') window bounds.
+
+    With BOTH window bounds set, the metric warps use the column-windowed
+    matmul resample with its hand-derived backward (48 -> 31 ms fwd+grad
+    per direction at Sintel size; row-window-only was measured a wash —
+    autodiff ~3.1x fwd — so it needs splat_max_dx to engage; the image-grad
+    branch DCEs when frames are constants). On TPU (use_pallas 'auto'/'on')
+    both ops ride the fused Pallas kernels; forced-'on' off-TPU runs them
+    in interpret mode (same semantics as the fused INR path)."""
+    from sin_inn_tpu.ops.pallas.splat import (
+        pallas_splat_available, softsplat_region_with_coverage)
+    use_pal = (cfg.use_pallas == "on"
+               or (cfg.use_pallas == "auto" and pallas_splat_available()))
+    interp = cfg.use_pallas == "on" and not pallas_splat_available()
+    if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
+        # fused Pallas windowed gather (fwd + analytic flow-grad in one
+        # grads-mode kernel call; image-grad adjoint DCEs — gather.py)
+        from sin_inn_tpu.ops.pallas.gather import resample2d_region
+        warp = lambda im, fl: resample2d_region(
+            cfg.splat_max_dy, cfg.splat_max_dx, interp, im, fl)
+    elif cfg.splat_max_dy and cfg.splat_max_dx:
+        warp = lambda im, fl: resample2d_windowed(
+            im, fl, cfg.splat_max_dy, cfg.resample_chunk,
+            cfg.splat_max_dx, cfg.splat_col_chunk)
+    else:
+        warp = resample2d
+    if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
+        # fused Pallas region-scatter kernel (2D-windowed; both bounds)
+        splat_cov = lambda f, fl, m: softsplat_region_with_coverage(
+            f, fl, m, cfg.splat_max_dy, cfg.splat_max_dx, interpret=interp)
+    elif cfg.splat_max_dy:
+        splat_cov = lambda f, fl, m: softsplat_windowed_with_coverage(
+            f, fl, m, cfg.splat_max_dy, cfg.splat_chunk)
+    else:
+        splat_cov = softsplat_with_coverage
+    return warp, splat_cov
+
+
 def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
                           frame2: jnp.ndarray, flow12: jnp.ndarray,
                           flow21: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
@@ -157,48 +198,15 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     # directions run as separate passes on purpose: stacking them into a 2b
     # batch was measured SLOWER (12.3 -> 11.8 f/s at Sintel size — the
     # doubled per-chunk working set hurts more than the halved overhead).
-    # With BOTH window bounds set, the metric warps switch to the
-    # column-windowed matmul resample with its hand-derived backward
-    # (48 -> 31 ms fwd+grad per direction at Sintel size; row-window-only
-    # was measured a wash — autodiff ~3.1x fwd — so it needs splat_max_dx
-    # to engage; the image-grad branch DCEs since the frames are constant).
-    from sin_inn_tpu.ops.pallas.splat import (
-        pallas_splat_available, softsplat_region_with_coverage)
-    use_pal = (cfg.use_pallas == "on"
-               or (cfg.use_pallas == "auto" and pallas_splat_available()))
-    # forced-'on' off-TPU runs the kernels in interpret mode (same
-    # semantics as the fused INR path, models/inr.py)
-    interp = cfg.use_pallas == "on" and not pallas_splat_available()
-    if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
-        # fused Pallas windowed gather (fwd + analytic flow-grad in one
-        # grads-mode kernel call; image-grad adjoint DCEs — gather.py)
-        from sin_inn_tpu.ops.pallas.gather import resample2d_region
-        warp = lambda im, fl: resample2d_region(
-            cfg.splat_max_dy, cfg.splat_max_dx, interp, im, fl)
-    elif cfg.splat_max_dy and cfg.splat_max_dx:
-        warp = lambda im, fl: resample2d_windowed(
-            im, fl, cfg.splat_max_dy, cfg.resample_chunk,
-            cfg.splat_max_dx, cfg.splat_col_chunk)
-    else:
-        warp = resample2d
+    warp, splat_cov = _splat_ops(cfg)
     warped2 = warp(frame1, flow21)
     metric = jnp.mean(jnp.abs(frame2 - warped2), axis=-1, keepdims=True)
     warped1 = warp(frame2, flow12)
     metric2 = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
 
     if cfg.occl == "wang":
-        if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
-            # fused Pallas region-scatter kernel (2D-windowed; both bounds)
-            splat_fn = lambda f, fl, m: softsplat_region_with_coverage(
-                f, fl, m, cfg.splat_max_dy, cfg.splat_max_dx,
-                interpret=interp)
-        elif cfg.splat_max_dy:
-            splat_fn = lambda f, fl, m: softsplat_windowed_with_coverage(
-                f, fl, m, cfg.splat_max_dy, cfg.splat_chunk)
-        else:
-            splat_fn = softsplat_with_coverage
-        softmax1, cover1 = splat_fn(frame2, flow21, -20.0 * metric)
-        softmax2, cover2 = splat_fn(frame1, flow12, -20.0 * metric2)
+        softmax1, cover1 = splat_cov(frame2, flow21, -20.0 * metric)
+        softmax2, cover2 = splat_cov(frame1, flow12, -20.0 * metric2)
         mask1 = (cover1 > cfg.occl_thresh).astype(frame1.dtype)
         mask2 = (cover2 > cfg.occl_thresh).astype(frame1.dtype)
     else:
@@ -328,6 +336,63 @@ def make_flow_infer(spec: INRSpec, cfg: FlowConfig, ctrl_cfg):
         return f12, f21
 
     return jax.jit(infer, static_argnums=(5, 6))
+
+
+def make_frame_interp(spec: INRSpec, cfg: FlowConfig, ctrl_cfg):
+    """Jitted mid-frame synthesizer — the video-interpolation capability the
+    reference repo is named for but never ships as an op (softsplat.py
+    provides the kernel, trainer.py only uses it inside the training loss).
+
+    Softsplat-paper interpolation (Niklaus & Liu) on the fitted INR: query
+    flow12 at the earlier frame's time and flow21 at the later one's,
+    forward-splat each endpoint frame toward the intermediate time
+    t0 + alpha*(t1-t0) along alpha-scaled flow with the same -20*L1
+    photometric softmax metric the training step uses, then blend the two
+    splats with (1-alpha, alpha) weights gated on splat coverage;
+    uncovered pixels (holes in BOTH splats) fall back to the cross-fade.
+    alpha in [0, 1] is a traced scalar: one compiled program serves every
+    subdivision, and alpha=0 / alpha=1 reproduce the endpoint frames
+    exactly (zero-flow softmax splat is the identity).
+
+    Both flow directions are queried at the PAIR's time t0: the trainer
+    conditions flow12 AND flow21 of pair (i, i+1) on frame i's time
+    (trainer.py:37-45 — one pose grid per batch element), so flow21(t0)
+    is the backward motion of this pair; flow21(t1) would belong to the
+    next one.
+
+    Returns jitted fn(params, consts, ctrl_state, t0 (scalar),
+    frames2 (2, H, W, 3), alpha, scale) -> (H, W, 3)."""
+
+    def interp(params, consts, ctrl_state, t0, frames2, alpha, scale):
+        h, w = frames2.shape[1:3]
+        cfg_l = cfg
+        if isinstance(cfg_l.splat_max_dy, str) or \
+                isinstance(cfg_l.splat_max_dx, str):
+            cfg_l = cfg_l.resolve_splat_bounds(h, w)
+        warp, splat_cov = _splat_ops(cfg_l)
+        f12, f21, _ = flow_forward(spec, params, consts, ctrl_cfg,
+                                   ctrl_state, jnp.reshape(t0, (1,)),
+                                   h, w, scale)
+        frame0, frame1 = frames2[0:1], frames2[1:2]
+        flow01, flow10 = f12[0:1], f21[0:1]
+        alpha = jnp.asarray(alpha, frames2.dtype)
+        # photometric-consistency splat metrics, as in the train step
+        m0 = jnp.mean(jnp.abs(frame0 - warp(frame1, flow01)), axis=-1,
+                      keepdims=True)
+        m1 = jnp.mean(jnp.abs(frame1 - warp(frame0, flow10)), axis=-1,
+                      keepdims=True)
+        s0, c0 = splat_cov(frame0, alpha * flow01, -20.0 * m0)
+        s1, c1 = splat_cov(frame1, (1.0 - alpha) * flow10, -20.0 * m1)
+        w0 = (1.0 - alpha) * (c0 > 0.0).astype(frames2.dtype)
+        w1 = alpha * (c1 > 0.0).astype(frames2.dtype)
+        den = w0 + w1
+        fade = (1.0 - alpha) * frame0 + alpha * frame1
+        blend = jnp.where(den > 0.0,
+                          (w0 * s0 + w1 * s1) / jnp.maximum(den, 1e-8),
+                          fade)
+        return blend[0]
+
+    return jax.jit(interp)
 
 
 def epe(flow: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

@@ -293,3 +293,85 @@ def test_flow_step_2d_domain_spatial_controller(key, rng):
         state, m = step(state, consts, batch)
     assert np.isfinite(float(m["loss"]))
     assert int(state.ctrl_state.iteration) >= 1
+
+
+def test_frame_interp_endpoints_exact(key, rng):
+    """alpha=0 / alpha=1 reproduce the endpoint frames exactly (zero-flow
+    softmax splat is the identity), for ANY params — no training needed."""
+    cfg = tiny_cfg(net="RBF")
+    spec, state, consts, ctrl_cfg, _ = F.create_flow_state(key, cfg)
+    interp = F.make_frame_interp(spec, cfg, ctrl_cfg)
+    batch = synthetic_batch(rng)
+    frames2 = jnp.stack([batch["frame1"][0], batch["frame2"][0]])
+    t0 = jnp.float32(-1.0)
+    out0 = interp(state.params, consts, state.ctrl_state, t0, frames2,
+                  jnp.float32(0.0), batch["scale"])
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(frames2[0]),
+                               atol=1e-5)
+    out1 = interp(state.params, consts, state.ctrl_state, t0, frames2,
+                  jnp.float32(1.0), batch["scale"])
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(frames2[1]),
+                               atol=1e-5)
+
+
+def test_frame_interp_synthesizes_midframe(key):
+    """On a 2px/frame shift sequence the alpha=0.5 synthesis must recover
+    the analytic 1px-shifted mid-frame far better than the cross-fade
+    (the hole-fill fallback) — i.e. the motion compensation is real."""
+    from sin_inn_tpu.data.synthetic import moving_texture_video
+    from sin_inn_tpu.ops import losses as L
+
+    h, w, n = 24, 32, 5
+    base = moving_texture_video(1, h, w + 2 * n + 2, seed=3)[0]
+    frames = np.stack([base[:, 2 * i:2 * i + w] for i in range(n)])
+    f1 = jnp.asarray(frames[:-1])
+    f2 = jnp.asarray(frames[1:])
+    bsz = f1.shape[0]
+    times = jnp.linspace(-1, 1, bsz)
+    gt = jnp.zeros((bsz, h, w, 2)).at[..., 0].set(-2.0)
+    batch = {"frame1": f1, "frame2": f2, "times": times,
+             "scale": jnp.asarray(np.float32(w / 5)), "gt_flow": gt}
+    cfg = tiny_cfg(net="PFF", lr=3e-3).replace(epochs=300)
+    spec, state, consts, ctrl_cfg, tx = F.create_flow_state(key, cfg)
+    step = F.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+    for _ in range(300):
+        state, m = step(state, consts, batch)
+    # the margin below is only meaningful if the flow actually converged
+    assert float(m["epe"]) < 0.5, float(m["epe"])
+
+    interp = F.make_frame_interp(spec, cfg, ctrl_cfg)
+    i = 1                                     # middle pair
+    frames2 = jnp.stack([f1[i], f2[i]])
+    mid = interp(state.params, consts, state.ctrl_state, times[i], frames2,
+                 jnp.float32(0.5), batch["scale"])
+    gt_mid = jnp.asarray(base[:, 2 * i + 1:2 * i + 1 + w])
+    fade = 0.5 * f1[i] + 0.5 * f2[i]
+    psnr_mid = float(L.psnr(jnp.clip(mid, 0, 1), gt_mid))
+    psnr_fade = float(L.psnr(jnp.clip(fade, 0, 1), gt_mid))
+    # measured (CPU, seeded): mid 26.2 dB vs fade 24.9 — the margin is
+    # modest because the blurred synthetic makes cross-fade a strong
+    # baseline at a 1px half-shift; the claim pinned here is that motion
+    # compensation strictly beats it AND reaches a high absolute bar
+    assert psnr_mid > psnr_fade + 0.8, (psnr_mid, psnr_fade)
+    assert psnr_mid > 25.5, psnr_mid
+
+
+def test_run_flow_interpolate_writes_video(tmp_path, rng):
+    """Driver e2e: train 2 epochs, then `flow interpolate` restores the
+    checkpoint and writes the x2 upsampled video + metadata sidecar."""
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train.loop import run_flow_interpolate, run_flow_train
+
+    video = rng.rand(3, 12, 16, 3).astype(np.float32)
+    cfg = tiny_cfg(net="RBF").replace(
+        epochs=2, checkpoints_dir=str(tmp_path / "ck"),
+        results_dir=str(tmp_path / "res"))
+    run_flow_train(cfg, media=FlowMedia(video.copy()), scene="isc")
+    out = run_flow_interpolate(cfg, factor=2, media=FlowMedia(video.copy()),
+                               scene="isc")
+    assert out["num_frames"] == 2 * (len(video) - 1) + 1
+    import os
+    assert os.path.exists(out["path"])
+    import json
+    meta = json.load(open(str(tmp_path / "res" / "interp_isc_temp_x2.json")))
+    assert meta["factor"] == 2 and meta["frames_out"] == out["num_frames"]

@@ -33,7 +33,8 @@ import json
 import time
 
 
-def validate_sr(epochs: int) -> dict:
+def validate_sr(epochs: int, arch: str = "SRF",
+                compute_dtype: str = "float32") -> dict:
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
     import jax
@@ -43,8 +44,8 @@ def validate_sr(epochs: int) -> dict:
     from sin_inn_tpu.data.synthetic import synthetic_sr_video
     from sin_inn_tpu.train import sr as SR
 
-    cfg = SRConfig(architecture="SRF", scale=4, num_coupling=4, lr_window=10,
-                   batch_size=8, epochs=epochs)
+    cfg = SRConfig(architecture=arch, scale=4, num_coupling=4, lr_window=10,
+                   batch_size=8, epochs=epochs, compute_dtype=compute_dtype)
     video = synthetic_sr_video(cfg, h=360, w=640)
     spec, state, tx = SR.create_train_state(jax.random.key(0), cfg)
     step = SR.make_train_step(spec, cfg, tx)
@@ -63,7 +64,8 @@ def validate_sr(epochs: int) -> dict:
             losses.append(round(float(aux["loss"]), 4))
             em = eval_step(state.params, val_batch, jax.random.key(1))
             psnrs.append(round(float(em["hr_psnr"]), 2))
-    return {"check": "sr_convergence", "epochs": epochs, "loss_traj": losses,
+    return {"check": "sr_convergence", "arch": arch, "dtype": compute_dtype,
+            "epochs": epochs, "loss_traj": losses,
             "hr_psnr": psnrs[-1], "psnr_traj": psnrs,
             "monotone": all(a >= b for a, b in zip(losses, losses[1:])),
             "wall_s": round(time.time() - t0, 1)}
@@ -122,6 +124,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("pipeline", choices=["sr", "flow"])
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--arch", choices=["SRF", "IRN"], default="SRF")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16", "float32_highest"])
     ap.add_argument("--iters", type=int, default=1500)
     ap.add_argument("--net", default="RBF")
     ap.add_argument("--splat-max-dy", type=int, default=64)
@@ -133,7 +138,7 @@ def main():
     ap.add_argument("--spatial", action="store_true")
     args = ap.parse_args()
     if args.pipeline == "sr":
-        out = validate_sr(args.epochs)
+        out = validate_sr(args.epochs, args.arch, args.compute_dtype)
     else:
         out = validate_flow(args.iters, args.net, args.splat_max_dy,
                             args.splat_max_dx, use_pallas=args.use_pallas,
