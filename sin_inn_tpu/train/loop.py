@@ -122,6 +122,11 @@ def _sr_create_and_restore(cfg: SRConfig, init_key, require: str = ""):
     if restored is not None:
         return (spec, jax.tree_util.tree_map(jnp.asarray, restored), tx,
                 store, int(step))
+    if cfg.resume_state:
+        # an EXPLICIT resume request must never silently fall back to a
+        # fresh run (a typo'd path would otherwise restart from scratch)
+        raise FileNotFoundError(
+            f"--resume_state {cfg.resume_state}: no checkpoint found there")
     if require and not cfg.import_torch:
         raise FileNotFoundError(require)
     return spec, state, tx, store, 0
@@ -322,6 +327,30 @@ def flow_ckpt_dir(cfg: FlowConfig, scene: str) -> str:
     return path.join(cfg.checkpoints_dir, scene, cfg.name)
 
 
+def _flow_ckpt_format_is_combined(store: CheckpointStore) -> bool:
+    """True if the latest flow checkpoint carries the round-3 combined
+    ``{"state", "consts"}`` layout. Probed via orbax metadata (no restore),
+    and broadcast from process 0 in multi-process runs so every process
+    picks the SAME restore template — a per-process try/except around the
+    restore would diverge the broadcast collectives inside
+    ``CheckpointStore.restore`` on legacy files."""
+    combined = False
+    step = store.latest_step()
+    if step is not None:
+        try:
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ck:
+                md = ck.metadata(store._path(step))
+            combined = "consts" in getattr(md, "item_metadata", md)
+        except Exception:
+            combined = False
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        combined = bool(int(multihost_utils.broadcast_one_to_all(
+            np.int64(1 if combined else 0))))
+    return combined
+
+
 def _flow_create_and_restore(cfg: FlowConfig, init_key, scene: str,
                              require: str = ""):
     """create_flow_state + latest-scan restore (one code path for
@@ -332,25 +361,32 @@ def _flow_create_and_restore(cfg: FlowConfig, init_key, scene: str,
     config when ``--import-torch`` landed (they may hold a reference
     checkpoint's encoding buffers), and a restore must never silently pair
     trained params with freshly seeded buffers — that also guards a resume
-    under a changed ``--random-seed``. Legacy bare-state checkpoints (orbax
-    raises on the structure mismatch) restore with the config-derived
-    consts, which is exactly what writing them would have recorded.
+    under a changed ``--random-seed``. Legacy bare-state checkpoints
+    (detected by the metadata probe below, process-0-consistent) restore
+    with the config-derived consts, which is exactly what writing them
+    would have recorded.
     Returns (spec, state, consts, ctrl_cfg, tx, store, start_epoch)."""
     store = CheckpointStore(flow_ckpt_dir(cfg, scene))
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         init_key, _warn_ckpt_overrides_import(cfg, store))
     as_arr = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    combined = _flow_ckpt_format_is_combined(store)
     try:
-        restored, step = store.restore({"state": state, "consts": consts})
-        if restored is not None:
+        restored, step = store.restore(
+            {"state": state, "consts": consts} if combined else state)
+    except ValueError:
+        # metadata probe mis-detected the layout (unexpected orbax
+        # format): retry with the other template (single-process backstop)
+        combined = not combined
+        restored, step = store.restore(
+            {"state": state, "consts": consts} if combined else state)
+    if restored is not None:
+        if combined:
             return (spec, as_arr(restored["state"]),
                     as_arr(restored["consts"]), ctrl_cfg, tx, store,
                     int(step))
-    except ValueError:
-        restored, step = store.restore(state)   # legacy bare-state format
-        if restored is not None:
-            return (spec, as_arr(restored), consts, ctrl_cfg, tx, store,
-                    int(step))
+        return (spec, as_arr(restored), consts, ctrl_cfg, tx, store,
+                int(step))
     if require and not cfg.import_torch:
         raise FileNotFoundError(require)
     return spec, state, consts, ctrl_cfg, tx, store, 0
@@ -723,11 +759,11 @@ def run_flow_sintel(cfg: FlowConfig, outroot: str = "sintel_submission"):
             scene_cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
             flow_dir=scene_cfg.flow_dir)
         key = R.root_key(cfg.random_seed)
-        spec, state, consts, ctrl_cfg, _, _, step = _flow_create_and_restore(
+        # same precedence as every flow driver: per-scene checkpoints win;
+        # scenes without one render from --import-torch weights when given
+        spec, state, consts, ctrl_cfg, _, _, _ = _flow_create_and_restore(
             scene_cfg, R.named_fold(key, "init"), scene_name,
             require=f"no checkpoint for {scene_name}")
-        if step == 0:
-            raise FileNotFoundError(f"no checkpoint for {scene_name}")
         infer = FT.make_flow_infer(spec, scene_cfg, ctrl_cfg)
         outdir = path.join(outroot, sub, scene_name)
         os.makedirs(outdir, exist_ok=True)

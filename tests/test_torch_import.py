@@ -545,3 +545,47 @@ def test_renumber_module_list_shifts_only_indices():
     out = TI.renumber_module_list(sd, 1)
     assert set(out) == {"inn.module_list.1.s1.0.weight",
                         "module_list.13.s2.2.bias", "other.key"}
+
+
+def test_sr_explicit_resume_state_miss_raises(tmp_path):
+    """A typo'd --resume_state must fail loudly, never silently restart
+    training from scratch."""
+    from sin_inn_tpu.train.loop import _sr_create_and_restore
+
+    cfg = _cfg("IRN", working_dir=str(tmp_path),
+               resume_state=str(tmp_path / "no_such_ckpts"))
+    with pytest.raises(FileNotFoundError, match="resume_state"):
+        _sr_create_and_restore(cfg, jax.random.PRNGKey(0))
+
+
+def test_flow_sintel_renders_from_import(tmp_path):
+    """`flow sintel --import-torch` renders scenes that have no framework
+    checkpoint from the imported weights (same precedence as every other
+    flow driver)."""
+    import imageio.v2 as io
+
+    from sin_inn_tpu.data.synthetic import moving_texture_video
+    from sin_inn_tpu.train.loop import run_flow_sintel
+
+    root = tmp_path / "final"
+    d = root / "alley_7"
+    d.mkdir(parents=True)
+    frames = (moving_texture_video(3, 10, 14, seed=7) * 255).astype(np.uint8)
+    for i, f in enumerate(frames):
+        io.imwrite(str(d / f"frame_{i+1:04d}.png"), f)
+
+    cfg = _flow_cfg(net="RBF", epochs=4,
+                    input_video=str(root / "alley_7"), name="final",
+                    size=10, test_size=10,
+                    checkpoints_dir=str(tmp_path / "ck"),
+                    results_dir=str(tmp_path / "res"))
+    spec, params, consts, ctrl_cfg, ctrl_state = FT.build_flow_model(
+        jax.random.PRNGKey(0), cfg)
+    ref = tmp_path / "ref.ckpt"
+    torch.save({"state_dict": make_flow_sd(spec, params, consts)}, ref)
+
+    run_flow_sintel(cfg.replace(import_torch=str(ref)),
+                    outroot=str(tmp_path / "sub"))
+    out = tmp_path / "sub" / "final" / "alley_7"
+    import os
+    assert sorted(os.listdir(out)) == ["frame_0001.flo", "frame_0002.flo"]
