@@ -295,10 +295,13 @@ def test_flow_step_2d_domain_spatial_controller(key, rng):
     assert int(state.ctrl_state.iteration) >= 1
 
 
-def test_frame_interp_endpoints_exact(key, rng):
+@pytest.mark.parametrize("net,spatial", [("RBF", False), ("PFF", True)])
+def test_frame_interp_endpoints_exact(key, rng, net, spatial):
     """alpha=0 / alpha=1 reproduce the endpoint frames exactly (zero-flow
-    softmax splat is the identity), for ANY params — no training needed."""
-    cfg = tiny_cfg(net="RBF")
+    softmax splat is the identity), for ANY params — no training needed.
+    The spatial variant drives the controller-masked INR path."""
+    cfg = tiny_cfg(net=net).replace(spatially_adaptive=spatial,
+                                    spatial_res=3)
     spec, state, consts, ctrl_cfg, _ = F.create_flow_state(key, cfg)
     interp = F.make_frame_interp(spec, cfg, ctrl_cfg)
     batch = synthetic_batch(rng)
