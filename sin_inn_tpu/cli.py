@@ -174,6 +174,12 @@ def _flow_parser(sub):
                     help="column bound |dx|<=N px for the windowed metric "
                          "warps: 'auto', 'off', or an int")
     ap.add_argument("--splat-col-chunk", type=int, default=256)
+    ap.add_argument("--splat-local-dy", type=_splat_bound, default="off",
+                    help="LOCAL-window row bound for the Pallas kernels: "
+                         "per-tile windows recenter vertically on the "
+                         "tile-mean flow and this bounds only the "
+                         "DEVIATION |fy - mean| ('auto' = half the global "
+                         "bound, 'off' = static global windows, or an int)")
     ap.add_argument("--use-pallas", default="auto",
                     choices=["auto", "on", "off"],
                     help="fused Pallas splat/gather/INR kernels: 'auto' "
@@ -213,7 +219,9 @@ def flow_config_from_args(a) -> FlowConfig:
         hidden_dim=a.hidden_dim, num_layers=a.num_layers,
         compute_dtype=a.compute_dtype, splat_max_dy=a.splat_max_dy,
         splat_chunk=a.splat_chunk, splat_max_dx=a.splat_max_dx,
-        splat_col_chunk=a.splat_col_chunk, use_pallas=a.use_pallas,
+        splat_col_chunk=a.splat_col_chunk,
+        splat_local_dy=a.splat_local_dy,
+        use_pallas=a.use_pallas,
         mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,
         flow_producer=a.flow_producer, import_torch=a.import_torch,

@@ -238,6 +238,24 @@ class FlowConfig:
     splat_max_dx: "Optional[int] | str" = "auto"
     splat_col_chunk: int = 256    # column block for the windowed warp
     resample_chunk: int = 8       # row chunk for the windowed warp
+    # LOCAL-window row bound for the Pallas region kernels: each 128x128
+    # tile's source window recenters VERTICALLY on the tile's mean flow
+    # (per-tile dynamic DMA row offsets, ops/pallas/offsets.py), so this
+    # bounds only the DEVIATION |flow_y - tile_mean_y| instead of
+    # |flow_y| — the splat window shrinks 256 -> 192 rows and the gather
+    # windows 136 -> 80 at Sintel defaults. 'auto' = half the resolved
+    # global dy (64 -> 32), engaged only on the Pallas 2D-window path and
+    # only when strictly smaller than the global window; int pins;
+    # None/'off' disables (static windows). The global dy still caps the
+    # offsets (and sizes the padding), so the local path reaches every tap
+    # the static path could — and FARTHER (|flow_y| up to dy + local - 1
+    # when the local deviation is small). The train loop monitors the
+    # deviation and warns loudly when it outgrows the local window.
+    # Columns keep the static splat_max_dx bound: Mosaic requires DMA
+    # starts divisible by the (8, 128) tiling, and 128-quantizing a column
+    # offset costs a full lane tile of window width — more than any
+    # x-locality win (the row offsets quantize to 8, costing <= 4 px).
+    splat_local_dy: "Optional[int] | str" = "off"
 
     # Runtime
     results_dir: str = "results"
@@ -273,7 +291,7 @@ class FlowConfig:
             raise ValueError(f"edge_func must be 'exp' or 'gauss', got {self.edge_func}")
         if self.occl not in ("brox", "wang", None):
             raise ValueError(f"occl must be 'brox'|'wang'|None, got {self.occl}")
-        for name in ("splat_max_dy", "splat_max_dx"):
+        for name in ("splat_max_dy", "splat_max_dx", "splat_local_dy"):
             v = getattr(self, name)
             if isinstance(v, str) and v not in ("auto", "off"):
                 raise ValueError(f"{name} must be an int, 'auto', 'off' or "
@@ -321,7 +339,20 @@ class FlowConfig:
             dx = None
         if dy is None:
             dx = None
-        return self.replace(splat_max_dy=dy, splat_max_dx=dx)
+
+        # the local-window row bound rides the resolved global bounds:
+        # 'auto' = half the global dy (rounded to the sublane tiling),
+        # engaged only on the 2D-window path and only when it strictly
+        # shrinks the window
+        ldy = self.splat_local_dy
+        if ldy == "auto":
+            ldy = None if dy is None else max(8, -(-(dy // 2) // 8) * 8)
+        elif self._bound_off(ldy):
+            ldy = None
+        if ldy is not None and (dy is None or dx is None or ldy >= dy):
+            ldy = None
+        return self.replace(splat_max_dy=dy, splat_max_dx=dx,
+                            splat_local_dy=ldy)
 
     @property
     def effective_val_iter(self) -> int:

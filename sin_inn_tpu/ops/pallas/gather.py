@@ -77,8 +77,13 @@ def _dhat(d):
 
 
 def _gather_kernel(*refs, B, CB, SH, SW, KR, RC, dy, dx, C,
-                   sx, sy, shx, shy, grads):
-    if grads:
+                   sx, sy, shx, shy, grads, capy=0, capx=0, local=False):
+    if local and grads:
+        off_ref, a_ref, fl_ref, p_ref, out_ref, a_s, sem = refs
+    elif local:
+        off_ref, a_ref, fl_ref, out_ref, a_s, sem = refs
+        p_ref = None
+    elif grads:
         a_ref, fl_ref, p_ref, out_ref, a_s, sem = refs
     else:
         a_ref, fl_ref, out_ref, a_s, sem = refs
@@ -86,10 +91,22 @@ def _gather_kernel(*refs, B, CB, SH, SW, KR, RC, dy, dx, C,
     n = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    if local:
+        # scalar-prefetched per-SOURCE-tile ROW offsets (multiples of 8 —
+        # see splat.py): the window of taps p = s + flow(s) recenters
+        # vertically on the tile's mean flow, so dy bounds only the
+        # deviation |flow_y - off_y|; x keeps the static global bound
+        oy = off_ref[n, i, j, 1].astype(jnp.int32)
+        r0 = pl.multiple_of(i * B + capy + oy, 8)
+    else:
+        oy = 0
+        r0 = i * B
 
     # ---- DMA the channel-planar source window into VMEM ----
+    # padded window start row: i*B + capy + oy (pad top = dy + capy); the
+    # static path has capy = oy = 0
     cp = pltpu.make_async_copy(
-        a_ref.at[n, :, pl.ds(i * B, SH), pl.ds(j * CB, SW)], a_s, sem)
+        a_ref.at[n, :, pl.ds(r0, SH), pl.ds(j * CB + capx, SW)], a_s, sem)
     cp.start()
     cp.wait()
 
@@ -113,8 +130,8 @@ def _gather_kernel(*refs, B, CB, SH, SW, KR, RC, dy, dx, C,
         px = jnp.concatenate(pxs, axis=1)                    # (1, RC*CB)
         py = jnp.concatenate(pys, axis=1)
 
-        # window row coords of this chunk: abs row i*B - dy + ck*RC + s
-        srow = (srow0 + (ck * RC - dy)).astype(jnp.float32) + i * B
+        # window row coords of this chunk: abs row i*B - dy + oy + ck*RC + s
+        srow = (srow0 + (ck * RC - dy + oy)).astype(jnp.float32) + i * B
         cxT = _hat(px - scol)                                # (SW, RC*CB)
         wy = _hat(py - srow)                                 # (KR, RC*CB)
         win = jnp.concatenate(
@@ -238,6 +255,88 @@ def _gather_region_call(a, flow, payload, max_dy, max_dx,
     return out[..., :c], out[..., c], out[..., c + 1]
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _gather_region_call_local(a, flow, payload, off_src, loc_dy: int,
+                              loc_dx: int, cap_y: int, cap_x: int,
+                              coord, grads: bool, interpret: bool = False):
+    """LOCAL-window variant of :func:`_gather_region_call`: each SOURCE
+    tile's tap window recenters VERTICALLY on the tile's mean flow
+    (``off_src`` from ``ops.pallas.offsets.tile_flow_offsets``,
+    scalar-prefetched row offsets in multiples of 8), so ``loc_dy`` bounds
+    the deviation |flow_y - off_y| instead of |flow_y|. The contraction
+    FLOPs scale with KR = 2*loc_dy + RC — 136 -> 80 rows at Sintel
+    defaults (loc_dy 64 -> 32). The x axis keeps the static global bound
+    ``loc_dx`` (Mosaic DMA-start tiling — see splat.py); ``cap_y`` bounds
+    |off_y| and sizes the padding (y-reach extends to cap_y + loc_dy - 1).
+
+    Note the resample coordinate quirk ((size-1)-normalized,
+    align_corners=False) shifts taps by up to ~1.5 px relative to the raw
+    flow the offsets are computed from — callers keep a >=3 px margin
+    inside the local bounds (the train-loop monitor warns at loc - 3).
+    """
+    assert cap_y % 8 == 0, "cap_y must be a multiple of the sublane tiling"
+    n, h, w, c = a.shape
+    (sxc, shxc), (syc, shyc) = coord
+    B, CB, RC, dy, dx, hb, wb, sh, sw, kr = _pad_geometry(h, w, loc_dy,
+                                                          loc_dx)
+    dtype = a.dtype
+    off_i = off_src.astype(jnp.int32)
+
+    top = dy + cap_y
+    bot = (hb - 1) * B + 2 * cap_y + sh - (h + top)
+    left = dx + cap_x
+    right = (wb - 1) * CB + 2 * cap_x + sw - (w + left)
+    a_pad = jnp.pad(a.astype(jnp.float32).transpose(0, 3, 1, 2),
+                    ((0, 0), (0, 0), (top, bot), (left, right)))
+    tile_pad = ((0, 0), (0, 0), (0, hb * B - h), (0, wb * CB - w))
+    fl_pad = jnp.pad(flow.astype(jnp.float32).transpose(0, 3, 1, 2),
+                     tile_pad)
+
+    oc = c + (2 if grads else 0)
+    fl_spec = pl.BlockSpec((1, 2, B, CB),
+                           lambda n_, i, j, off: (n_, 0, i, j),
+                           memory_space=pltpu.VMEM)
+    args = [a_pad, fl_pad]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM), fl_spec]
+    if grads:
+        p_pad = jnp.pad(payload.astype(jnp.float32).transpose(0, 3, 1, 2),
+                        tile_pad)
+        args.append(p_pad)
+        in_specs.append(pl.BlockSpec((1, c, B, CB),
+                                     lambda n_, i, j, off: (n_, 0, i, j),
+                                     memory_space=pltpu.VMEM))
+
+    kern = functools.partial(_gather_kernel, B=B, CB=CB, SH=sh, SW=sw,
+                             KR=kr, RC=RC, dy=dy, dx=dx, C=c,
+                             sx=float(sxc), sy=float(syc), shx=float(shxc),
+                             shy=float(shyc), grads=grads,
+                             capy=cap_y, capx=cap_x, local=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, hb, wb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, oc * B, CB),
+                               lambda n_, i, j, off: (n_, i, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ])
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, hb, oc * B, wb * CB),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(off_i, *args)
+
+    out = out.reshape(n, hb, oc, B, wb * CB).transpose(0, 1, 3, 4, 2)
+    out = out.reshape(n, hb * B, wb * CB, oc)[:, :h, :w].astype(dtype)
+    if not grads:
+        return out
+    return out[..., :c], out[..., c], out[..., c + 1]
+
+
 def pallas_gather_available() -> bool:
     if not _HAS_PALLAS:
         return False
@@ -302,3 +401,61 @@ def _resample_region_bwd(max_dy, max_dx, interpret, res, g):
 
 
 resample2d_region.defvjp(_resample_region_fwd, _resample_region_bwd)
+
+
+# ---------------------------------------------------------------------------
+# resample2d on the LOCAL-window gather kernel
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def resample2d_region_local(loc_dy: int, loc_dx: int, cap_y: int,
+                            cap_x: int, interpret: bool, img: jnp.ndarray,
+                            flow: jnp.ndarray,
+                            off_src: jnp.ndarray) -> jnp.ndarray:
+    """:func:`resample2d_region` with flow-centered windows (``off_src``
+    from ``ops.pallas.offsets.tile_flow_offsets(flow, ...)``)."""
+    h, w = img.shape[1:3]
+    return _gather_region_call_local(img, flow, None, off_src, loc_dy,
+                                     loc_dx, cap_y, cap_x,
+                                     _resample_coord(h, w), False, interpret)
+
+
+def _resample_region_local_fwd(loc_dy, loc_dx, cap_y, cap_x, interpret,
+                               img, flow, off_src):
+    return (resample2d_region_local(loc_dy, loc_dx, cap_y, cap_x, interpret,
+                                    img, flow, off_src),
+            (img, flow, off_src))
+
+
+def _resample_region_local_bwd(loc_dy, loc_dx, cap_y, cap_x, interpret,
+                               res, g):
+    from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
+    from sin_inn_tpu.ops.pallas.splat import _splat_region_call_local
+
+    img, flow, off_src = res
+    n, h, w, _ = flow.shape
+    sx = w / (w - 1)
+    sy = h / (h - 1)
+    _, dpx, dpy = _gather_region_call_local(img, flow, g, off_src, loc_dy,
+                                            loc_dx, cap_y, cap_x,
+                                            _resample_coord(h, w), True,
+                                            interpret)
+    d_flow = jnp.stack([dpx * sx, dpy * sy], axis=-1).astype(flow.dtype)
+    # image gradient = splat adjoint along the effective displacement.
+    # eff differs from flow by <= ~1.5 px (the resample normalization), so
+    # it gets its OWN output-tile offsets; the whole branch (including the
+    # offsets einsums) DCEs when img is a constant, as in the shipped
+    # train steps.
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    px = (xs + flow[..., 0].astype(jnp.float32)) * sx - 0.5
+    py = (ys + flow[..., 1].astype(jnp.float32)) * sy - 0.5
+    eff = jnp.stack([px - xs, py - ys], axis=-1)
+    eff_off = tile_flow_offsets(eff, _B, _CB, cap_y, cap_x)
+    d_img = _splat_region_call_local(g, eff, eff_off.off_out, loc_dy,
+                                     loc_dx, cap_y, cap_x, interpret)
+    return d_img, d_flow, jnp.zeros_like(off_src)
+
+
+resample2d_region_local.defvjp(_resample_region_local_fwd,
+                               _resample_region_local_bwd)

@@ -54,17 +54,38 @@ _B = 128     # output-tile rows (== one lane tile per channel slab)
 _CB = 128    # output-tile cols (accumulator lane dim)
 
 
-def _region_kernel(v_ref, fl_ref, out_ref, v_s, fl_s, acc_s, sem,
-                   *, H, W, B, CB, SH, SW, RC, dy, dx, C):
+def _region_kernel(*refs, H, W, B, CB, SH, SW, RC, dy, dx, C,
+                   capy=0, capx=0, local=False):
+    if local:
+        # scalar-prefetched per-tile ROW window offsets: the source window
+        # recenters vertically on the tile's mean flow, so dy is a LOCAL
+        # deviation half-width instead of a global flow bound. Offsets are
+        # multiples of 8 (the sublane tiling — Mosaic requires provably
+        # tiled DMA starts, hence pl.multiple_of; a column offset would
+        # need 128-lane quantization, which costs more window width than
+        # any x-locality saves, so off[..., 0] must be 0 and x keeps the
+        # static global bound).
+        off_ref, v_ref, fl_ref, out_ref, v_s, fl_s, acc_s, sem = refs
+    else:
+        v_ref, fl_ref, out_ref, v_s, fl_s, acc_s, sem = refs
     n = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    if local:
+        oy = off_ref[n, i, j, 1].astype(jnp.int32)
+        r0 = pl.multiple_of(i * B + capy + oy, 8)
+    else:
+        oy = 0
+        r0 = i * B
 
     # ---- DMA the channel-planar source window into VMEM ----
+    # padded window start row: i*B + capy + oy (top pad = dy + capy, so
+    # this is absolute row i*B - dy + oy); static path has capy = oy = 0
+    c0 = j * CB + capx
     cp_v = pltpu.make_async_copy(
-        v_ref.at[n, :, pl.ds(i * B, SH), pl.ds(j * CB, SW)], v_s, sem.at[0])
+        v_ref.at[n, :, pl.ds(r0, SH), pl.ds(c0, SW)], v_s, sem.at[0])
     cp_f = pltpu.make_async_copy(
-        fl_ref.at[n, :, pl.ds(i * B, SH), pl.ds(j * CB, SW)], fl_s,
+        fl_ref.at[n, :, pl.ds(r0, SH), pl.ds(c0, SW)], fl_s,
         sem.at[1])
     cp_v.start()
     cp_f.start()
@@ -91,11 +112,11 @@ def _region_kernel(v_ref, fl_ref, out_ref, v_s, fl_s, acc_s, sem,
             row = ck * RC + r
             fy = fl_s[1, pl.ds(row, 1), :]                   # (1, SW)
             fx = fl_s[0, pl.ds(row, 1), :]
-            y_abs = (i * B - dy + row).astype(jnp.float32)
-            oy = y_abs + fy
-            ox = (xs0 + j * CB - dx).astype(jnp.float32) + fx
-            w1 = jnp.maximum(1.0 - jnp.abs(oy - krow), 0.0) * row_ok
-            cx = jnp.maximum(1.0 - jnp.abs(ox - kcol), 0.0) * col_ok
+            y_abs = (i * B - dy + row + oy).astype(jnp.float32)
+            ty = y_abs + fy
+            tx = (xs0 + j * CB - dx).astype(jnp.float32) + fx
+            w1 = jnp.maximum(1.0 - jnp.abs(ty - krow), 0.0) * row_ok
+            cx = jnp.maximum(1.0 - jnp.abs(tx - kcol), 0.0) * col_ok
             vw1 = jnp.concatenate(
                 [w1 * v_s[c, pl.ds(row, 1), :] for c in range(C)],
                 axis=0)                                      # (C*128, SW)
@@ -174,6 +195,88 @@ def _splat_region_call(values: jnp.ndarray, flow: jnp.ndarray,
     return out.reshape(n, hb * B, wb * CB, c)[:, :h, :w].astype(out_dtype)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _splat_region_call_local(values: jnp.ndarray, flow: jnp.ndarray,
+                             off_out: jnp.ndarray, loc_dy: int, loc_dx: int,
+                             cap_y: int, cap_x: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """LOCAL-window region splat: same contraction as
+    :func:`_splat_region_call`, but every output tile's source window is
+    recentered VERTICALLY on its contributors' mean flow via
+    scalar-prefetched per-tile row offsets
+    (``ops.pallas.offsets.tile_flow_offsets``), so ``loc_dy`` bounds only
+    the DEVIATION |flow_y - off_y| instead of |flow_y| — SH shrinks from
+    B + 2*global_dy to B + 2*loc_dy (256 -> 192 at Sintel defaults, and
+    the backward's gather windows shrink 136 -> 80 rows). ``cap_y`` bounds
+    |off_y| (it sizes the padding; the resolved global bound, so the
+    y-reach EXTENDS to cap_y + loc_dy - 1, beyond the static kernel's).
+    Offsets are multiples of 8 — the sublane tiling Mosaic can prove for
+    dynamic DMA starts. The x axis keeps the static global bound
+    ``loc_dx`` (= splat_max_dx): column offsets would need 128-lane
+    quantization, costing a full lane tile of window width — more than
+    any x-locality win. ``off_out[..., 0]`` must be 0 (cap_x = 0 in the
+    offsets helper).
+
+    Drop contract: a tap is produced iff its source pixel lies in the
+    target tile's shifted window — guaranteed when
+    |flow_y - off_y(target tile)| <= loc_dy - 1 and |flow_x| <= loc_dx - 1.
+    """
+    assert cap_y % 8 == 0, "cap_y must be a multiple of the sublane tiling"
+    n, h, w, c = values.shape
+    out_dtype = values.dtype
+    values = values.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
+    # the kernel shifts the window BY +off; the splat's contributors sit at
+    # s = o - f, i.e. AGAINST their mean flow — so negate here (the gather
+    # reads taps at p = s + f and passes its offsets through unnegated)
+    off_i = (-off_out).astype(jnp.int32)
+    B, CB = _B, _CB
+    hb = -(-h // B)
+    wb = -(-w // CB)
+    RC = 4
+    sh = -(-(B + 2 * loc_dy) // 8) * 8
+    sw = -(-(CB + 2 * loc_dx) // 128) * 128
+
+    # padding covers the farthest shifted window: start ranges over
+    # [i*B, i*B + 2*cap] in padded coords (kernel start = i*B + cap + off)
+    top = loc_dy + cap_y
+    bot = (hb - 1) * B + 2 * cap_y + sh - (h + top)
+    left = loc_dx + cap_x
+    right = (wb - 1) * CB + 2 * cap_x + sw - (w + left)
+    v_pad = jnp.pad(values.transpose(0, 3, 1, 2),
+                    ((0, 0), (0, 0), (top, bot), (left, right)))
+    f_pad = jnp.pad(flow.transpose(0, 3, 1, 2),
+                    ((0, 0), (0, 0), (top, bot), (left, right)))
+
+    kern = functools.partial(_region_kernel, H=h, W=w, B=B, CB=CB, SH=sh,
+                             SW=sw, RC=RC, dy=loc_dy, dx=loc_dx, C=c,
+                             capy=cap_y, capx=cap_x, local=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, hb, wb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, 1, c * B, CB),
+                               lambda n_, i, j, off: (n_, i, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, sh, sw), jnp.float32),
+            pltpu.VMEM((2, sh, sw), jnp.float32),
+            pltpu.VMEM((c * B, CB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, hb, c * B, wb * CB),
+                                       values.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(off_i, v_pad, f_pad)
+
+    out = out.reshape(n, hb, c, B, wb * CB).transpose(0, 1, 3, 4, 2)
+    return out.reshape(n, hb * B, wb * CB, c)[:, :h, :w].astype(out_dtype)
+
+
 def pallas_splat_available() -> bool:
     if not _HAS_PALLAS:
         return False
@@ -230,4 +333,67 @@ def softsplat_region_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
 
     return softmax_coverage_via(
         lambda cat, fl: splat_region(max_dy, max_dx, interpret, cat, fl),
+        inp, flow, metric)
+
+
+# ---------------------------------------------------------------------------
+# Local-window variant: per-tile mean-flow offsets, deviation-sized windows
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def splat_region_local(loc_dy: int, loc_dx: int, cap_y: int, cap_x: int,
+                       interpret: bool, values: jnp.ndarray,
+                       flow: jnp.ndarray, off_out: jnp.ndarray,
+                       off_src: jnp.ndarray) -> jnp.ndarray:
+    """:func:`splat_region` with flow-centered windows.
+
+    ``off_out``/``off_src`` come from
+    ``ops.pallas.offsets.tile_flow_offsets(flow, ...)`` — the forward
+    shifts each OUTPUT tile's window by the contributors' mean flow, the
+    backward (gather adjoint) shifts each SOURCE tile's window by the
+    tile's own mean flow. Offsets are f32 integer-valued arrays; their
+    cotangents are zero (coverage parameters, not differentiable inputs).
+    """
+    return _splat_region_call_local(values, flow, off_out, loc_dy, loc_dx,
+                                    cap_y, cap_x, interpret)
+
+
+def _splat_region_local_fwd(loc_dy, loc_dx, cap_y, cap_x, interpret,
+                            values, flow, off_out, off_src):
+    out = _splat_region_call_local(values, flow, off_out, loc_dy, loc_dx,
+                                   cap_y, cap_x, interpret)
+    return out, (values, flow, off_src)
+
+
+def _splat_region_local_bwd(loc_dy, loc_dx, cap_y, cap_x, interpret, res, g):
+    """Same adjoint as :func:`_splat_region_bwd`, on the LOCAL gather
+    kernel with the source-tile offsets (gather windows read taps at
+    s + flow(s), so they recenter on the source tile's own mean flow)."""
+    from sin_inn_tpu.ops.pallas.gather import _gather_region_call_local, _RAW
+
+    values, flow, off_src = res
+    d_values, d_ax, d_ay = _gather_region_call_local(
+        g, flow, values, off_src, loc_dy, loc_dx, cap_y, cap_x, _RAW,
+        True, interpret)
+    return (d_values.astype(values.dtype),
+            jnp.stack([d_ax, d_ay], axis=-1).astype(flow.dtype),
+            jnp.zeros_like(off_src), jnp.zeros_like(off_src))
+
+
+splat_region_local.defvjp(_splat_region_local_fwd, _splat_region_local_bwd)
+
+
+def softsplat_region_local_with_coverage(inp: jnp.ndarray, flow: jnp.ndarray,
+                                         metric: jnp.ndarray, loc_dy: int,
+                                         loc_dx: int, cap_y: int, cap_x: int,
+                                         off_out: jnp.ndarray,
+                                         off_src: jnp.ndarray,
+                                         interpret: bool = False):
+    """softsplat_with_coverage on the LOCAL-window region kernel."""
+    from sin_inn_tpu.ops.splat import softmax_coverage_via
+
+    return softmax_coverage_via(
+        lambda cat, fl: splat_region_local(loc_dy, loc_dx, cap_y, cap_x,
+                                           interpret, cat, fl, off_out,
+                                           off_src),
         inp, flow, metric)

@@ -139,9 +139,12 @@ def flow_forward(spec: INRSpec, params, consts, ctrl_cfg, ctrl_state,
 
 
 def _splat_ops(cfg: FlowConfig):
-    """(warp, splat_with_coverage) per the config's window/Pallas routing —
-    one dispatch shared by the training loss and the interpolation renderer.
-    ``cfg`` must carry resolved (non-'auto') window bounds.
+    """(warp, splat_with_coverage, local_spec) per the config's
+    window/Pallas routing — one dispatch shared by the training loss and
+    the interpolation renderer. ``cfg`` must carry resolved (non-'auto')
+    window bounds. Both closures take a trailing ``offs`` argument —
+    a ``TileOffsets`` bundle when ``local_spec`` is not None (the caller
+    computes it per flow via :func:`_flow_offsets`), ignored otherwise.
 
     With BOTH window bounds set, the metric warps use the column-windowed
     matmul resample with its hand-derived backward (48 -> 31 ms fwd+grad
@@ -149,34 +152,62 @@ def _splat_ops(cfg: FlowConfig):
     autodiff ~3.1x fwd — so it needs splat_max_dx to engage; the image-grad
     branch DCEs when frames are constants). On TPU (use_pallas 'auto'/'on')
     both ops ride the fused Pallas kernels; forced-'on' off-TPU runs them
-    in interpret mode (same semantics as the fused INR path)."""
+    in interpret mode (same semantics as the fused INR path). With
+    ``splat_local_dy/dx`` also resolved, the kernels run in LOCAL-window
+    mode: per-tile windows recentered on the tile-mean flow
+    (ops/pallas/offsets.py), bounds shrunk to the deviation bounds."""
     from sin_inn_tpu.ops.pallas.splat import (
-        pallas_splat_available, softsplat_region_with_coverage)
+        pallas_splat_available, softsplat_region_local_with_coverage,
+        softsplat_region_with_coverage)
     use_pal = (cfg.use_pallas == "on"
                or (cfg.use_pallas == "auto" and pallas_splat_available()))
     interp = cfg.use_pallas == "on" and not pallas_splat_available()
+    if (cfg.splat_max_dy and cfg.splat_max_dx and use_pal
+            and cfg.splat_local_dy):
+        from sin_inn_tpu.ops.pallas.gather import resample2d_region_local
+        ldy = cfg.splat_local_dy
+        ldx = cfg.splat_max_dx          # x keeps the static global bound
+        capy = -(-cfg.splat_max_dy // 8) * 8   # sublane-tiled offset cap
+        warp = lambda im, fl, offs: resample2d_region_local(
+            ldy, ldx, capy, 0, interp, im, fl, offs.off_src)
+        splat_cov = lambda f, fl, m, offs: (
+            softsplat_region_local_with_coverage(
+                f, fl, m, ldy, ldx, capy, 0, offs.off_out, offs.off_src,
+                interpret=interp))
+        return warp, splat_cov, (ldy, ldx, capy, 0)
     if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
         # fused Pallas windowed gather (fwd + analytic flow-grad in one
         # grads-mode kernel call; image-grad adjoint DCEs — gather.py)
         from sin_inn_tpu.ops.pallas.gather import resample2d_region
-        warp = lambda im, fl: resample2d_region(
+        warp = lambda im, fl, offs=None: resample2d_region(
             cfg.splat_max_dy, cfg.splat_max_dx, interp, im, fl)
     elif cfg.splat_max_dy and cfg.splat_max_dx:
-        warp = lambda im, fl: resample2d_windowed(
+        warp = lambda im, fl, offs=None: resample2d_windowed(
             im, fl, cfg.splat_max_dy, cfg.resample_chunk,
             cfg.splat_max_dx, cfg.splat_col_chunk)
     else:
-        warp = resample2d
+        warp = lambda im, fl, offs=None: resample2d(im, fl)
     if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
         # fused Pallas region-scatter kernel (2D-windowed; both bounds)
-        splat_cov = lambda f, fl, m: softsplat_region_with_coverage(
+        splat_cov = lambda f, fl, m, offs=None: softsplat_region_with_coverage(
             f, fl, m, cfg.splat_max_dy, cfg.splat_max_dx, interpret=interp)
     elif cfg.splat_max_dy:
-        splat_cov = lambda f, fl, m: softsplat_windowed_with_coverage(
+        splat_cov = lambda f, fl, m, offs=None: softsplat_windowed_with_coverage(
             f, fl, m, cfg.splat_max_dy, cfg.splat_chunk)
     else:
-        splat_cov = softsplat_with_coverage
-    return warp, splat_cov
+        splat_cov = lambda f, fl, m, offs=None: softsplat_with_coverage(
+            f, fl, m)
+    return warp, splat_cov, None
+
+
+def _flow_offsets(flow: jnp.ndarray, local_spec):
+    """Per-tile window offsets for one flow direction (None spec -> None)."""
+    if local_spec is None:
+        return None
+    from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
+    from sin_inn_tpu.ops.pallas.splat import _B, _CB
+    _, _, capy, capx = local_spec
+    return tile_flow_offsets(flow, _B, _CB, capy, capx)
 
 
 def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
@@ -188,7 +219,9 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     torch parity harness can pin the loss math against an independent
     re-derivation of the reference formulas with fixed flows."""
     b, h, w, _ = frame1.shape
-    if isinstance(cfg.splat_max_dy, str) or isinstance(cfg.splat_max_dx, str):
+    if any(isinstance(getattr(cfg, f), str) for f in
+           ("splat_max_dy", "splat_max_dx",
+            "splat_local_dy")):
         # 'auto' bounds not yet materialized by the driver: resolve here —
         # h/w are static under jit, so this costs nothing
         cfg = cfg.resolve_splat_bounds(h, w)
@@ -198,15 +231,17 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     # directions run as separate passes on purpose: stacking them into a 2b
     # batch was measured SLOWER (12.3 -> 11.8 f/s at Sintel size — the
     # doubled per-chunk working set hurts more than the halved overhead).
-    warp, splat_cov = _splat_ops(cfg)
-    warped2 = warp(frame1, flow21)
+    warp, splat_cov, local = _splat_ops(cfg)
+    offs21 = _flow_offsets(flow21, local)
+    offs12 = _flow_offsets(flow12, local)
+    warped2 = warp(frame1, flow21, offs21)
     metric = jnp.mean(jnp.abs(frame2 - warped2), axis=-1, keepdims=True)
-    warped1 = warp(frame2, flow12)
+    warped1 = warp(frame2, flow12, offs12)
     metric2 = jnp.mean(jnp.abs(frame1 - warped1), axis=-1, keepdims=True)
 
     if cfg.occl == "wang":
-        softmax1, cover1 = splat_cov(frame2, flow21, -20.0 * metric)
-        softmax2, cover2 = splat_cov(frame1, flow12, -20.0 * metric2)
+        softmax1, cover1 = splat_cov(frame2, flow21, -20.0 * metric, offs21)
+        softmax2, cover2 = splat_cov(frame1, flow12, -20.0 * metric2, offs12)
         mask1 = (cover1 > cfg.occl_thresh).astype(frame1.dtype)
         mask2 = (cover2 > cfg.occl_thresh).astype(frame1.dtype)
     else:
@@ -246,6 +281,13 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
             jnp.maximum(jnp.abs(flow12), jnp.abs(flow21)))
         aux["flow_max_x"] = jnp.max(af[..., 0])
         aux["flow_max_y"] = jnp.max(af[..., 1])
+    if local is not None:
+        # local-window monitor: the drop criterion is the DEVIATION from
+        # the per-tile mean flow (both tiling criteria, both directions)
+        dev = jnp.maximum(jnp.maximum(offs12.dev_src, offs12.dev_out),
+                          jnp.maximum(offs21.dev_src, offs21.dev_out))
+        aux["flow_dev_x"] = dev[0]
+        aux["flow_dev_y"] = dev[1]
 
     # Per-point photometric error map for the spatial controller: the
     # intended spatially-resolved signal behind net.stash_iteration(loss)
@@ -366,23 +408,30 @@ def make_frame_interp(spec: INRSpec, cfg: FlowConfig, ctrl_cfg):
     def interp(params, consts, ctrl_state, t0, frames2, alpha, scale):
         h, w = frames2.shape[1:3]
         cfg_l = cfg
-        if isinstance(cfg_l.splat_max_dy, str) or \
-                isinstance(cfg_l.splat_max_dx, str):
+        if any(isinstance(getattr(cfg_l, f), str) for f in
+               ("splat_max_dy", "splat_max_dx",
+                "splat_local_dy")):
             cfg_l = cfg_l.resolve_splat_bounds(h, w)
-        warp, splat_cov = _splat_ops(cfg_l)
+        warp, splat_cov, local = _splat_ops(cfg_l)
         f12, f21, _ = flow_forward(spec, params, consts, ctrl_cfg,
                                    ctrl_state, jnp.reshape(t0, (1,)),
                                    h, w, scale)
         frame0, frame1 = frames2[0:1], frames2[1:2]
         flow01, flow10 = f12[0:1], f21[0:1]
         alpha = jnp.asarray(alpha, frames2.dtype)
-        # photometric-consistency splat metrics, as in the train step
-        m0 = jnp.mean(jnp.abs(frame0 - warp(frame1, flow01)), axis=-1,
-                      keepdims=True)
-        m1 = jnp.mean(jnp.abs(frame1 - warp(frame0, flow10)), axis=-1,
-                      keepdims=True)
-        s0, c0 = splat_cov(frame0, alpha * flow01, -20.0 * m0)
-        s1, c1 = splat_cov(frame1, (1.0 - alpha) * flow10, -20.0 * m1)
+        # photometric-consistency splat metrics, as in the train step.
+        # Local-window offsets are per-flow: the alpha-scaled splat flows
+        # get their own bundles (alpha is traced — offsets follow it).
+        m0 = jnp.mean(jnp.abs(frame0 - warp(frame1, flow01,
+                                            _flow_offsets(flow01, local))),
+                      axis=-1, keepdims=True)
+        m1 = jnp.mean(jnp.abs(frame1 - warp(frame0, flow10,
+                                            _flow_offsets(flow10, local))),
+                      axis=-1, keepdims=True)
+        s0, c0 = splat_cov(frame0, alpha * flow01, -20.0 * m0,
+                           _flow_offsets(alpha * flow01, local))
+        s1, c1 = splat_cov(frame1, (1.0 - alpha) * flow10, -20.0 * m1,
+                           _flow_offsets((1.0 - alpha) * flow10, local))
         w0 = (1.0 - alpha) * (c0 > 0.0).astype(frames2.dtype)
         w1 = alpha * (c1 > 0.0).astype(frames2.dtype)
         den = w0 + w1

@@ -553,7 +553,27 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                 # silently degrades training — tell the user how to fix it
                 fy, fx = float(m["flow_max_y"]), float(m["flow_max_x"])
                 dy, dx = cfg.splat_max_dy, cfg.splat_max_dx
-                if fy > dy - 1 or (dx is not None and fx > dx - 1):
+                # in LOCAL-window mode the drop criterion is the deviation
+                # from the per-tile mean flow, not the magnitude
+                if "flow_dev_y" in m:
+                    dvy, dvx = float(m["flow_dev_y"]), float(m["flow_dev_x"])
+                    ldy, ldx = cfg.splat_local_dy, cfg.splat_max_dx
+                    # resample coordinate normalization shifts taps by up
+                    # to ~1.5 px relative to the raw flow — warn with a
+                    # 3 px margin (x offsets are disabled, so dev_x is the
+                    # plain magnitude against the static global dx)
+                    if dvy > ldy - 3 or dvx > ldx - 3:
+                        window_warned = True
+                        import logging
+                        logging.getLogger(__name__).warning(
+                            "flow deviation from the tile row means "
+                            "(dy %.1f px; |dx| %.1f px) approaches the "
+                            "LOCAL window bounds (local dy=%s, dx=%s) at "
+                            "epoch %d — out-of-window taps are DROPPED. "
+                            "Raise --splat-local-dy (or pass 'off' for "
+                            "the global windows) / --splat-max-dx.",
+                            dvy, dvx, ldy, ldx, epoch + 1)
+                elif fy > dy - 1 or (dx is not None and fx > dx - 1):
                     window_warned = True
                     import logging
                     logging.getLogger(__name__).warning(

@@ -461,3 +461,175 @@ def test_resample_region_bf16_flow_image_grad(rng):
     d_b16 = jax.grad(loss, 0)(img, fl32.astype(jnp.bfloat16))
     np.testing.assert_allclose(np.asarray(d_b16), np.asarray(d_ref),
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# LOCAL-window kernels: per-tile mean-flow row offsets (ops/pallas/offsets.py)
+# ---------------------------------------------------------------------------
+
+def _smooth_large_flow(n, h, w):
+    """Globally smooth flow with LARGE y-magnitude (far beyond any local
+    row bound) but small deviation from every 128px-neighborhood mean; the
+    0.0371/0.71234 irrational-ish constants keep targets off exact
+    integers (at integer targets the relu-hat kernels and the unclamped
+    scatter disagree on a measure-zero subgradient tie)."""
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base_y = 19.0371 + 3.0 * yy / h
+    base_x = -15.0371 + 6.0 * xx / w
+    dev = 0.71234 * np.stack([np.cos(xx / 17.0 + yy / 21.0),
+                              np.sin(xx / 19.0 - yy / 15.0)], axis=-1)
+    flow = np.stack([base_x, base_y], axis=-1)[None] + dev[None]
+    return np.repeat(flow, n, axis=0).astype(np.float32)
+
+
+# row offsets absorb the ~20px mean y-motion; x keeps a static bound that
+# must cover |fx| <= ~15.8
+_LDY, _LDX, _CAPY = 8, 18, 24
+
+
+def _local_setup(rng, n=2, h=136, w=160, c=2):
+    from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
+
+    fl = jnp.asarray(_smooth_large_flow(n, h, w))
+    v = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    offs = tile_flow_offsets(fl, 128, 128, _CAPY, 0)
+    return v, fl, offs
+
+
+def test_tile_flow_offsets_means_and_devs():
+    """Row offsets are the per-tile means quantized to the sublane tiling;
+    x offsets are disabled (cap 0); deviations measure the in-contract
+    margin against the offsets actually used (both tiling criteria)."""
+    from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
+
+    h, w = 136, 160
+    fl = jnp.asarray(_smooth_large_flow(1, h, w))
+    offs = tile_flow_offsets(fl, 128, 128, _CAPY, 0)
+    assert offs.off_src.shape == (1, 2, 2, 2)
+    # hand-check tile (0, 0): mean over rows 0:128, cols 0:128, y to 8s
+    m = np.asarray(fl)[0, :128, :128].mean(axis=(0, 1))
+    assert float(offs.off_src[0, 0, 0, 1]) == np.rint(m[1] / 8) * 8
+    assert float(jnp.abs(offs.off_src[..., 0]).max()) == 0.0  # x disabled
+    # y deviates < 4 px from the fine mean + <= 4 px quantization
+    assert float(offs.dev_src[1]) < 8.0
+    assert float(offs.dev_out[1]) < 8.0
+    # with x offsets off, dev_x is the plain |fx| magnitude
+    assert abs(float(offs.dev_src[0]) - float(jnp.abs(fl[..., 0]).max())) < 1e-5
+    # offsets are clipped to the cap (and stay quantized)
+    big = tile_flow_offsets(fl * 10.0, 128, 128, _CAPY, 0)
+    assert float(jnp.abs(big.off_src[..., 1]).max()) <= _CAPY
+    assert float(jnp.abs(big.off_src[..., 1]).max()) % 8 == 0
+
+
+def test_splat_region_local_matches_exact_scatter(rng):
+    """LOCAL-window splat == exact scatter for flows whose y-magnitude
+    (~20px) far exceeds the local row bound (ldy=8) — the per-tile row
+    offsets absorb the mean motion."""
+    from sin_inn_tpu.ops.splat import splat_scatter
+    from sin_inn_tpu.ops.pallas.splat import _splat_region_call_local
+
+    v, fl, offs = _local_setup(rng)
+    ref = splat_scatter(v, fl)
+    got = _splat_region_call_local(v, fl, offs.off_out, _LDY, _LDX, _CAPY,
+                                   0, INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_splat_region_local_gradients_match_exact(rng):
+    from sin_inn_tpu.ops.splat import splat_scatter
+    from sin_inn_tpu.ops.pallas.splat import splat_region_local
+
+    v, fl, offs = _local_setup(rng)
+    l_ref = lambda v_, f_: jnp.sum(jnp.sin(splat_scatter(v_, f_) * 3))
+    l_loc = lambda v_, f_: jnp.sum(jnp.sin(splat_region_local(
+        _LDY, _LDX, _CAPY, 0, INTERPRET, v_, f_,
+        offs.off_out, offs.off_src) * 3))
+    gr = jax.grad(l_ref, (0, 1))(v, fl)
+    gl = jax.grad(l_loc, (0, 1))(v, fl)
+    for a, b in zip(gr, gl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_resample_region_local_matches_static(rng):
+    """LOCAL-window resample == the static region kernel (wide bounds) in
+    BOTH forward and gradients — identical coverage for in-contract
+    flows — and == the plain 4-tap resample in forward."""
+    from sin_inn_tpu.ops.warp import resample2d
+    from sin_inn_tpu.ops.pallas.gather import (resample2d_region,
+                                               resample2d_region_local)
+
+    img_np = rng.rand(2, 136, 160, 2).astype(np.float32)
+    img = jnp.asarray(img_np)
+    _, fl, offs = _local_setup(rng)
+    got = resample2d_region_local(_LDY, _LDX, _CAPY, 0, INTERPRET, img, fl,
+                                  offs.off_src)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(resample2d(img, fl)), atol=2e-4)
+
+    gct = jnp.asarray(rng.rand(*img_np.shape).astype(np.float32))
+    _, vjp_loc = jax.vjp(lambda i_, f_: resample2d_region_local(
+        _LDY, _LDX, _CAPY, 0, INTERPRET, i_, f_, offs.off_src), img, fl)
+    _, vjp_sta = jax.vjp(lambda i_, f_: resample2d_region(
+        32, 64, INTERPRET, i_, f_), img, fl)
+    for a, b in zip(vjp_loc(gct), vjp_sta(gct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_splat_local_reaches_beyond_global_row_bound(rng):
+    """A constant ~20px y-flow is EXACT under local row windows with ldy=8
+    and cap=24 — 2.5x the |fy| <= ldy-1 = 7 a static window of the same
+    compute cost GUARANTEES (the offset absorbs the constant motion)."""
+    from sin_inn_tpu.ops.splat import splat_scatter
+    from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
+    from sin_inn_tpu.ops.pallas.splat import _splat_region_call_local
+
+    n, h, w, c = 1, 136, 160, 2
+    v = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    fl = jnp.zeros((n, h, w, 2), jnp.float32)
+    fl = fl.at[..., 0].set(3.3).at[..., 1].set(-19.6)
+    offs = tile_flow_offsets(fl, 128, 128, _CAPY, 0)
+    assert float(np.asarray(offs.dev_out)[1]) < 4.0
+    ref = splat_scatter(v, fl)
+    got = _splat_region_call_local(v, fl, offs.off_out, _LDY, _LDX, _CAPY,
+                                   0, INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flow_loss_local_windows_close_to_exact(rng):
+    """Full photometric loss on the LOCAL-window Pallas path (forced
+    interpret off-TPU) == the exact-op loss, deviation monitor present."""
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train.flow import photometric_flow_loss
+
+    f1 = jnp.asarray(rng.rand(2, 12, 16, 3).astype(np.float32))
+    f2 = jnp.asarray(rng.rand(2, 12, 16, 3).astype(np.float32))
+    fl12 = jnp.asarray((rng.rand(2, 12, 16, 2) * 4 - 2).astype(np.float32))
+    fl21 = jnp.asarray((rng.rand(2, 12, 16, 2) * 4 - 2).astype(np.float32))
+    exact = FlowConfig(net="RBF", splat_max_dy="off")
+    local = FlowConfig(net="RBF", splat_max_dy=16, splat_max_dx=8,
+                       splat_local_dy=8, use_pallas="on")
+    le, auxe = photometric_flow_loss(exact, f1, f2, fl12, fl21)
+    ll, auxl = photometric_flow_loss(local, f1, f2, fl12, fl21)
+    np.testing.assert_allclose(float(le), float(ll), rtol=2e-4)
+    assert "flow_dev_x" in auxl and "flow_dev_y" in auxl
+    assert float(auxl["flow_dev_y"]) <= 7.0
+
+
+def test_local_config_resolution():
+    """'auto' local row bound resolves to half the global dy (sublane
+    multiples), engages only on the 2D-window path when it shrinks the
+    window."""
+    from sin_inn_tpu.core.config import FlowConfig
+
+    cfg = FlowConfig(splat_local_dy="auto")
+    r = cfg.resolve_splat_bounds(436, 1024)
+    assert (r.splat_max_dy, r.splat_max_dx) == (64, 128)
+    assert r.splat_local_dy == 32
+    # tiny frames: global windows off -> local off
+    r2 = cfg.resolve_splat_bounds(64, 64)
+    assert r2.splat_local_dy is None
+    # default stays off
+    assert FlowConfig().resolve_splat_bounds(436, 1024).splat_local_dy is None
+    # no shrink -> disabled
+    r4 = FlowConfig(splat_local_dy=64).resolve_splat_bounds(436, 1024)
+    assert r4.splat_local_dy is None

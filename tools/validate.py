@@ -73,7 +73,8 @@ def validate_sr(epochs: int, arch: str = "SRF",
 
 def validate_flow(iters: int, net: str, splat_max_dy: int,
                   splat_max_dx: int, use_pallas: str = "auto",
-                  scale: float = 1.0, spatial: bool = False) -> dict:
+                  scale: float = 1.0, spatial: bool = False,
+                  splat_local_dy="off") -> dict:
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
     import jax
@@ -96,6 +97,7 @@ def validate_flow(iters: int, net: str, splat_max_dy: int,
     cfg = FlowConfig(net=net, epochs=iters, lr=3e-3,
                      splat_max_dy=splat_max_dy, splat_chunk=2,
                      splat_max_dx=splat_max_dx or None,
+                     splat_local_dy=splat_local_dy,
                      use_pallas=use_pallas, spatially_adaptive=spatial)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         jax.random.key(0), cfg)
@@ -112,6 +114,7 @@ def validate_flow(iters: int, net: str, splat_max_dy: int,
             psnr_traj.append(round(float(m["psnr"]), 2))
     return {"check": "flow_convergence", "net": net, "iters": iters,
             "use_pallas": use_pallas, "scale": scale, "spatial": spatial,
+            "splat_local_dy": splat_local_dy,
             "epe0": round(epe0, 3), "epe": epe_traj[-1],
             "psnr": psnr_traj[-1],
             "epe_traj": epe_traj, "psnr_traj": psnr_traj,
@@ -131,6 +134,9 @@ def main():
     ap.add_argument("--net", default="RBF")
     ap.add_argument("--splat-max-dy", type=int, default=64)
     ap.add_argument("--splat-max-dx", type=int, default=128)
+    ap.add_argument("--splat-local-dy", default="off",
+                    help="LOCAL-window row bound for the Pallas kernels "
+                         "('auto', 'off', or an int)")
     ap.add_argument("--use-pallas", default="auto",
                     help="flow: kernel routing for fused-vs-XLA A/Bs")
     ap.add_argument("--scale", type=float, default=1.0,
@@ -140,9 +146,13 @@ def main():
     if args.pipeline == "sr":
         out = validate_sr(args.epochs, args.arch, args.compute_dtype)
     else:
+        ldy = args.splat_local_dy
+        if ldy not in ("auto", "off"):
+            ldy = int(ldy)
         out = validate_flow(args.iters, args.net, args.splat_max_dy,
                             args.splat_max_dx, use_pallas=args.use_pallas,
-                            scale=args.scale, spatial=args.spatial)
+                            scale=args.scale, spatial=args.spatial,
+                            splat_local_dy=ldy)
     print(json.dumps(out))
 
 
