@@ -201,7 +201,7 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
                splat_max_dy=64, splat_chunk: int = 2, splat_max_dx=128,
                compute_dtype: str = "bfloat16", use_pallas: str = "auto",
-               splat_local_dy=None):
+               splat_local_dy="auto"):
     """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size.
 
     Defaults to the tuned fast path (windowed splat + windowed metric warps

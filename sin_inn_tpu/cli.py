@@ -174,12 +174,13 @@ def _flow_parser(sub):
                     help="column bound |dx|<=N px for the windowed metric "
                          "warps: 'auto', 'off', or an int")
     ap.add_argument("--splat-col-chunk", type=int, default=256)
-    ap.add_argument("--splat-local-dy", type=_splat_bound, default="off",
+    ap.add_argument("--splat-local-dy", type=_splat_bound, default="auto",
                     help="LOCAL-window row bound for the Pallas kernels: "
                          "per-tile windows recenter vertically on the "
                          "tile-mean flow and this bounds only the "
                          "DEVIATION |fy - mean| ('auto' = half the global "
-                         "bound, 'off' = static global windows, or an int)")
+                         "bound, probe-tightened when GT flow exists; "
+                         "'off' = static global windows; or an int)")
     ap.add_argument("--use-pallas", default="auto",
                     choices=["auto", "on", "off"],
                     help="fused Pallas splat/gather/INR kernels: 'auto' "

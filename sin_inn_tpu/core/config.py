@@ -243,10 +243,15 @@ class FlowConfig:
     # (per-tile dynamic DMA row offsets, ops/pallas/offsets.py), so this
     # bounds only the DEVIATION |flow_y - tile_mean_y| instead of
     # |flow_y| — the splat window shrinks 256 -> 192 rows and the gather
-    # windows 136 -> 80 at Sintel defaults. 'auto' = half the resolved
-    # global dy (64 -> 32), engaged only on the Pallas 2D-window path and
-    # only when strictly smaller than the global window; int pins;
-    # None/'off' disables (static windows). The global dy still caps the
+    # windows 136 -> 80 at Sintel defaults. 'auto' (default) = half the
+    # resolved global dy (64 -> 32), tightened/loosened by the train
+    # loop's GT-flow probe to 1.5x the measured per-tile DEVIATION when
+    # GT/pseudo-GT flow exists (same contract as the global-bound probe);
+    # engaged only on the Pallas 2D-window path and only when strictly
+    # smaller than the global window; int pins; None/'off' disables
+    # (static windows). Measured at Sintel size: 35.0 -> 44.1 f/s at
+    # local dy 32, 51.4 at a pinned 16; convergence identical
+    # (tools/validate.py flow --splat-local-dy). The global dy still caps the
     # offsets (and sizes the padding), so the local path reaches every tap
     # the static path could — and FARTHER (|flow_y| up to dy + local - 1
     # when the local deviation is small). The train loop monitors the
@@ -255,7 +260,7 @@ class FlowConfig:
     # starts divisible by the (8, 128) tiling, and 128-quantizing a column
     # offset costs a full lane tile of window width — more than any
     # x-locality win (the row offsets quantize to 8, costing <= 4 px).
-    splat_local_dy: "Optional[int] | str" = "off"
+    splat_local_dy: "Optional[int] | str" = "auto"
 
     # Runtime
     results_dir: str = "results"

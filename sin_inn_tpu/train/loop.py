@@ -414,10 +414,11 @@ def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
     axis (config.py contract), checked per axis."""
     was_auto_dy = cfg.splat_max_dy == "auto"
     was_auto_dx = cfg.splat_max_dx == "auto"
+    was_auto_ldy = cfg.splat_local_dy == "auto"
     cfg = cfg.resolve_splat_bounds(fh, fw)
-    if ((was_auto_dy or was_auto_dx)
-            and getattr(media, "gt_available", False)
-            and media.flow is not None
+    have_gt = (getattr(media, "gt_available", False)
+               and media.flow is not None)
+    if ((was_auto_dy or was_auto_dx) and have_gt
             and isinstance(cfg.splat_max_dy, int)):
         to16 = lambda v: max(16, int(-(-(1.5 * float(v)) // 16) * 16))
         probe_dx = to16(np.abs(media.flow[..., 0]).max())
@@ -428,6 +429,22 @@ def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
             splat_max_dx=(min(cfg.splat_max_dx, probe_dx)
                           if was_auto_dx and cfg.splat_max_dx is not None
                           else cfg.splat_max_dx))
+    # LOCAL-window bound: 'auto' resolves to half the global dy; with GT
+    # flow, re-derive it from the measured per-tile DEVIATION (the actual
+    # drop criterion — tile_flow_offsets' monitors, both tiling criteria),
+    # 1.5x rounded up to the sublane tiling, +3 px resample-normalization
+    # margin. A probe at/above the global dy disables local mode (the
+    # static window is already tighter).
+    if was_auto_ldy and cfg.splat_local_dy is not None and have_gt:
+        from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
+        from sin_inn_tpu.ops.pallas.splat import _B, _CB
+
+        dy = cfg.splat_max_dy
+        capy = -(-dy // 8) * 8
+        offs = tile_flow_offsets(jnp.asarray(media.flow), _B, _CB, capy, 0)
+        dev_y = float(jnp.maximum(offs.dev_src[1], offs.dev_out[1]))
+        ldy = max(8, int(-(-(1.5 * dev_y + 3.0) // 8) * 8))
+        cfg = cfg.replace(splat_local_dy=ldy if ldy < dy else None)
     return cfg
 
 

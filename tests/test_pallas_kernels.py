@@ -628,8 +628,47 @@ def test_local_config_resolution():
     # tiny frames: global windows off -> local off
     r2 = cfg.resolve_splat_bounds(64, 64)
     assert r2.splat_local_dy is None
-    # default stays off
-    assert FlowConfig().resolve_splat_bounds(436, 1024).splat_local_dy is None
+    # the default IS 'auto' (the fastest honest configuration ships on —
+    # same contract as the global bounds; the train-loop probe re-derives
+    # it from GT deviation when available)
+    assert FlowConfig().resolve_splat_bounds(436, 1024).splat_local_dy == 32
+    # explicit off stays off
+    off = FlowConfig(splat_local_dy="off").resolve_splat_bounds(436, 1024)
+    assert off.splat_local_dy is None
     # no shrink -> disabled
     r4 = FlowConfig(splat_local_dy=64).resolve_splat_bounds(436, 1024)
     assert r4.splat_local_dy is None
+
+
+def test_local_bound_gt_probe():
+    """The train-loop probe re-derives the 'auto' local bound from the
+    measured per-tile GT-flow deviation (1.5x + 3 px margin, sublane
+    multiples), and disables local mode when the probe reaches the
+    global window."""
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train.loop import _resolve_and_probe_splat_bounds
+
+    class _M:
+        gt_available = True
+
+    h, w = 436, 1024
+    m = _M()
+    # smooth ~20px pan: deviation from the tile means (incl. the <=4 px
+    # offset quantization) is a few px -> ldy probes well below auto's 32
+    m.flow = _smooth_large_flow(2, h, w)
+    cfg = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dy=64, splat_max_dx=128), m, h, w)
+    assert cfg.splat_local_dy in (8, 16)
+    # high-deviation flow (alternating bands) -> local mode disabled
+    m2 = _M()
+    band = (np.arange(h) // 8 % 2).astype(np.float32) * 80.0
+    m2.flow = np.zeros((2, h, w, 2), np.float32)
+    m2.flow[..., 1] = band[None, :, None]
+    cfg2 = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dy=64, splat_max_dx=128), m2, h, w)
+    assert cfg2.splat_local_dy is None
+    # an explicit int pins (probe only touches 'auto')
+    cfg3 = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dy=64, splat_max_dx=128,
+                   splat_local_dy=24), m, h, w)
+    assert cfg3.splat_local_dy == 24
