@@ -201,7 +201,7 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
                splat_max_dy=64, splat_chunk: int = 2, splat_max_dx=128,
                compute_dtype: str = "bfloat16", use_pallas: str = "auto",
-               splat_local_dy="auto"):
+               splat_local_dy="auto", splat_local_dx="off"):
     """Flow-pipeline train-step throughput (frames/sec) at Sintel-like size.
 
     Defaults to the tuned fast path (windowed splat + windowed metric warps
@@ -221,6 +221,7 @@ def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
                      splat_chunk=splat_chunk,
                      splat_max_dx=splat_max_dx if splat_max_dy else None,
                      splat_local_dy=splat_local_dy if splat_max_dy else None,
+                     splat_local_dx=splat_local_dx if splat_max_dy else None,
                      compute_dtype=compute_dtype, use_pallas=use_pallas)
     spec, state, consts, ctrl_cfg, tx = FT.create_flow_state(
         jax.random.key(0), cfg)

@@ -181,6 +181,13 @@ def _flow_parser(sub):
                          "DEVIATION |fy - mean| ('auto' = half the global "
                          "bound, probe-tightened when GT flow exists; "
                          "'off' = static global windows; or an int)")
+    ap.add_argument("--splat-local-dx", type=_splat_bound, default="auto",
+                    help="LOCAL-window COLUMN bound: windows also "
+                         "recenter horizontally on the 128-quantized "
+                         "tile-mean flow ('auto' = engaged by the GT "
+                         "probe only when it shrinks the window — pays "
+                         "for fast scenes with a wide global dx; 'off'; "
+                         "or an int, which needs --splat-local-dy)")
     ap.add_argument("--use-pallas", default="auto",
                     choices=["auto", "on", "off"],
                     help="fused Pallas splat/gather/INR kernels: 'auto' "
@@ -222,6 +229,7 @@ def flow_config_from_args(a) -> FlowConfig:
         splat_chunk=a.splat_chunk, splat_max_dx=a.splat_max_dx,
         splat_col_chunk=a.splat_col_chunk,
         splat_local_dy=a.splat_local_dy,
+        splat_local_dx=a.splat_local_dx,
         use_pallas=a.use_pallas,
         mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,

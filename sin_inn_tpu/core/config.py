@@ -261,6 +261,20 @@ class FlowConfig:
     # offset costs a full lane tile of window width — more than any
     # x-locality win (the row offsets quantize to 8, costing <= 4 px).
     splat_local_dy: "Optional[int] | str" = "auto"
+    # LOCAL-window COLUMN bound: with it set, the per-tile windows also
+    # recenter horizontally on the 128-quantized tile-mean flow (the lane
+    # tiling is the only dynamic DMA column start Mosaic accepts, so up
+    # to 64 px of quantization error eats this budget — x-local only pays
+    # for fast scenes whose global dx is >= 192, where the shrunken
+    # window still wins after the quantization tax). 'auto' (default)
+    # resolves to OFF and is engaged by the train loop's GT-flow probe
+    # (64 + 1.5x the measured fine per-tile deviation + 3 px margin,
+    # lane-granular) only when that shrinks the padded window; an int
+    # pins; requires the row-local path (splat_local_dy). This is what
+    # keeps fast-pan scenes at slow-scene speed: the probe WIDENS the
+    # global bounds for coverage and the local bounds keep the FLOPs at
+    # the deviation scale.
+    splat_local_dx: "Optional[int] | str" = "auto"
 
     # Runtime
     results_dir: str = "results"
@@ -296,7 +310,8 @@ class FlowConfig:
             raise ValueError(f"edge_func must be 'exp' or 'gauss', got {self.edge_func}")
         if self.occl not in ("brox", "wang", None):
             raise ValueError(f"occl must be 'brox'|'wang'|None, got {self.occl}")
-        for name in ("splat_max_dy", "splat_max_dx", "splat_local_dy"):
+        for name in ("splat_max_dy", "splat_max_dx", "splat_local_dy",
+                     "splat_local_dx"):
             v = getattr(self, name)
             if isinstance(v, str) and v not in ("auto", "off"):
                 raise ValueError(f"{name} must be an int, 'auto', 'off' or "
@@ -356,8 +371,21 @@ class FlowConfig:
             ldy = None
         if ldy is not None and (dy is None or dx is None or ldy >= dy):
             ldy = None
+
+        # the local COLUMN bound is probe-only on 'auto' (the 128-lane
+        # offset quantization eats 64 px of budget, so engaging it needs
+        # evidence the deviation is small — the GT probe in the train
+        # loop); a pinned int engages iff the row-local path is on and
+        # the padded window actually shrinks at lane granularity
+        ldx = self.splat_local_dx
+        if ldx == "auto" or self._bound_off(ldx):
+            ldx = None
+        if ldx is not None and (
+                ldy is None
+                or -(-(128 + 2 * ldx) // 128) >= -(-(128 + 2 * dx) // 128)):
+            ldx = None
         return self.replace(splat_max_dy=dy, splat_max_dx=dx,
-                            splat_local_dy=ldy)
+                            splat_local_dy=ldy, splat_local_dx=ldx)
 
     @property
     def effective_val_iter(self) -> int:

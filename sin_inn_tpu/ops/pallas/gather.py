@@ -92,27 +92,32 @@ def _gather_kernel(*refs, B, CB, SH, SW, KR, RC, dy, dx, C,
     i = pl.program_id(1)
     j = pl.program_id(2)
     if local:
-        # scalar-prefetched per-SOURCE-tile ROW offsets (multiples of 8 —
-        # see splat.py): the window of taps p = s + flow(s) recenters
-        # vertically on the tile's mean flow, so dy bounds only the
-        # deviation |flow_y - off_y|; x keeps the static global bound
+        # scalar-prefetched per-SOURCE-tile offsets (rows multiples of 8,
+        # cols multiples of 128 — see splat.py): the window of taps
+        # p = s + flow(s) recenters on the tile's mean flow, so dy/dx
+        # bound only the deviation |flow - off| (ox = 0 when capx == 0,
+        # the shipped row-only mode)
         oy = off_ref[n, i, j, 1].astype(jnp.int32)
         r0 = pl.multiple_of(i * B + capy + oy, 8)
+        ox = off_ref[n, i, j, 0].astype(jnp.int32)
+        c0 = pl.multiple_of(j * CB + capx + ox, 128)
     else:
         oy = 0
         r0 = i * B
+        ox = 0
+        c0 = j * CB + capx
 
     # ---- DMA the channel-planar source window into VMEM ----
-    # padded window start row: i*B + capy + oy (pad top = dy + capy); the
-    # static path has capy = oy = 0
+    # padded window start: (i*B + capy + oy, j*CB + capx + ox), pad
+    # (dy + capy, dx + capx); the static path has capy = capx = 0
     cp = pltpu.make_async_copy(
-        a_ref.at[n, :, pl.ds(r0, SH), pl.ds(j * CB + capx, SW)], a_s, sem)
+        a_ref.at[n, :, pl.ds(r0, SH), pl.ds(c0, SW)], a_s, sem)
     cp.start()
     cp.wait()
 
     # absolute coords of window cols / the tile's output cols
-    scol = (jax.lax.broadcasted_iota(jnp.int32, (SW, 1), 0)
-            + (j * CB - dx)).astype(jnp.float32)             # (SW, 1)
+    scol = ((jax.lax.broadcasted_iota(jnp.int32, (SW, 1), 0)
+             + (j * CB - dx)) + ox).astype(jnp.float32)      # (SW, 1)
     xs0 = (jax.lax.broadcasted_iota(jnp.int32, (1, CB), 1)
            + j * CB).astype(jnp.float32)                     # (1, CB)
     srow0 = jax.lax.broadcasted_iota(jnp.int32, (KR, 1), 0)  # (KR, 1)
@@ -265,9 +270,12 @@ def _gather_region_call_local(a, flow, payload, off_src, loc_dy: int,
     scalar-prefetched row offsets in multiples of 8), so ``loc_dy`` bounds
     the deviation |flow_y - off_y| instead of |flow_y|. The contraction
     FLOPs scale with KR = 2*loc_dy + RC — 136 -> 80 rows at Sintel
-    defaults (loc_dy 64 -> 32). The x axis keeps the static global bound
-    ``loc_dx`` (Mosaic DMA-start tiling — see splat.py); ``cap_y`` bounds
-    |off_y| and sizes the padding (y-reach extends to cap_y + loc_dy - 1).
+    defaults (loc_dy 64 -> 32). With ``cap_x`` > 0 the window also
+    recenters HORIZONTALLY on the 128-quantized mean (the lane-tiling DMA
+    quantization costs up to 64 px of x budget — engaged by the GT probe
+    only for fast scenes; cap_x = 0 keeps x on the static global bound
+    ``loc_dx``). The caps bound |off| and size the padding (reach extends
+    to cap + loc - 1 per axis).
 
     Note the resample coordinate quirk ((size-1)-normalized,
     align_corners=False) shifts taps by up to ~1.5 px relative to the raw
@@ -275,6 +283,7 @@ def _gather_region_call_local(a, flow, payload, off_src, loc_dy: int,
     inside the local bounds (the train-loop monitor warns at loc - 3).
     """
     assert cap_y % 8 == 0, "cap_y must be a multiple of the sublane tiling"
+    assert cap_x % 128 == 0, "cap_x must be a multiple of the lane tiling"
     n, h, w, c = a.shape
     (sxc, shxc), (syc, shyc) = coord
     B, CB, RC, dy, dx, hb, wb, sh, sw, kr = _pad_geometry(h, w, loc_dy,

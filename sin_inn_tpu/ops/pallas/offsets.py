@@ -72,7 +72,7 @@ def _tile_counts(dim: int, tile: int, nblk: int) -> jnp.ndarray:
 
 def tile_flow_offsets(flow: jnp.ndarray, tile_b: int, tile_cb: int,
                       cap_y: int, cap_x: int,
-                      quant_y: int = 8) -> TileOffsets:
+                      quant_y: int = 8, quant_x: int = 128) -> TileOffsets:
     """Compute per-tile window offsets + deviation monitors for ``flow``.
 
     flow: (N, H, W, 2) pixel displacements (dx, dy). tile_b/tile_cb: the
@@ -80,16 +80,18 @@ def tile_flow_offsets(flow: jnp.ndarray, tile_b: int, tile_cb: int,
     allowance — the resolved GLOBAL window bounds, so local windows can
     reach every tap the static kernels could, and farther when the local
     deviation is small). cap_x = 0 disables the x offsets entirely (the
-    shipped row-only mode: Mosaic requires HBM DMA starts divisible by the
-    (8, 128) tiling, and 128-quantizing a column offset would cost a full
-    lane tile of window width — more than any x-locality win).
+    row-only mode that ships unless the GT probe engages x).
 
     Row offsets are quantized to ``quant_y`` (the sublane tiling; the
-    kernels prove divisibility to Mosaic via ``pl.multiple_of``); the
-    quantization error (< quant_y/2) eats deviation budget, and the
-    returned deviations are measured against the QUANTIZED offsets
-    actually used, so the train-loop monitor stays honest.
+    kernels prove divisibility to Mosaic via ``pl.multiple_of``); column
+    offsets to ``quant_x`` = 128 (the LANE tiling — the only column
+    starts Mosaic accepts for HBM DMA, so up to quant_x/2 = 64 px of
+    quantization error eats the x deviation budget; x-local windows only
+    pay for fast scenes whose global dx is >= 192). The returned
+    deviations are measured against the QUANTIZED offsets actually used,
+    so the train-loop monitor stays honest.
     """
+    assert cap_x % quant_x == 0, "cap_x must be a multiple of the lane tiling"
     flow = jax.lax.stop_gradient(flow).astype(jnp.float32)
     n, h, w, _ = flow.shape
     hb = -(-h // tile_b)
@@ -101,9 +103,11 @@ def tile_flow_offsets(flow: jnp.ndarray, tile_b: int, tile_cb: int,
     cnt = (_tile_counts(h, tile_b, hb)[:, None]
            * _tile_counts(w, tile_cb, wb)[None, :])        # (hb, wb)
     def _round_clip(mean):
-        # y quantized to the sublane tiling, both axes clipped to the caps
+        # x quantized to the lane tiling, y to the sublane tiling, both
+        # axes clipped to the caps
         return jnp.stack([
-            jnp.clip(jnp.rint(mean[..., 0]), -float(cap_x), float(cap_x)),
+            jnp.clip(jnp.rint(mean[..., 0] / quant_x) * quant_x,
+                     -float(cap_x), float(cap_x)),
             jnp.clip(jnp.rint(mean[..., 1] / quant_y) * quant_y,
                      -float(cap_y), float(cap_y))], axis=-1)
 
@@ -164,3 +168,29 @@ def tile_flow_offsets(flow: jnp.ndarray, tile_b: int, tile_cb: int,
 
     return TileOffsets(off_src=off_src, off_out=off_out,
                        dev_src=dev_src, dev_out=dev_out)
+
+
+def tile_deviation_fine(flow: jnp.ndarray, tile_b: int,
+                        tile_cb: int) -> jnp.ndarray:
+    """Max per-axis |flow - per-tile FINE mean| (source-tile criterion, no
+    offset quantization): the GT probe's estimate of the per-tile
+    deviation training flows will show. The quantization error of the
+    offsets actually used (<= quant/2 per axis) is a separate, exact
+    budget the caller adds on top — unlike the deviation it does not
+    drift with training, so it must not ride the probe's safety factor.
+    Returns (2,) [dev_x, dev_y]."""
+    flow = jax.lax.stop_gradient(flow).astype(jnp.float32)
+    n, h, w, _ = flow.shape
+    hb = -(-h // tile_b)
+    wb = -(-w // tile_cb)
+    fp = jnp.pad(flow, ((0, 0), (0, hb * tile_b - h),
+                        (0, wb * tile_cb - w), (0, 0)))
+    blocks = fp.reshape(n, hb, tile_b, wb, tile_cb, 2)
+    cnt = (_tile_counts(h, tile_b, hb)[:, None]
+           * _tile_counts(w, tile_cb, wb)[None, :])
+    mean = blocks.sum(axis=(2, 4)) / cnt[None, :, :, None]
+    valid = jnp.zeros((hb * tile_b, wb * tile_cb), jnp.float32)
+    valid = valid.at[:h, :w].set(1.0)
+    dev = jnp.abs(blocks - mean[:, :, None, :, None, :])
+    dev = dev * valid.reshape(1, hb, tile_b, wb, tile_cb, 1)
+    return dev.max(axis=(0, 1, 2, 3, 4))

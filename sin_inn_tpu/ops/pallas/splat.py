@@ -57,14 +57,14 @@ _CB = 128    # output-tile cols (accumulator lane dim)
 def _region_kernel(*refs, H, W, B, CB, SH, SW, RC, dy, dx, C,
                    capy=0, capx=0, local=False):
     if local:
-        # scalar-prefetched per-tile ROW window offsets: the source window
-        # recenters vertically on the tile's mean flow, so dy is a LOCAL
-        # deviation half-width instead of a global flow bound. Offsets are
-        # multiples of 8 (the sublane tiling — Mosaic requires provably
-        # tiled DMA starts, hence pl.multiple_of; a column offset would
-        # need 128-lane quantization, which costs more window width than
-        # any x-locality saves, so off[..., 0] must be 0 and x keeps the
-        # static global bound).
+        # scalar-prefetched per-tile window offsets: the source window
+        # recenters on the tile's mean flow, so dy/dx are LOCAL deviation
+        # half-widths instead of global flow bounds. Offsets must be
+        # Mosaic-provable DMA starts (hence pl.multiple_of): rows quantize
+        # to 8 (sublane tiling, <= 4 px of budget), columns to 128 (LANE
+        # tiling, <= 64 px of budget — so x offsets only pay for fast
+        # scenes with global dx >= 192 and are 0 whenever capx == 0, the
+        # shipped row-only mode).
         off_ref, v_ref, fl_ref, out_ref, v_s, fl_s, acc_s, sem = refs
     else:
         v_ref, fl_ref, out_ref, v_s, fl_s, acc_s, sem = refs
@@ -74,14 +74,18 @@ def _region_kernel(*refs, H, W, B, CB, SH, SW, RC, dy, dx, C,
     if local:
         oy = off_ref[n, i, j, 1].astype(jnp.int32)
         r0 = pl.multiple_of(i * B + capy + oy, 8)
+        ox = off_ref[n, i, j, 0].astype(jnp.int32)
+        c0 = pl.multiple_of(j * CB + capx + ox, 128)
     else:
         oy = 0
         r0 = i * B
+        ox = 0
+        c0 = j * CB + capx
 
     # ---- DMA the channel-planar source window into VMEM ----
-    # padded window start row: i*B + capy + oy (top pad = dy + capy, so
-    # this is absolute row i*B - dy + oy); static path has capy = oy = 0
-    c0 = j * CB + capx
+    # padded window start: (i*B + capy + oy, j*CB + capx + ox), i.e.
+    # absolute (i*B - dy + oy, j*CB - dx + ox); static path has
+    # capy = capx = oy = ox = 0
     cp_v = pltpu.make_async_copy(
         v_ref.at[n, :, pl.ds(r0, SH), pl.ds(c0, SW)], v_s, sem.at[0])
     cp_f = pltpu.make_async_copy(
@@ -114,7 +118,7 @@ def _region_kernel(*refs, H, W, B, CB, SH, SW, RC, dy, dx, C,
             fx = fl_s[0, pl.ds(row, 1), :]
             y_abs = (i * B - dy + row + oy).astype(jnp.float32)
             ty = y_abs + fy
-            tx = (xs0 + j * CB - dx).astype(jnp.float32) + fx
+            tx = (xs0 + j * CB - dx + ox).astype(jnp.float32) + fx
             w1 = jnp.maximum(1.0 - jnp.abs(ty - krow), 0.0) * row_ok
             cx = jnp.maximum(1.0 - jnp.abs(tx - kcol), 0.0) * col_ok
             vw1 = jnp.concatenate(
@@ -210,18 +214,22 @@ def _splat_region_call_local(values: jnp.ndarray, flow: jnp.ndarray,
     the backward's gather windows shrink 136 -> 80 rows). ``cap_y`` bounds
     |off_y| (it sizes the padding; the resolved global bound, so the
     y-reach EXTENDS to cap_y + loc_dy - 1, beyond the static kernel's).
-    Offsets are multiples of 8 — the sublane tiling Mosaic can prove for
-    dynamic DMA starts. The x axis keeps the static global bound
-    ``loc_dx`` (= splat_max_dx): column offsets would need 128-lane
-    quantization, costing a full lane tile of window width — more than
-    any x-locality win. ``off_out[..., 0]`` must be 0 (cap_x = 0 in the
-    offsets helper).
+    Offsets are multiples of the tilings Mosaic can prove for dynamic DMA
+    starts: rows 8 (sublane), columns 128 (lane). With ``cap_x`` = 0 (the
+    default) x offsets are disabled and ``loc_dx`` is the static global
+    bound; with ``cap_x`` > 0 the window also recenters HORIZONTALLY on
+    the 128-quantized mean (up to 64 px of quantization eats the x
+    budget, so the GT probe only engages x-local when the global dx is
+    large enough that the shrunken window still wins — fast-pan scenes).
 
     Drop contract: a tap is produced iff its source pixel lies in the
     target tile's shifted window — guaranteed when
-    |flow_y - off_y(target tile)| <= loc_dy - 1 and |flow_x| <= loc_dx - 1.
+    |flow_y - off_y(target tile)| <= loc_dy - 1 and
+    |flow_x - off_x(target tile)| <= loc_dx - 1 (off_x = 0 when x-local
+    is off).
     """
     assert cap_y % 8 == 0, "cap_y must be a multiple of the sublane tiling"
+    assert cap_x % 128 == 0, "cap_x must be a multiple of the lane tiling"
     n, h, w, c = values.shape
     out_dtype = values.dtype
     values = values.astype(jnp.float32)

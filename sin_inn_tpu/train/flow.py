@@ -166,15 +166,23 @@ def _splat_ops(cfg: FlowConfig):
             and cfg.splat_local_dy):
         from sin_inn_tpu.ops.pallas.gather import resample2d_region_local
         ldy = cfg.splat_local_dy
-        ldx = cfg.splat_max_dx          # x keeps the static global bound
         capy = -(-cfg.splat_max_dy // 8) * 8   # sublane-tiled offset cap
+        if cfg.splat_local_dx:
+            # x-local (GT-probe-engaged): columns recenter on the
+            # 128-quantized tile means; the cap is the lane-rounded
+            # global bound
+            ldx = cfg.splat_local_dx
+            capx = -(-cfg.splat_max_dx // 128) * 128
+        else:
+            ldx = cfg.splat_max_dx      # x keeps the static global bound
+            capx = 0
         warp = lambda im, fl, offs: resample2d_region_local(
-            ldy, ldx, capy, 0, interp, im, fl, offs.off_src)
+            ldy, ldx, capy, capx, interp, im, fl, offs.off_src)
         splat_cov = lambda f, fl, m, offs: (
             softsplat_region_local_with_coverage(
-                f, fl, m, ldy, ldx, capy, 0, offs.off_out, offs.off_src,
+                f, fl, m, ldy, ldx, capy, capx, offs.off_out, offs.off_src,
                 interpret=interp))
-        return warp, splat_cov, (ldy, ldx, capy, 0)
+        return warp, splat_cov, (ldy, ldx, capy, capx)
     if cfg.splat_max_dy and cfg.splat_max_dx and use_pal:
         # fused Pallas windowed gather (fwd + analytic flow-grad in one
         # grads-mode kernel call; image-grad adjoint DCEs — gather.py)
@@ -221,7 +229,7 @@ def photometric_flow_loss(cfg: FlowConfig, frame1: jnp.ndarray,
     b, h, w, _ = frame1.shape
     if any(isinstance(getattr(cfg, f), str) for f in
            ("splat_max_dy", "splat_max_dx",
-            "splat_local_dy")):
+            "splat_local_dy", "splat_local_dx")):
         # 'auto' bounds not yet materialized by the driver: resolve here —
         # h/w are static under jit, so this costs nothing
         cfg = cfg.resolve_splat_bounds(h, w)
@@ -410,7 +418,7 @@ def make_frame_interp(spec: INRSpec, cfg: FlowConfig, ctrl_cfg):
         cfg_l = cfg
         if any(isinstance(getattr(cfg_l, f), str) for f in
                ("splat_max_dy", "splat_max_dx",
-                "splat_local_dy")):
+                "splat_local_dy", "splat_local_dx")):
             cfg_l = cfg_l.resolve_splat_bounds(h, w)
         warp, splat_cov, local = _splat_ops(cfg_l)
         f12, f21, _ = flow_forward(spec, params, consts, ctrl_cfg,

@@ -406,15 +406,33 @@ def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
                                     fh: int, fw: int) -> FlowConfig:
     """Materialize 'auto' splat-window bounds for the loaded frame size
     (the tuned windowed path is the default — VERDICT r2 weak #1), then,
-    when GT/pseudo-GT flow exists, probe its magnitude and tighten to 1.5x
-    the observed max rounded up to 16 — smaller windows shrink the dense
-    splat/warp contractions quadratically; the per-save-cadence monitor
-    warns loudly if training flow ever outgrows them. The probe only
-    tightens bounds the user left on 'auto': an explicit int pins that
-    axis (config.py contract), checked per axis."""
+    when GT/pseudo-GT flow exists, probe its magnitude and re-derive every
+    bound left on 'auto' (an explicit int pins that axis, config.py
+    contract):
+
+      * GLOBAL bounds move to 1.5x the observed max |flow| rounded to 16 —
+        TIGHTENED for slow scenes (smaller windows shrink the dense
+        contractions quadratically) and WIDENED for fast ones (coverage
+        first: a probe that says flows will outgrow the size-scaled
+        default must widen it, not warn after the fact). A probe at or
+        beyond half the frame disables windowing entirely (the window
+        would cover most of the image — exact scatter is the honest
+        fallback, loudly logged).
+      * LOCAL bounds move to the measured per-tile DEVIATION — the actual
+        drop criterion — so fast-but-coherent scenes keep slow-scene
+        FLOPs: the widened global bound is only padding (the offset cap)
+        on the local path. Row bound: 1.5x the quantized-offset deviation
+        + 3 px resample-normalization margin, sublane-rounded. Column
+        bound (probe-only — never engaged without GT evidence): 64 px of
+        lane-tiling quantization + 1.5x the FINE deviation + 3 px,
+        engaged only when the padded window shrinks at lane granularity.
+
+    The per-save-cadence monitor still warns loudly if training flow ever
+    outgrows the chosen windows."""
     was_auto_dy = cfg.splat_max_dy == "auto"
     was_auto_dx = cfg.splat_max_dx == "auto"
     was_auto_ldy = cfg.splat_local_dy == "auto"
+    was_auto_ldx = cfg.splat_local_dx == "auto"
     cfg = cfg.resolve_splat_bounds(fh, fw)
     have_gt = (getattr(media, "gt_available", False)
                and media.flow is not None)
@@ -423,18 +441,22 @@ def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
         to16 = lambda v: max(16, int(-(-(1.5 * float(v)) // 16) * 16))
         probe_dx = to16(np.abs(media.flow[..., 0]).max())
         probe_dy = to16(np.abs(media.flow[..., 1]).max())
-        cfg = cfg.replace(
-            splat_max_dy=(min(cfg.splat_max_dy, probe_dy)
-                          if was_auto_dy else cfg.splat_max_dy),
-            splat_max_dx=(min(cfg.splat_max_dx, probe_dx)
-                          if was_auto_dx and cfg.splat_max_dx is not None
-                          else cfg.splat_max_dx))
-    # LOCAL-window bound: 'auto' resolves to half the global dy; with GT
-    # flow, re-derive it from the measured per-tile DEVIATION (the actual
-    # drop criterion — tile_flow_offsets' monitors, both tiling criteria),
-    # 1.5x rounded up to the sublane tiling, +3 px resample-normalization
-    # margin. A probe at/above the global dy disables local mode (the
-    # static window is already tighter).
+        dy = probe_dy if was_auto_dy else cfg.splat_max_dy
+        dx = (probe_dx if was_auto_dx and cfg.splat_max_dx is not None
+              else cfg.splat_max_dx)
+        if (was_auto_dy and dy >= fh // 2) or (was_auto_dx and dx is not None
+                                               and dx >= fw // 2):
+            logging.getLogger(__name__).warning(
+                "GT flow probe (|dy| window %s, |dx| window %s) reaches "
+                "half the %dx%d frame — windowing buys nothing; falling "
+                "back to the exact scatter splat/warp.", dy, dx, fh, fw)
+            dy = dx = None
+        cfg = cfg.replace(splat_max_dy=dy, splat_max_dx=dx)
+        # re-run the dependent local-bound resolution against the probed
+        # globals (ldy 'auto' was resolved from the pre-probe dy)
+        if was_auto_ldy:
+            cfg = cfg.replace(splat_local_dy="auto")
+            cfg = cfg.resolve_splat_bounds(fh, fw)
     if was_auto_ldy and cfg.splat_local_dy is not None and have_gt:
         from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
         from sin_inn_tpu.ops.pallas.splat import _B, _CB
@@ -445,6 +467,20 @@ def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
         dev_y = float(jnp.maximum(offs.dev_src[1], offs.dev_out[1]))
         ldy = max(8, int(-(-(1.5 * dev_y + 3.0) // 8) * 8))
         cfg = cfg.replace(splat_local_dy=ldy if ldy < dy else None)
+    if (was_auto_ldx and have_gt
+            and isinstance(cfg.splat_local_dy, int)
+            and isinstance(cfg.splat_max_dx, int)):
+        from sin_inn_tpu.ops.pallas.offsets import tile_deviation_fine
+        from sin_inn_tpu.ops.pallas.splat import _B, _CB
+
+        dx = cfg.splat_max_dx
+        dev_x = float(tile_deviation_fine(jnp.asarray(media.flow),
+                                          _B, _CB)[0])
+        # 64 = the exact (non-drifting) lane-quantization budget; the 1.5x
+        # safety factor applies only to the training-drift-prone deviation
+        ldx = 64 + max(0, int(-(-(1.5 * dev_x + 3.0) // 64) * 64))
+        if -(-(128 + 2 * ldx) // 128) < -(-(128 + 2 * dx) // 128):
+            cfg = cfg.replace(splat_local_dx=ldx)
     return cfg
 
 
@@ -574,21 +610,26 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                 # from the per-tile mean flow, not the magnitude
                 if "flow_dev_y" in m:
                     dvy, dvx = float(m["flow_dev_y"]), float(m["flow_dev_x"])
-                    ldy, ldx = cfg.splat_local_dy, cfg.splat_max_dx
+                    ldy = cfg.splat_local_dy
+                    # x bound: the local column bound when the probe
+                    # engaged it (dev_x is then the deviation from the
+                    # 128-quantized tile means), else the static global
+                    # dx (dev_x is the plain magnitude)
+                    ldx = cfg.splat_local_dx or cfg.splat_max_dx
                     # resample coordinate normalization shifts taps by up
                     # to ~1.5 px relative to the raw flow — warn with a
-                    # 3 px margin (x offsets are disabled, so dev_x is the
-                    # plain magnitude against the static global dx)
+                    # 3 px margin
                     if dvy > ldy - 3 or dvx > ldx - 3:
                         window_warned = True
                         import logging
                         logging.getLogger(__name__).warning(
-                            "flow deviation from the tile row means "
-                            "(dy %.1f px; |dx| %.1f px) approaches the "
-                            "LOCAL window bounds (local dy=%s, dx=%s) at "
+                            "flow deviation from the tile means "
+                            "(dy %.1f px; dx %.1f px) approaches the "
+                            "LOCAL window bounds (local dy=%s, x=%s) at "
                             "epoch %d — out-of-window taps are DROPPED. "
-                            "Raise --splat-local-dy (or pass 'off' for "
-                            "the global windows) / --splat-max-dx.",
+                            "Raise --splat-local-dy/--splat-local-dx (or "
+                            "pass 'off' for the global windows) / "
+                            "--splat-max-dx.",
                             dvy, dvx, ldy, ldx, epoch + 1)
                 elif fy > dy - 1 or (dx is not None and fx > dx - 1):
                     window_warned = True

@@ -672,3 +672,139 @@ def test_local_bound_gt_probe():
         FlowConfig(splat_max_dy=64, splat_max_dx=128,
                    splat_local_dy=24), m, h, w)
     assert cfg3.splat_local_dy == 24
+
+
+# ---------------------------------------------------------------------------
+# X-LOCAL windows: 128-lane-quantized column offsets (fast-pan scenes)
+# ---------------------------------------------------------------------------
+
+def _fast_pan_flow(n, h, w):
+    """~135px horizontal pan + ~20px vertical drift, smooth: far beyond
+    any same-cost static window, tiny per-tile deviation."""
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base_x = 134.0371 + 4.0 * xx / w
+    base_y = -19.0371 + 3.0 * yy / h
+    dev = 0.61234 * np.stack([np.cos(xx / 23.0 + yy / 17.0),
+                              np.sin(xx / 13.0 - yy / 19.0)], axis=-1)
+    flow = np.stack([base_x, base_y], axis=-1)[None] + dev[None]
+    return np.repeat(flow, n, axis=0).astype(np.float32)
+
+
+# x offsets absorb the ~135px pan (quantized to 128, residual ~7px eats
+# the 64px budget); y offsets absorb the ~20px drift as before
+_XLDY, _XLDX, _XCAPY, _XCAPX = 8, 64, 24, 256
+
+
+def _xlocal_setup(rng, n=2, h=136, w=288, c=2):
+    from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
+
+    fl = jnp.asarray(_fast_pan_flow(n, h, w))
+    v = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    offs = tile_flow_offsets(fl, 128, 128, _XCAPY, _XCAPX)
+    return v, fl, offs
+
+
+def test_tile_flow_offsets_x_quantization(rng):
+    """x offsets quantize to the lane tiling and the deviations are
+    measured against the quantized offsets actually used."""
+    from sin_inn_tpu.ops.pallas.offsets import (tile_deviation_fine,
+                                                tile_flow_offsets)
+
+    _, fl, offs = _xlocal_setup(rng)
+    ox = np.asarray(offs.off_src[..., 0])
+    assert (ox % 128 == 0).all() and (np.abs(ox) <= _XCAPX).all()
+    assert ox.max() == 128.0  # the ~135px pan rounds to one lane tile
+    # deviation vs the quantized offset: pan residual ~7-11px, not ~135
+    assert 4.0 < float(offs.dev_src[0]) < 16.0
+    assert float(offs.dev_out[0]) < 20.0
+    # fine deviation (probe input) excludes the quantization part
+    fine = tile_deviation_fine(fl, 128, 128)
+    assert float(fine[0]) < 4.0 and float(fine[1]) < 4.0
+
+
+def test_splat_region_xlocal_matches_exact_scatter(rng):
+    from sin_inn_tpu.ops.splat import splat_scatter
+    from sin_inn_tpu.ops.pallas.splat import _splat_region_call_local
+
+    v, fl, offs = _xlocal_setup(rng)
+    ref = splat_scatter(v, fl)
+    got = _splat_region_call_local(v, fl, offs.off_out, _XLDY, _XLDX,
+                                   _XCAPY, _XCAPX, INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_xlocal_full_pipeline_gradients_match_exact(rng):
+    """splat fwd+bwd and resample fwd+bwd on the x+y-local kernels match
+    the exact ops for a ~135px pan no same-cost static window reaches."""
+    from sin_inn_tpu.ops.splat import splat_scatter
+    from sin_inn_tpu.ops.warp import resample2d
+    from sin_inn_tpu.ops.pallas.splat import splat_region_local
+    from sin_inn_tpu.ops.pallas.gather import (resample2d_region,
+                                               resample2d_region_local)
+
+    v, fl, offs = _xlocal_setup(rng)
+    l_ref = lambda v_, f_: jnp.sum(jnp.sin(splat_scatter(v_, f_) * 3))
+    l_loc = lambda v_, f_: jnp.sum(jnp.sin(splat_region_local(
+        _XLDY, _XLDX, _XCAPY, _XCAPX, INTERPRET, v_, f_,
+        offs.off_out, offs.off_src) * 3))
+    gr = jax.grad(l_ref, (0, 1))(v, fl)
+    gl = jax.grad(l_loc, (0, 1))(v, fl)
+    for a, b in zip(gr, gl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+    got = resample2d_region_local(_XLDY, _XLDX, _XCAPY, _XCAPX, INTERPRET,
+                                  v, fl, offs.off_src)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(resample2d(v, fl)), atol=2e-4)
+    # gradients vs the STATIC region kernel at bounds wide enough to
+    # cover the pan (same coverage, no local offsets)
+    r_sta = lambda i_, f_: jnp.sum(jnp.cos(resample2d_region(
+        32, 192, INTERPRET, i_, f_) * 2))
+    r_loc = lambda i_, f_: jnp.sum(jnp.cos(resample2d_region_local(
+        _XLDY, _XLDX, _XCAPY, _XCAPX, INTERPRET, i_, f_, offs.off_src) * 2))
+    gr2 = jax.grad(r_sta, (0, 1))(v, fl)
+    gl2 = jax.grad(r_loc, (0, 1))(v, fl)
+    for a, b in zip(gr2, gl2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_xlocal_config_resolution_and_probe():
+    """'auto' local dx resolves OFF (probe-only); a pinned int engages
+    only with the row-local path and a lane-granular window shrink. The
+    GT probe widens fast-pan global bounds for coverage and engages the
+    local bounds to keep deviation-scale FLOPs."""
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.train.loop import _resolve_and_probe_splat_bounds
+
+    r = FlowConfig().resolve_splat_bounds(436, 1024)
+    assert r.splat_local_dx is None
+    # pinned: needs a shrink at lane granularity (dx=128: 64 shrinks
+    # 384->256 lanes, 96 does not)
+    r2 = FlowConfig(splat_local_dx=64).resolve_splat_bounds(436, 1024)
+    assert r2.splat_local_dx == 64
+    r3 = FlowConfig(splat_local_dx=96).resolve_splat_bounds(436, 1024)
+    assert r3.splat_local_dx is None
+    r4 = FlowConfig(splat_local_dy="off",
+                    splat_local_dx=64).resolve_splat_bounds(436, 1024)
+    assert r4.splat_local_dx is None  # requires the row-local path
+
+    class _M:
+        gt_available = True
+
+    h, w = 436, 1024
+    m = _M()
+    m.flow = _fast_pan_flow(2, h, w)
+    cfg = _resolve_and_probe_splat_bounds(FlowConfig(), m, h, w)
+    # coverage: the probe WIDENS the size-scaled dx (128) past the pan
+    # (and tightens dy to the probed drift)
+    assert cfg.splat_max_dx >= 208 and cfg.splat_max_dy == 32
+    # speed: both local bounds engage at deviation scale
+    assert cfg.splat_local_dy in (8, 16)
+    assert cfg.splat_local_dx == 128  # 64 quant + 64 (1.5*dev+3 rounded)
+    # a probe at half the frame disables windowing entirely (exact ops)
+    m2 = _M()
+    m2.flow = np.zeros((2, h, w, 2), np.float32)
+    m2.flow[..., 1] = 300.0
+    cfg2 = _resolve_and_probe_splat_bounds(FlowConfig(), m2, h, w)
+    assert cfg2.splat_max_dy is None and cfg2.splat_max_dx is None
+    assert cfg2.splat_local_dy is None and cfg2.splat_local_dx is None
