@@ -188,6 +188,13 @@ def _flow_parser(sub):
                          "probe only when it shrinks the window — pays "
                          "for fast scenes with a wide global dx; 'off'; "
                          "or an int, which needs --splat-local-dy)")
+    ap.add_argument("--window-refit", default="auto",
+                    choices=["auto", "off"],
+                    help="mid-training refit of 'auto' splat-window bounds "
+                         "from the measured flow stats at save cadence: "
+                         "widen when flow nears the window (coverage), "
+                         "tighten once it stabilizes (speed); 'off' = "
+                         "static bounds + warnings")
     ap.add_argument("--use-pallas", default="auto",
                     choices=["auto", "on", "off"],
                     help="fused Pallas splat/gather/INR kernels: 'auto' "
@@ -230,6 +237,7 @@ def flow_config_from_args(a) -> FlowConfig:
         splat_col_chunk=a.splat_col_chunk,
         splat_local_dy=a.splat_local_dy,
         splat_local_dx=a.splat_local_dx,
+        window_refit=a.window_refit,
         use_pallas=a.use_pallas,
         mesh_data=a.mesh_data,
         distributed=a.distributed, flow_dir=a.flow_dir,

@@ -275,6 +275,21 @@ class FlowConfig:
     # global bounds for coverage and the local bounds keep the FLOPs at
     # the deviation scale.
     splat_local_dx: "Optional[int] | str" = "auto"
+    # Mid-training window-bound REFIT: at each save cadence the train loop
+    # re-derives every bound the user left on 'auto' from the monitor's
+    # measured flow stats (running max of |flow| and of the per-tile
+    # deviation — the actual drop criteria) and rebuilds the jitted step
+    # when they change: bounds WIDEN as soon as flow approaches the window
+    # (coverage first — the monitor's warning becomes an action; past half
+    # the frame the loop falls back to the exact scatter), and TIGHTEN once
+    # flows stabilize (after epochs/5, against the historical max so a
+    # bound never re-tightens below flow levels already observed — no
+    # oscillation). This gives no-GT runs the same deviation-scale windows
+    # the GT probe derives up front (44 -> ~51 f/s at Sintel defaults once
+    # training flow settles). 'auto' = on whenever any bound is 'auto';
+    # 'off' disables (static bounds + warnings, the pre-refit behavior).
+    # bench.py never uses the train loop, so benchmarks are unaffected.
+    window_refit: str = "auto"
 
     # Runtime
     results_dir: str = "results"
@@ -316,6 +331,9 @@ class FlowConfig:
             if isinstance(v, str) and v not in ("auto", "off"):
                 raise ValueError(f"{name} must be an int, 'auto', 'off' or "
                                  f"None, got {v!r}")
+        if self.window_refit not in ("auto", "off"):
+            raise ValueError(f"window_refit must be 'auto' or 'off', got "
+                             f"{self.window_refit!r}")
         if (self._bound_off(self.splat_max_dy)
                 and isinstance(self.splat_max_dx, int)
                 and self.splat_max_dx > 0):

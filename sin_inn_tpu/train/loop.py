@@ -484,6 +484,91 @@ def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
     return cfg
 
 
+def _refit_window_bounds(cfg: FlowConfig, auto: Dict, fh: int, fw: int,
+                         since: Dict, hist: Dict,
+                         allow_tighten: bool) -> "Optional[FlowConfig]":
+    """Mid-training window-bound refit from the monitor's measured flow
+    stats (the actual drop criteria). Returns the refitted config, or None
+    when nothing should change.
+
+    ``auto`` marks which bounds the user left on 'auto' — only those may
+    move (same per-axis pinning contract as the GT probe). ``since`` /
+    ``hist`` are running maxima of the monitor stats {fy, fx: max |flow|;
+    dvy, dvx: max per-tile deviation vs the offsets in use, present only
+    in local mode} since the last refit / since training start. Rules
+    mirror the GT probe's formulas (1.5x margins, same quantizations):
+
+      * WIDEN an axis as soon as its stat crosses the warn threshold
+        (bound - 1 px magnitude / bound - 3 px deviation) — coverage
+        first: out-of-window taps are DROPPED, so the monitor's warning
+        becomes an action. A widened global bound at/past half the frame
+        drops to the exact scatter (windowing buys nothing there).
+      * TIGHTEN only when ``allow_tighten`` (the driver enables it after
+        epochs/5, once training flow has stabilized) and only against
+        ``hist`` — the historical max is monotone, so a bound never
+        re-tightens below flow levels already observed: no
+        widen/tighten oscillation. Tightening requires at least one
+        quantization quantum of slack (16 px global, 8 sublane-local,
+        64 lane-local) so refits don't churn recompiles.
+
+    The local column bound can move but never ENGAGE here: in row-only
+    mode the monitor's dev_x is the plain |flow_x| magnitude, not the
+    fine per-tile deviation the engagement formula needs (that stays the
+    GT probe's job, loop.py `_resolve_and_probe_splat_bounds`)."""
+    dy, dx = cfg.splat_max_dy, cfg.splat_max_dx
+    if not dy:
+        return None          # exact ops: no windows (and no monitor stats)
+    ldy, ldx = cfg.splat_local_dy, cfg.splat_local_dx
+    to16 = lambda v: max(16, int(-(-(1.5 * v) // 16) * 16))
+    to8p = lambda v: max(8, int(-(-(1.5 * v + 3.0) // 8) * 8))
+    to64p = lambda v: max(128, int(-(-(1.5 * v + 3.0) // 64) * 64))
+    new: Dict = {}
+    if auto["dy"]:
+        if since["fy"] > dy - 1:
+            new["splat_max_dy"] = max(to16(since["fy"]), dy + 16)
+        elif allow_tighten and to16(hist["fy"]) <= dy - 16:
+            new["splat_max_dy"] = to16(hist["fy"])
+    if auto["dx"] and dx is not None:
+        if since["fx"] > dx - 1:
+            new["splat_max_dx"] = max(to16(since["fx"]), dx + 16)
+        elif allow_tighten and to16(hist["fx"]) <= dx - 16:
+            new["splat_max_dx"] = to16(hist["fx"])
+    ndy = new.get("splat_max_dy", dy)
+    ndx = new.get("splat_max_dx", dx)
+    if (auto["dy"] and ndy >= fh // 2) or (
+            auto["dx"] and ndx is not None and ndx >= fw // 2):
+        # same exact-scatter fallback as the GT probe past half the frame
+        return cfg.replace(splat_max_dy=None, splat_max_dx=None,
+                           splat_local_dy=None, splat_local_dx=None)
+    if ldy is not None:
+        if auto["ldy"] and since.get("dvy") is not None:
+            if since["dvy"] > ldy - 3:
+                new["splat_local_dy"] = max(to8p(since["dvy"]), ldy + 8)
+            elif allow_tighten and to8p(hist["dvy"]) <= ldy - 8:
+                new["splat_local_dy"] = to8p(hist["dvy"])
+        nldy = new.get("splat_local_dy", ldy)
+        if nldy is not None and nldy >= ndy:
+            # the static window is already tighter (possibly because the
+            # global dy just tightened): drop local mode — the same
+            # normalization resolve_splat_bounds applies
+            new["splat_local_dy"] = None
+            new["splat_local_dx"] = None
+        elif (ldx is not None and auto["ldx"] and ndx is not None
+              and since.get("dvx") is not None):
+            if since["dvx"] > ldx - 3:
+                new["splat_local_dx"] = max(to64p(since["dvx"]), ldx + 64)
+            elif allow_tighten and to64p(hist["dvx"]) <= ldx - 64:
+                new["splat_local_dx"] = to64p(hist["dvx"])
+            nldx = new.get("splat_local_dx", ldx)
+            if (nldx is not None and -(-(128 + 2 * nldx) // 128)
+                    >= -(-(128 + 2 * ndx) // 128)):
+                # no lane-granular window shrink left vs the global dx
+                new["splat_local_dx"] = None
+    if not new or all(getattr(cfg, k) == v for k, v in new.items()):
+        return None
+    return cfg.replace(**new)
+
+
 def _maybe_pseudo_gt(cfg: FlowConfig, media, scene: str):
     """Attach producer-generated pseudo-GT flow when the media has no GT —
     the reference's pre-train RAFT pass (video-interpolation/data.py:32-62)
@@ -527,7 +612,15 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     media = _maybe_pseudo_gt(cfg, media, scene)
     val_media = media if same else _maybe_pseudo_gt(cfg, val_media, scene)
     fh, fw = media.video.shape[1:3]
+    # which bounds the user left on 'auto' — only those may move, both in
+    # the GT probe below and in the mid-training refit (per-axis pinning)
+    auto_bounds = {"dy": cfg.splat_max_dy == "auto",
+                   "dx": cfg.splat_max_dx == "auto",
+                   "ldy": cfg.splat_local_dy == "auto",
+                   "ldx": cfg.splat_local_dx == "auto"}
     cfg = _resolve_and_probe_splat_bounds(cfg, media, fh, fw)
+    refit_on = (cfg.window_refit != "off" and any(auto_bounds.values())
+                and bool(cfg.splat_max_dy))
     key = R.root_key(cfg.random_seed)
     spec, state, consts, ctrl_cfg, tx, store, start_epoch = \
         _flow_create_and_restore(cfg, R.named_fold(key, "init"), scene)
@@ -574,6 +667,14 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     # SIGTERM/SIGINT -> finish the epoch, checkpoint, return (preemption)
     stop = GracefulStop().install()
     window_warned = False
+    # window-refit monitor accumulator: running max of the stats vector
+    # [fy, fx(, dvy, dvx)] sampled from the LAST batch of every epoch (the
+    # epoch order is reshuffled, so this covers all batches over a save
+    # cadence with zero extra device syncs — one tiny maximum per epoch).
+    # `mon_hist` keeps the all-time max as host floats across refits (the
+    # device vector's length changes when a refit switches window modes).
+    mon_since = None
+    mon_hist: Dict = {}
     for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(cached))
         for bi in order:
@@ -581,6 +682,13 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
             state, m = step(state, consts, batch)
             tracer.tick(m["loss"])
             frames_done += int(batch["frame1"].shape[0])
+        if refit_on and "flow_max_y" in m:
+            vec = [m["flow_max_y"], m["flow_max_x"]]
+            if "flow_dev_y" in m:
+                vec += [m["flow_dev_y"], m["flow_dev_x"]]
+            vec = jnp.stack(vec)
+            mon_since = (vec if mon_since is None
+                         else jnp.maximum(mon_since, vec))
         if (epoch + 1) % cfg.effective_val_iter == 0 or epoch == cfg.epochs - 1:
             last = {k: float(v) for k, v in m.items()}
             last["frames_per_sec"] = frames_done / max(time.time() - t0, 1e-9)
@@ -600,15 +708,45 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
         saved = (epoch + 1) % save_every == 0 or epoch == cfg.epochs - 1
         if saved:
             store.save(epoch + 1, {"state": state, "consts": consts})
-            if "flow_max_y" in m and not window_warned:
+            if refit_on and mon_since is not None:
+                s = [float(v) for v in np.asarray(mon_since)]
+                since = {"fy": s[0], "fx": s[1],
+                         "dvy": s[2] if len(s) > 2 else None,
+                         "dvx": s[3] if len(s) > 3 else None}
+                mon_since = None
+                for k, v in since.items():
+                    if v is not None:
+                        mon_hist[k] = max(mon_hist.get(k, 0.0), v)
+                new_cfg = _refit_window_bounds(
+                    cfg, auto_bounds, fh, fw, since, mon_hist,
+                    allow_tighten=(epoch + 1) >= max(cfg.epochs // 5, 2))
+                if new_cfg is not None:
+                    logging.getLogger(__name__).warning(
+                        "window refit at epoch %d (measured max |fy| %.1f "
+                        "|fx| %.1f dev_y %s dev_x %s): dy %s->%s dx %s->%s "
+                        "local dy %s->%s dx %s->%s — rebuilding the train "
+                        "step (one recompile).", epoch + 1,
+                        since["fy"], since["fx"], since["dvy"], since["dvx"],
+                        cfg.splat_max_dy, new_cfg.splat_max_dy,
+                        cfg.splat_max_dx, new_cfg.splat_max_dx,
+                        cfg.splat_local_dy, new_cfg.splat_local_dy,
+                        cfg.splat_local_dx, new_cfg.splat_local_dx)
+                    cfg = new_cfg
+                    step = FT.make_flow_train_step(spec, cfg, ctrl_cfg, tx)
+                    window_warned = False
+                    refit_on = (cfg.window_refit != "off"
+                                and bool(cfg.splat_max_dy))
+            if cfg.splat_max_dy and "flow_max_y" in m and not window_warned:
                 # loud out-of-window fallback guidance: windowed ops DROP
                 # taps beyond the bound, so a flow that outgrew the window
                 # silently degrades training — tell the user how to fix it
                 fy, fx = float(m["flow_max_y"]), float(m["flow_max_x"])
                 dy, dx = cfg.splat_max_dy, cfg.splat_max_dx
                 # in LOCAL-window mode the drop criterion is the deviation
-                # from the per-tile mean flow, not the magnitude
-                if "flow_dev_y" in m:
+                # from the per-tile mean flow, not the magnitude (the
+                # cfg.splat_local_dy guard covers one stale-metrics save
+                # right after a refit dropped local mode)
+                if "flow_dev_y" in m and cfg.splat_local_dy:
                     dvy, dvx = float(m["flow_dev_y"]), float(m["flow_dev_x"])
                     ldy = cfg.splat_local_dy
                     # x bound: the local column bound when the probe
@@ -621,7 +759,6 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                     # 3 px margin
                     if dvy > ldy - 3 or dvx > ldx - 3:
                         window_warned = True
-                        import logging
                         logging.getLogger(__name__).warning(
                             "flow deviation from the tile means "
                             "(dy %.1f px; dx %.1f px) approaches the "
@@ -633,7 +770,6 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                             dvy, dvx, ldy, ldx, epoch + 1)
                 elif fy > dy - 1 or (dx is not None and fx > dx - 1):
                     window_warned = True
-                    import logging
                     logging.getLogger(__name__).warning(
                         "flow magnitude (|fy| %.1f, |fx| %.1f px) exceeds "
                         "the splat window bounds (dy=%s, dx=%s) at epoch %d "
@@ -647,7 +783,10 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     stop.restore()
     tracer.close()
     out = {"state": state, "spec": spec, "consts": consts,
-           "ctrl_cfg": ctrl_cfg, "metrics": last, "scene": scene}
+           "ctrl_cfg": ctrl_cfg, "metrics": last, "scene": scene,
+           # the EFFECTIVE config: resolved/probed bounds, incl. any
+           # mid-training window refits
+           "cfg": cfg}
     if keep_writer:
         # caller will log test-phase media into the SAME run (the reference
         # logs test media into the training logger, trainer.py:114-131)

@@ -378,3 +378,135 @@ def test_run_flow_interpolate_writes_video(tmp_path, rng):
     import json
     meta = json.load(open(str(tmp_path / "res" / "interp_isc_temp_x2.json")))
     assert meta["factor"] == 2 and meta["frames_out"] == out["num_frames"]
+
+
+# ---------------------------------------------------------------------------
+# Mid-training window-bound refit (FlowConfig.window_refit)
+# ---------------------------------------------------------------------------
+
+def _refit(cfg, since, hist=None, auto=None, fh=436, fw=2048,
+           allow_tighten=True):
+    from sin_inn_tpu.train.loop import _refit_window_bounds
+    auto = auto or {"dy": True, "dx": True, "ldy": True, "ldx": True}
+    return _refit_window_bounds(cfg, auto, fh, fw, since, hist or since,
+                                allow_tighten)
+
+
+def test_window_refit_widens_on_near_bound_flow():
+    """Flow magnitude at the warn threshold WIDENS the auto global bounds
+    (the monitor's warning becomes an action); local bounds widen on
+    deviation; nothing moves for pinned axes."""
+    cfg = FlowConfig(splat_max_dy=64, splat_max_dx=128, splat_local_dy=16,
+                     splat_local_dx=None)
+    s = {"fy": 63.5, "fx": 30.0, "dvy": 5.0, "dvx": 30.0}
+    out = _refit(cfg, s, allow_tighten=False)
+    assert out.splat_max_dy == 96 and out.splat_max_dx == 128  # 1.5x fy
+    assert out.splat_local_dy == 16
+    # deviation near the local bound widens ldy (1.5x + 3, sublane-rounded)
+    s2 = {"fy": 30.0, "fx": 30.0, "dvy": 14.0, "dvx": 0.0}
+    out = _refit(cfg, s2, allow_tighten=False)
+    assert out.splat_local_dy == 24 and out.splat_max_dy == 64
+    # pinned axis never moves (here: dy pinned, flow outgrows it -> None,
+    # the loud warning keeps covering it)
+    out = _refit(cfg, s, auto={"dy": False, "dx": True, "ldy": True,
+                               "ldx": True}, allow_tighten=False)
+    assert out is None
+
+
+def test_window_refit_tightens_only_on_hist_and_slack():
+    """Tightening uses the HISTORICAL max (no oscillation) and needs a
+    full quantization quantum of slack; disabled before allow_tighten."""
+    cfg = FlowConfig(splat_max_dy=64, splat_max_dx=128, splat_local_dy=32,
+                     splat_local_dx=None)
+    since = {"fy": 5.0, "fx": 5.0, "dvy": 4.0, "dvx": 4.0}
+    hist = {"fy": 20.0, "fx": 90.0, "dvy": 8.0, "dvx": 8.0}
+    out = _refit(cfg, since, hist)
+    # dy: 1.5*20 -> 32 (tighten); dx: 1.5*90 -> 144 > 128 (no tighten,
+    # and 90 < 127 so no widen); ldy: 1.5*8+3 -> 16
+    assert out.splat_max_dy == 32 and out.splat_max_dx == 128
+    assert out.splat_local_dy == 16
+    assert _refit(cfg, since, hist, allow_tighten=False) is None
+    # no-slack case: hist target equals the current bound -> no refit
+    assert _refit(cfg, since, {"fy": 40.0, "fx": 90.0, "dvy": 20.0,
+                               "dvx": 8.0}) is None
+
+
+def test_window_refit_exact_fallback_and_local_drop():
+    """A widened global bound at half the frame falls back to the exact
+    scatter; a local bound driven to the global scale drops local mode."""
+    cfg = FlowConfig(splat_max_dy=64, splat_max_dx=128, splat_local_dy=32,
+                     splat_local_dx=None)
+    out = _refit(cfg, {"fy": 250.0, "fx": 10.0, "dvy": 5.0, "dvx": 5.0},
+                 allow_tighten=False)
+    assert out.splat_max_dy is None and out.splat_max_dx is None
+    assert out.splat_local_dy is None and out.splat_local_dx is None
+    # deviation ~ global scale: local mode off, static windows stay
+    out = _refit(cfg, {"fy": 40.0, "fx": 10.0, "dvy": 50.0, "dvx": 5.0},
+                 allow_tighten=False)
+    assert out.splat_local_dy is None and out.splat_max_dy == 64
+    # exact config: nothing to refit
+    assert _refit(FlowConfig(splat_max_dy=None, splat_max_dx=None,
+                             splat_local_dy=None, splat_local_dx=None),
+                  {"fy": 9.0, "fx": 9.0}) is None
+
+
+def test_window_refit_local_dx_moves_but_never_engages():
+    """An engaged x-local bound widens/tightens with the measured deviation
+    (lane quantum, floor 128) but is dropped rather than kept without a
+    lane-granular shrink; refit never ENGAGES x-local from row-only mode
+    (the monitor's dev_x there is a magnitude, not a fine deviation)."""
+    cfg = FlowConfig(splat_max_dy=32, splat_max_dx=512, splat_local_dy=8,
+                     splat_local_dx=128)
+    # widen: dvx near the bound (1.5x + 3, lane-rounded)
+    out = _refit(cfg, {"fy": 10.0, "fx": 400.0, "dvy": 2.0, "dvx": 126.0},
+                 allow_tighten=False)
+    assert out.splat_local_dx == 192
+    # tighten to the floor 128 needs a quantum of slack: from 256
+    cfg2 = cfg.replace(splat_local_dx=256)
+    out = _refit(cfg2, {"fy": 10.0, "fx": 400.0, "dvy": 2.0, "dvx": 10.0})
+    assert out.splat_local_dx == 128
+    # row-only mode: ldx stays off even with a huge global dx
+    cfg3 = FlowConfig(splat_max_dy=32, splat_max_dx=512, splat_local_dy=8,
+                      splat_local_dx=None)
+    out = _refit(cfg3, {"fy": 10.0, "fx": 400.0, "dvy": 4.0, "dvx": 10.0},
+                 allow_tighten=False)
+    assert out is None
+
+
+def test_window_refit_config_validation_and_cli():
+    import argparse
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window_refit"):
+        FlowConfig(window_refit="always")
+    from sin_inn_tpu import cli
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="command", required=True)
+    cli._flow_parser(sub)
+    a = parser.parse_args(["flow", "train", "--window-refit", "off"])
+    assert cli.flow_config_from_args(a).window_refit == "off"
+    a = parser.parse_args(["flow", "train"])
+    assert cli.flow_config_from_args(a).window_refit == "auto"
+
+
+def test_window_refit_tightens_in_training_loop(tmp_path, rng):
+    """Loop integration: with window_refit on (default) and near-zero
+    training flows, the save-cadence refit tightens the auto global dy
+    (32 -> 16 at 256x128) and rebuilds the step; the run completes and
+    reports the effective config. With --window-refit off the bounds
+    stay static."""
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train.loop import run_flow_train
+
+    video = rng.rand(3, 256, 128, 3).astype(np.float32)
+    base = tiny_cfg(net="RBF").replace(
+        epochs=4, checkpoints_dir=str(tmp_path / "ck"),
+        results_dir=str(tmp_path / "res"), val_iter=1000)
+    assert base.resolve_splat_bounds(256, 128).splat_max_dy == 32
+    out = run_flow_train(base, media=FlowMedia(video.copy()), scene="wr")
+    assert out["cfg"].splat_max_dy == 16            # tightened by refit
+    out2 = run_flow_train(
+        base.replace(window_refit="off", name="static"),
+        media=FlowMedia(video.copy()), scene="wr2")
+    assert out2["cfg"].splat_max_dy == 32
