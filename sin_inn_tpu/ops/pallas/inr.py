@@ -2,7 +2,12 @@
 
 Reimplements the hot path of the reference flow INR
 (/root/reference/video-interpolation/model.py:95-99 — encode -> mask ->
-MLP) as ONE forward kernel and ONE hand-derived backward kernel.
+MLP) as ONE forward kernel and ONE hand-derived backward kernel. In the
+const-mask modes (no controller / linear controllers) the PRIMAL runs as
+plain XLA instead (``_xla_forward`` — measured faster than the fwd
+kernel, 7.9 vs 11.0 ms at Sintel scale) while the backward keeps the
+recompute-in-VMEM kernel; the fwd kernel remains the primal for the
+spatial slab/point mask modes, whose masks must never materialize.
 
 Why a kernel at all: the XLA INR forward is near MXU-bound (6.6 ms at
 Sintel scale, CLAUDE.md), but the *backward* pays ~3x the forward —
@@ -305,13 +310,52 @@ def _mask_args(mode, prog, me, mc, tn, n, nt):
     return args
 
 
+def _xla_forward(kind, prog, precise, enc_ops, ws, wc, x, me, mc):
+    """Plain-XLA forward on the kernel's prepared operands — the PRIMAL
+    of the const-mask fused path. MEASURED faster than the fwd kernel at
+    Sintel scale (7.9 vs 11.0 ms fwd, B=3; fwd+grad 26.4 -> ~23 ms): XLA
+    fuses encode+mask+MLP as well as the kernel does, without the
+    kernel's lane-padded K=d+1 encode contraction or per-tile grid
+    overhead — while the BACKWARD keeps the recompute-in-VMEM kernel
+    (the actual win: no activation stash). The slab/point spatial-mask
+    modes keep the kernel forward: their masks must never materialize
+    (the measured ~65 ms operand-materialization trap, module
+    docstring). Same contracts as ``_fwd_kernel``: the encode
+    contraction stays f32 (bf16 coords quantize below the pose-grid
+    pixel spacing and diverge — see ``_encode``), the MLP matmuls cast
+    per ``precise``, FF columns ride the BLOCKED sin||cos layout that
+    the wrapper's W1 row permutation expects."""
+    x = x.astype(jnp.float32)
+    if kind == "rbf":
+        ct, cc = enc_ops                     # (d+1, E) aug centres, (2, E)
+        aug = jnp.concatenate(
+            [x, jnp.sum(x * x, axis=1, keepdims=True)], axis=1)
+        d2 = jnp.dot(aug, ct, preferred_element_type=jnp.float32) + cc[0:1]
+        code = jnp.exp(-jnp.maximum(d2, 0.0) * cc[1:2])
+    else:
+        (f,) = enc_ops                       # (d, F) 2*pi*frequencies
+        ph = jnp.dot(x, f, preferred_element_type=jnp.float32)
+        code = jnp.concatenate([jnp.sin(ph), jnp.cos(ph)], axis=1)
+    h = code * me.reshape(1, -1).astype(jnp.float32)
+    for l, (w, b) in enumerate(ws):
+        z = _mm(h, w, precise)
+        if l == 0 and prog:
+            xm = x * mc.reshape(1, -1).astype(jnp.float32)
+            z = z + _mm(xm, wc, precise)
+        z = z + b.reshape(1, -1)
+        h = jnp.maximum(z, 0.0) if l < len(ws) - 1 else z
+    return h
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _fused_fwd_call(kind, prog, precise, tn, interpret,
                     enc_ops, ws, wc, x, me, mc, wx):
     n, d = x.shape
     out_ch = ws[-1][1].shape[0]
-    x_pad, nt = _prep_x(kind, x, tn)
     mode = _mask_mode(me, n)
+    if mode == "const":
+        return _xla_forward(kind, prog, precise, enc_ops, ws, wc, x, me, mc)
+    x_pad, nt = _prep_x(kind, x, tn)
     args = [x_pad, *enc_ops]
     args += _mask_args(mode, prog, me, mc, tn, n, nt)
     if prog:
