@@ -296,7 +296,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = flow_config_from_args(a)
         if a.operation == "train":
             out = L.run_flow_train(cfg, use_wandb=a.wandb, keep_writer=True)
-            L.run_flow_test(cfg, state=out["state"], spec=out["spec"],
+            # chain with the EFFECTIVE config: resolved/probed/refitted
+            # window bounds, not the raw 'auto' markers
+            L.run_flow_test(out["cfg"], state=out["state"], spec=out["spec"],
                             consts=out["consts"], ctrl_cfg=out["ctrl_cfg"],
                             scene=out["scene"], writer=out["writer"])
             out["writer"].close()

@@ -70,6 +70,36 @@ def _tile_counts(dim: int, tile: int, nblk: int) -> jnp.ndarray:
     return full.at[nblk - 1].set(dim - (nblk - 1) * tile)
 
 
+def _source_tile_stats(flow: jnp.ndarray, tile_b: int, tile_cb: int):
+    """Shared source-tile machinery: pad ``flow`` to whole (tile_b,
+    tile_cb) tiles and return ``(blocks, validb, mean, hb, wb)`` —
+    blocks (N, HB, tile_b, WB, tile_cb, 2), the broadcastable in-image
+    mask, and the per-tile mean over VALID pixels (partial last tiles
+    divide by their true count). One implementation for both
+    `tile_flow_offsets` (the runtime offsets) and `tile_deviation_fine`
+    (the GT probe's estimate) so the probe's drop criterion cannot drift
+    from the offsets actually used."""
+    n, h, w, _ = flow.shape
+    hb = -(-h // tile_b)
+    wb = -(-w // tile_cb)
+    fp = jnp.pad(flow, ((0, 0), (0, hb * tile_b - h),
+                        (0, wb * tile_cb - w), (0, 0)))
+    blocks = fp.reshape(n, hb, tile_b, wb, tile_cb, 2)
+    cnt = (_tile_counts(h, tile_b, hb)[:, None]
+           * _tile_counts(w, tile_cb, wb)[None, :])        # (hb, wb)
+    valid = jnp.zeros((hb * tile_b, wb * tile_cb), jnp.float32)
+    valid = valid.at[:h, :w].set(1.0)
+    validb = valid.reshape(1, hb, tile_b, wb, tile_cb, 1)
+    mean = blocks.sum(axis=(2, 4)) / cnt[None, :, :, None]
+    return blocks, validb, mean, hb, wb
+
+
+def _masked_max_dev(blocks, ref, validb) -> jnp.ndarray:
+    """Max per-axis |blocks - ref(tile)| over valid pixels -> (2,)."""
+    dev = jnp.abs(blocks - ref[:, :, None, :, None, :]) * validb
+    return dev.max(axis=(0, 1, 2, 3, 4))
+
+
 def tile_flow_offsets(flow: jnp.ndarray, tile_b: int, tile_cb: int,
                       cap_y: int, cap_x: int,
                       quant_y: int = 8, quant_x: int = 128) -> TileOffsets:
@@ -94,14 +124,9 @@ def tile_flow_offsets(flow: jnp.ndarray, tile_b: int, tile_cb: int,
     assert cap_x % quant_x == 0, "cap_x must be a multiple of the lane tiling"
     flow = jax.lax.stop_gradient(flow).astype(jnp.float32)
     n, h, w, _ = flow.shape
-    hb = -(-h // tile_b)
-    wb = -(-w // tile_cb)
+    blocks, validb, mean_src, hb, wb = _source_tile_stats(flow, tile_b,
+                                                          tile_cb)
 
-    fp = jnp.pad(flow, ((0, 0), (0, hb * tile_b - h),
-                        (0, wb * tile_cb - w), (0, 0)))
-    blocks = fp.reshape(n, hb, tile_b, wb, tile_cb, 2)
-    cnt = (_tile_counts(h, tile_b, hb)[:, None]
-           * _tile_counts(w, tile_cb, wb)[None, :])        # (hb, wb)
     def _round_clip(mean):
         # x quantized to the lane tiling, y to the sublane tiling, both
         # axes clipped to the caps
@@ -111,15 +136,9 @@ def tile_flow_offsets(flow: jnp.ndarray, tile_b: int, tile_cb: int,
             jnp.clip(jnp.rint(mean[..., 1] / quant_y) * quant_y,
                      -float(cap_y), float(cap_y))], axis=-1)
 
-    mean_src = blocks.sum(axis=(2, 4)) / cnt[None, :, :, None]
     off_src = _round_clip(mean_src)
-
-    valid = jnp.zeros((hb * tile_b, wb * tile_cb), jnp.float32)
-    valid = valid.at[:h, :w].set(1.0)
     # measure deviation against the ROUNDED offset actually used
-    dev_all = jnp.abs(blocks - off_src[:, :, None, :, None, :])
-    dev_all = dev_all * valid.reshape(1, hb, tile_b, wb, tile_cb, 1)
-    dev_src = dev_all.max(axis=(0, 1, 2, 3, 4))            # (2,)
+    dev_src = _masked_max_dev(blocks, off_src, validb)     # (2,)
 
     # ---- output-tile (contributor) means: bin every pixel by the tile
     # its (rounded) target lands in, via one-hot contractions ----
@@ -180,17 +199,5 @@ def tile_deviation_fine(flow: jnp.ndarray, tile_b: int,
     drift with training, so it must not ride the probe's safety factor.
     Returns (2,) [dev_x, dev_y]."""
     flow = jax.lax.stop_gradient(flow).astype(jnp.float32)
-    n, h, w, _ = flow.shape
-    hb = -(-h // tile_b)
-    wb = -(-w // tile_cb)
-    fp = jnp.pad(flow, ((0, 0), (0, hb * tile_b - h),
-                        (0, wb * tile_cb - w), (0, 0)))
-    blocks = fp.reshape(n, hb, tile_b, wb, tile_cb, 2)
-    cnt = (_tile_counts(h, tile_b, hb)[:, None]
-           * _tile_counts(w, tile_cb, wb)[None, :])
-    mean = blocks.sum(axis=(2, 4)) / cnt[None, :, :, None]
-    valid = jnp.zeros((hb * tile_b, wb * tile_cb), jnp.float32)
-    valid = valid.at[:h, :w].set(1.0)
-    dev = jnp.abs(blocks - mean[:, :, None, :, None, :])
-    dev = dev * valid.reshape(1, hb, tile_b, wb, tile_cb, 1)
-    return dev.max(axis=(0, 1, 2, 3, 4))
+    blocks, validb, mean, _, _ = _source_tile_stats(flow, tile_b, tile_cb)
+    return _masked_max_dev(blocks, mean, validb)

@@ -419,6 +419,13 @@ def make_frame_interp(spec: INRSpec, cfg: FlowConfig, ctrl_cfg):
         if any(isinstance(getattr(cfg_l, f), str) for f in
                ("splat_max_dy", "splat_max_dx",
                 "splat_local_dy", "splat_local_dx")):
+            # direct callers that bypassed the driver: never ENGAGE local
+            # windows from a bare 'auto' — there is no deviation evidence
+            # at inference (the driver applies the training run's probed
+            # bounds via the window_bounds sidecar before building this)
+            if cfg_l.splat_local_dy == "auto":
+                cfg_l = cfg_l.replace(splat_local_dy="off",
+                                      splat_local_dx="off")
             cfg_l = cfg_l.resolve_splat_bounds(h, w)
         warp, splat_cov, local = _splat_ops(cfg_l)
         f12, f21, _ = flow_forward(spec, params, consts, ctrl_cfg,

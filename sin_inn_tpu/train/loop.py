@@ -402,6 +402,75 @@ def _scene_flow_dir(flow_dir, scene: str):
     return sub if path.isdir(sub) else None
 
 
+def _q16(v) -> int:
+    """Global window bound from a measured max |flow|: 1.5x safety margin,
+    rounded up to the 16 px window quantization, floor 16. ONE formula
+    shared by the GT probe and the mid-training refit — their agreement
+    (no widen/tighten oscillation across the two paths) is an invariant."""
+    return max(16, int(-(-(1.5 * float(v)) // 16) * 16))
+
+
+def _q8p(v) -> int:
+    """Local row bound from a measured per-tile deviation: 1.5x margin +
+    3 px resample-normalization allowance, sublane(8)-rounded, floor 8.
+    Shared by the GT probe and the refit (same invariant as `_q16`)."""
+    return max(8, int(-(-(1.5 * float(v) + 3.0) // 8) * 8))
+
+
+_WINDOW_BOUND_KEYS = ("splat_max_dy", "splat_max_dx",
+                      "splat_local_dy", "splat_local_dx")
+
+
+def _save_window_bounds(directory: str, cfg: FlowConfig,
+                        fh: int, fw: int) -> None:
+    """Persist the EFFECTIVE (probed/refitted) window bounds next to the
+    checkpoints. Bounds are derived from measured flow (the GT probe, the
+    mid-training refit) but live in the config, not the checkpointed
+    pytrees — without this sidecar a preemption resume or a later
+    test/interpolate invocation re-resolves the raw 'auto' markers and
+    silently loses every probe/refit decision (round-3 review)."""
+    import json
+    if jax.process_index() != 0:     # multi-host: single-writer, like ckpts
+        return
+    with open(path.join(directory, "window_bounds.json"), "w") as f:
+        json.dump({"fh": fh, "fw": fw,
+                   **{k: getattr(cfg, k) for k in _WINDOW_BOUND_KEYS}}, f)
+
+
+def _load_window_bounds(cfg: FlowConfig, directory: str,
+                        fh: int, fw: int) -> "tuple[FlowConfig, bool]":
+    """Apply persisted effective bounds to every axis still on 'auto' (an
+    explicit pin given NOW wins over the sidecar). Bounds are pixels at
+    the train frame size — a different target size invalidates them.
+    Returns (cfg, sidecar_found_and_valid)."""
+    import json
+    p = path.join(directory, "window_bounds.json")
+    if not path.exists(p):
+        return cfg, False
+    try:
+        with open(p) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return cfg, False
+    if (data.get("fh"), data.get("fw")) != (fh, fw):
+        return cfg, False
+    upd = {k: data[k] for k in _WINDOW_BOUND_KEYS
+           if k in data and getattr(cfg, k) == "auto"}
+    return (cfg.replace(**upd) if upd else cfg), True
+
+
+def _inference_bounds(cfg: FlowConfig) -> FlowConfig:
+    """Inference drivers run without the train loop's monitor/refit: any
+    LOCAL bound still on 'auto' (i.e. no persisted train-time evidence
+    applied) resolves OFF — engaging local windows without deviation
+    evidence silently drops taps on incoherent scenes that the train-time
+    GT probe would have kept on static windows. Global 'auto' bounds keep
+    their size-scaled defaults (the pre-local behavior)."""
+    upd = {k: "off" for k in ("splat_local_dy", "splat_local_dx")
+           if getattr(cfg, k) == "auto"}
+    return cfg.replace(**upd) if upd else cfg
+
+
 def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
                                     fh: int, fw: int) -> FlowConfig:
     """Materialize 'auto' splat-window bounds for the loaded frame size
@@ -433,30 +502,47 @@ def _resolve_and_probe_splat_bounds(cfg: FlowConfig, media,
     was_auto_dx = cfg.splat_max_dx == "auto"
     was_auto_ldy = cfg.splat_local_dy == "auto"
     was_auto_ldx = cfg.splat_local_dx == "auto"
+    # the RAW local values must survive the global probe:
+    # resolve_splat_bounds may null a pinned local bound against the
+    # PRE-probe globals (no lane-granular shrink there), but the probe can
+    # widen the globals to where the pin does shrink the window — the
+    # dependent re-resolution below restarts from the user's values
+    raw_ldy, raw_ldx = cfg.splat_local_dy, cfg.splat_local_dx
     cfg = cfg.resolve_splat_bounds(fh, fw)
     have_gt = (getattr(media, "gt_available", False)
                and media.flow is not None)
     if ((was_auto_dy or was_auto_dx) and have_gt
             and isinstance(cfg.splat_max_dy, int)):
-        to16 = lambda v: max(16, int(-(-(1.5 * float(v)) // 16) * 16))
-        probe_dx = to16(np.abs(media.flow[..., 0]).max())
-        probe_dy = to16(np.abs(media.flow[..., 1]).max())
+        probe_dx = _q16(np.abs(media.flow[..., 0]).max())
+        probe_dy = _q16(np.abs(media.flow[..., 1]).max())
         dy = probe_dy if was_auto_dy else cfg.splat_max_dy
         dx = (probe_dx if was_auto_dx and cfg.splat_max_dx is not None
               else cfg.splat_max_dx)
         if (was_auto_dy and dy >= fh // 2) or (was_auto_dx and dx is not None
                                                and dx >= fw // 2):
-            logging.getLogger(__name__).warning(
-                "GT flow probe (|dy| window %s, |dx| window %s) reaches "
-                "half the %dx%d frame — windowing buys nothing; falling "
-                "back to the exact scatter splat/warp.", dy, dx, fh, fw)
-            dy = dx = None
-        cfg = cfg.replace(splat_max_dy=dy, splat_max_dx=dx)
+            if was_auto_dy and (was_auto_dx or dx is None):
+                logging.getLogger(__name__).warning(
+                    "GT flow probe (|dy| window %s, |dx| window %s) reaches "
+                    "half the %dx%d frame — windowing buys nothing; falling "
+                    "back to the exact scatter splat/warp.", dy, dx, fh, fw)
+                dy = dx = None
+                raw_ldy = raw_ldx = None
+            else:
+                # an explicitly pinned global axis is a request for the
+                # windowed path (the same contract that makes
+                # resolve_splat_bounds keep windowing on tiny frames when
+                # dx is pinned): keep it, the auto axis just widened to
+                # cover the probe
+                logging.getLogger(__name__).warning(
+                    "GT flow probe widened the auto window bound past half "
+                    "the %dx%d frame (|dy| %s, |dx| %s) but the other axis "
+                    "is pinned — keeping the windowed path.", fh, fw, dy, dx)
         # re-run the dependent local-bound resolution against the probed
-        # globals (ldy 'auto' was resolved from the pre-probe dy)
-        if was_auto_ldy:
-            cfg = cfg.replace(splat_local_dy="auto")
-            cfg = cfg.resolve_splat_bounds(fh, fw)
+        # globals from the RAW user values ('auto' ldy was resolved from
+        # the pre-probe dy; a pinned local may engage only now)
+        cfg = cfg.replace(splat_max_dy=dy, splat_max_dx=dx,
+                          splat_local_dy=raw_ldy, splat_local_dx=raw_ldx)
+        cfg = cfg.resolve_splat_bounds(fh, fw)
     if was_auto_ldy and cfg.splat_local_dy is not None and have_gt:
         from sin_inn_tpu.ops.pallas.offsets import tile_flow_offsets
         from sin_inn_tpu.ops.pallas.splat import _B, _CB
@@ -502,7 +588,12 @@ def _refit_window_bounds(cfg: FlowConfig, auto: Dict, fh: int, fw: int,
         (bound - 1 px magnitude / bound - 3 px deviation) — coverage
         first: out-of-window taps are DROPPED, so the monitor's warning
         becomes an action. A widened global bound at/past half the frame
-        drops to the exact scatter (windowing buys nothing there).
+        drops to the exact scatter (windowing buys nothing there) —
+        unless a global axis is explicitly pinned, which is a standing
+        request for the windowed path (same rule as the GT probe).
+        A row-local bound dropped by a transient global tighten
+        RE-ENGAGES from the historical deviation evidence once the
+        global bound re-widens past it (plus the same slack quantum).
       * TIGHTEN only when ``allow_tighten`` (the driver enables it after
         epochs/5, once training flow has stabilized) and only against
         ``hist`` — the historical max is monotone, so a bound never
@@ -519,33 +610,39 @@ def _refit_window_bounds(cfg: FlowConfig, auto: Dict, fh: int, fw: int,
     if not dy:
         return None          # exact ops: no windows (and no monitor stats)
     ldy, ldx = cfg.splat_local_dy, cfg.splat_local_dx
-    to16 = lambda v: max(16, int(-(-(1.5 * v) // 16) * 16))
-    to8p = lambda v: max(8, int(-(-(1.5 * v + 3.0) // 8) * 8))
+    # x-local bound from the monitor's dvx: unlike the GT probe's
+    # engagement formula (fine deviation + explicit 64 px quantization
+    # budget), the monitor's deviation is measured against the QUANTIZED
+    # offsets in use, so the quantization error is already inside it —
+    # one margin, floor = the 128 engagement minimum
     to64p = lambda v: max(128, int(-(-(1.5 * v + 3.0) // 64) * 64))
     new: Dict = {}
     if auto["dy"]:
         if since["fy"] > dy - 1:
-            new["splat_max_dy"] = max(to16(since["fy"]), dy + 16)
-        elif allow_tighten and to16(hist["fy"]) <= dy - 16:
-            new["splat_max_dy"] = to16(hist["fy"])
+            new["splat_max_dy"] = max(_q16(since["fy"]), dy + 16)
+        elif allow_tighten and _q16(hist["fy"]) <= dy - 16:
+            new["splat_max_dy"] = _q16(hist["fy"])
     if auto["dx"] and dx is not None:
         if since["fx"] > dx - 1:
-            new["splat_max_dx"] = max(to16(since["fx"]), dx + 16)
-        elif allow_tighten and to16(hist["fx"]) <= dx - 16:
-            new["splat_max_dx"] = to16(hist["fx"])
+            new["splat_max_dx"] = max(_q16(since["fx"]), dx + 16)
+        elif allow_tighten and _q16(hist["fx"]) <= dx - 16:
+            new["splat_max_dx"] = _q16(hist["fx"])
     ndy = new.get("splat_max_dy", dy)
     ndx = new.get("splat_max_dx", dx)
     if (auto["dy"] and ndy >= fh // 2) or (
             auto["dx"] and ndx is not None and ndx >= fw // 2):
-        # same exact-scatter fallback as the GT probe past half the frame
-        return cfg.replace(splat_max_dy=None, splat_max_dx=None,
-                           splat_local_dy=None, splat_local_dx=None)
+        if auto["dy"] and (auto["dx"] or ndx is None):
+            # same exact-scatter fallback as the GT probe past half the
+            # frame — but only when no global axis is pinned: an explicit
+            # pin is a request for the windowed path (probe contract)
+            return cfg.replace(splat_max_dy=None, splat_max_dx=None,
+                               splat_local_dy=None, splat_local_dx=None)
     if ldy is not None:
         if auto["ldy"] and since.get("dvy") is not None:
             if since["dvy"] > ldy - 3:
-                new["splat_local_dy"] = max(to8p(since["dvy"]), ldy + 8)
-            elif allow_tighten and to8p(hist["dvy"]) <= ldy - 8:
-                new["splat_local_dy"] = to8p(hist["dvy"])
+                new["splat_local_dy"] = max(_q8p(since["dvy"]), ldy + 8)
+            elif allow_tighten and _q8p(hist["dvy"]) <= ldy - 8:
+                new["splat_local_dy"] = _q8p(hist["dvy"])
         nldy = new.get("splat_local_dy", ldy)
         if nldy is not None and nldy >= ndy:
             # the static window is already tighter (possibly because the
@@ -564,6 +661,18 @@ def _refit_window_bounds(cfg: FlowConfig, auto: Dict, fh: int, fw: int,
                     >= -(-(128 + 2 * ndx) // 128)):
                 # no lane-granular window shrink left vs the global dx
                 new["splat_local_dx"] = None
+    elif (auto["ldy"] and ndx is not None
+          and hist.get("dvy") is not None):
+        # RE-ENGAGE row-local mode: a refit drop (transient global
+        # tighten below the local bound) must not forfeit the local-window
+        # speed path forever. The historical deviation maximum is real
+        # evidence (recorded while local mode ran); the same one-quantum
+        # slack rule as tightening prevents drop/re-engage churn. When
+        # local mode was never on (no dvy history — e.g. the GT probe
+        # disabled it on measured deviation), this stays off.
+        cand = _q8p(hist["dvy"])
+        if cand <= ndy - 8:
+            new["splat_local_dy"] = cand
     if not new or all(getattr(cfg, k) == v for k, v in new.items()):
         return None
     return cfg.replace(**new)
@@ -618,6 +727,9 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                    "dx": cfg.splat_max_dx == "auto",
                    "ldy": cfg.splat_local_dy == "auto",
                    "ldx": cfg.splat_local_dx == "auto"}
+    # a resumed run restores the bounds its probe/refit already derived
+    # (the sidecar rides the checkpoint directory; axes pinned NOW win)
+    cfg, _ = _load_window_bounds(cfg, flow_ckpt_dir(cfg, scene), fh, fw)
     cfg = _resolve_and_probe_splat_bounds(cfg, media, fh, fw)
     refit_on = (cfg.window_refit != "off" and any(auto_bounds.values())
                 and bool(cfg.splat_max_dy))
@@ -668,25 +780,31 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     stop = GracefulStop().install()
     window_warned = False
     # window-refit monitor accumulator: running max of the stats vector
-    # [fy, fx(, dvy, dvx)] sampled from the LAST batch of every epoch (the
-    # epoch order is reshuffled, so this covers all batches over a save
-    # cadence with zero extra device syncs — one tiny maximum per epoch).
+    # [fy, fx(, dvy, dvx)] over EVERY batch of every epoch (device-side,
+    # zero extra host syncs — one tiny stacked reduction per epoch).
     # `mon_hist` keeps the all-time max as host floats across refits (the
     # device vector's length changes when a refit switches window modes).
     mon_since = None
     mon_hist: Dict = {}
     for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(cached))
+        mon_epoch = []
         for bi in order:
             batch = cached[bi]
             state, m = step(state, consts, batch)
             tracer.tick(m["loss"])
             frames_done += int(batch["frame1"].shape[0])
-        if refit_on and "flow_max_y" in m:
-            vec = [m["flow_max_y"], m["flow_max_x"]]
-            if "flow_dev_y" in m:
-                vec += [m["flow_dev_y"], m["flow_dev_x"]]
-            vec = jnp.stack(vec)
+            if refit_on and "flow_max_y" in m:
+                # collect EVERY batch's monitor scalars (device refs, no
+                # syncs) — a last-batch-only sample can miss a single
+                # fast-motion pair for a whole save cadence
+                mon_epoch.append([m["flow_max_y"], m["flow_max_x"]]
+                                 + ([m["flow_dev_y"], m["flow_dev_x"]]
+                                    if "flow_dev_y" in m else []))
+        if mon_epoch:
+            # one tiny device reduction per epoch, still zero host syncs
+            vec = jnp.stack([v for row in mon_epoch for v in row])
+            vec = vec.reshape(len(mon_epoch), -1).max(axis=0)
             mon_since = (vec if mon_since is None
                          else jnp.maximum(mon_since, vec))
         if (epoch + 1) % cfg.effective_val_iter == 0 or epoch == cfg.epochs - 1:
@@ -736,6 +854,8 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                     window_warned = False
                     refit_on = (cfg.window_refit != "off"
                                 and bool(cfg.splat_max_dy))
+            # persist the post-refit effective bounds with this save event
+            _save_window_bounds(store.directory, cfg, fh, fw)
             if cfg.splat_max_dy and "flow_max_y" in m and not window_warned:
                 # loud out-of-window fallback guidance: windowed ops DROP
                 # taps beyond the bound, so a flow that outgrew the window
@@ -779,6 +899,7 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
         if stop:
             if not saved:
                 store.save(epoch + 1, {"state": state, "consts": consts})
+                _save_window_bounds(store.directory, cfg, fh, fw)
             break
     stop.restore()
     tracer.close()
@@ -808,6 +929,11 @@ def run_flow_test(cfg: FlowConfig, media=None, scene: str = "scene",
             cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
             flow_dir=cfg.flow_dir)
     media = _maybe_pseudo_gt(cfg, media, scene)
+    # effective bounds from the training run when available (same frame
+    # size); local 'auto' without that evidence resolves OFF at inference
+    th, tw = media.video.shape[1:3]
+    cfg, _ = _load_window_bounds(cfg, flow_ckpt_dir(cfg, scene), th, tw)
+    cfg = _inference_bounds(cfg)
     key = R.root_key(cfg.random_seed)
     if state is None:
         # with --import-torch and no framework checkpoint, the fresh state
@@ -896,6 +1022,12 @@ def run_flow_interpolate(cfg: FlowConfig, factor: int = 2, media=None,
         _, media, scene = flow_media.get_video(
             cfg.input_video, cfg.size, cfg.test_size, cfg.end, cfg.step,
             flow_dir=cfg.flow_dir)
+    # the interp splats at this media's size: apply the training run's
+    # probed/refitted bounds when they match it, and never engage local
+    # windows from a bare 'auto' (no deviation evidence at inference)
+    th, tw = media.video.shape[1:3]
+    cfg, _ = _load_window_bounds(cfg, flow_ckpt_dir(cfg, scene), th, tw)
+    cfg = _inference_bounds(cfg)
     key = R.root_key(cfg.random_seed)
     spec, state, consts, ctrl_cfg, _, _, _ = _flow_create_and_restore(
         cfg, R.named_fold(key, "init"), scene,

@@ -510,3 +510,154 @@ def test_window_refit_tightens_in_training_loop(tmp_path, rng):
         base.replace(window_refit="off", name="static"),
         media=FlowMedia(video.copy()), scene="wr2")
     assert out2["cfg"].splat_max_dy == 32
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review fixes: pin-respecting fallbacks, bound persistence,
+# inference local-window gating, local-dy re-engagement
+# ---------------------------------------------------------------------------
+
+def test_gt_probe_half_frame_fallback_respects_pins():
+    """When the probed auto bound reaches half the frame, the exact-scatter
+    fallback engages only if no global axis is pinned — an explicit pin is
+    a standing request for the windowed path (the same contract as
+    resolve_splat_bounds' tiny-frame rule)."""
+    from sin_inn_tpu.train.loop import _resolve_and_probe_splat_bounds
+
+    class _M:
+        gt_available = True
+        flow = np.zeros((2, 436, 1024, 2), np.float32)
+    _M.flow[..., 1] = 300.0                 # probe dy = 464 >= 436 // 2
+
+    # both axes auto: full fallback to the exact scatter
+    cfg = _resolve_and_probe_splat_bounds(FlowConfig(), _M(), 436, 1024)
+    assert cfg.splat_max_dy is None and cfg.splat_max_dx is None
+    assert cfg.splat_local_dy is None and cfg.splat_local_dx is None
+    # dx pinned: keep the windowed path, dy widens to cover the probe
+    cfg = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dx=128), _M(), 436, 1024)
+    assert cfg.splat_max_dy == 464 and cfg.splat_max_dx == 128
+    # dy pinned while auto dx crosses half the width
+    class _M2:
+        gt_available = True
+        flow = np.zeros((2, 436, 1024, 2), np.float32)
+    _M2.flow[..., 0] = 400.0                # probe dx = 608 >= 1024 // 2
+    cfg = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_max_dy=64), _M2(), 436, 1024)
+    assert cfg.splat_max_dy == 64 and cfg.splat_max_dx == 608
+
+
+def test_gt_probe_pinned_local_dx_engages_after_widen():
+    """A pinned splat_local_dx that offers no lane-granular shrink against
+    the PRE-probe global dx must survive the first resolution and engage
+    once the probe widens dx far enough (round-3 review: the pin was
+    destroyed by the pre-probe resolve)."""
+    from sin_inn_tpu.train.loop import _resolve_and_probe_splat_bounds
+
+    class _M:
+        gt_available = True
+        flow = np.zeros((2, 436, 1024, 2), np.float32)
+    _M.flow[..., 0] = 300.0                 # probe dx = 464 (auto was 128)
+
+    cfg = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_local_dx=96), _M(), 436, 1024)
+    # vs the widened dx=464: ceil((128+192)/128)=3 < ceil((128+928)/128)=9
+    assert cfg.splat_max_dx == 464 and cfg.splat_local_dx == 96
+    # and against the unchanged auto dx=128 the same pin stays disengaged
+    class _M0:
+        gt_available = True
+        flow = np.zeros((2, 436, 1024, 2), np.float32)
+    _M0.flow[..., 0] = 80.0                 # probe dx = 128 (no widen)
+    cfg0 = _resolve_and_probe_splat_bounds(
+        FlowConfig(splat_local_dx=96), _M0(), 436, 1024)
+    assert cfg0.splat_local_dx is None
+
+
+def test_window_refit_half_frame_fallback_respects_pins():
+    """Refit's half-frame exact fallback mirrors the probe: a pinned
+    global axis keeps the windowed path (the auto axis just widens)."""
+    cfg = FlowConfig(splat_max_dy=64, splat_max_dx=128, splat_local_dy=32,
+                     splat_local_dx=None)
+    out = _refit(cfg, {"fy": 250.0, "fx": 10.0, "dvy": 5.0, "dvx": 5.0},
+                 auto={"dy": True, "dx": False, "ldy": True, "ldx": True},
+                 allow_tighten=False)
+    assert out.splat_max_dy == 384 and out.splat_max_dx == 128
+
+
+def test_window_refit_reengages_local_dy_from_history():
+    """A row-local bound dropped by a transient global tighten re-engages
+    from the historical deviation evidence once the global re-widens —
+    without dvy history (local never ran) it stays off."""
+    cfg = FlowConfig(splat_max_dy=64, splat_max_dx=128,
+                     splat_local_dy=None, splat_local_dx=None)
+    since = {"fy": 10.0, "fx": 10.0, "dvy": None, "dvx": None}
+    out = _refit(cfg, since, hist={"fy": 40.0, "fx": 40.0, "dvy": 8.0,
+                                   "dvx": 8.0}, allow_tighten=False)
+    assert out is not None and out.splat_local_dy == 16     # 1.5*8+3 -> 16
+    # no deviation history (e.g. the GT probe disabled local mode): off
+    assert _refit(cfg, since, hist={"fy": 40.0, "fx": 40.0},
+                  allow_tighten=False) is None
+
+
+def test_window_bounds_sidecar_roundtrip(tmp_path):
+    """Effective bounds persist next to the checkpoints and re-apply to
+    'auto' axes only (a pin given at load time wins); a different frame
+    size invalidates the sidecar."""
+    from sin_inn_tpu.train.loop import (_load_window_bounds,
+                                        _save_window_bounds)
+
+    d = str(tmp_path)
+    trained = FlowConfig(splat_max_dy=96, splat_max_dx=160,
+                         splat_local_dy=16, splat_local_dx=None)
+    _save_window_bounds(d, trained, 436, 1024)
+    cfg, found = _load_window_bounds(FlowConfig(), d, 436, 1024)
+    assert found and cfg.splat_max_dy == 96 and cfg.splat_max_dx == 160
+    assert cfg.splat_local_dy == 16 and cfg.splat_local_dx is None
+    # a pinned axis wins over the sidecar
+    cfg, found = _load_window_bounds(FlowConfig(splat_max_dy=48), d,
+                                     436, 1024)
+    assert found and cfg.splat_max_dy == 48 and cfg.splat_max_dx == 160
+    # size mismatch: bounds are train-size pixels, do not apply
+    cfg, found = _load_window_bounds(FlowConfig(), d, 218, 512)
+    assert not found and cfg.splat_max_dy == "auto"
+    # absent sidecar
+    cfg, found = _load_window_bounds(FlowConfig(), str(tmp_path / "x"),
+                                     436, 1024)
+    assert not found
+
+
+def test_inference_bounds_never_engage_auto_locals():
+    """Inference drivers resolve 'auto' LOCAL bounds OFF (no deviation
+    evidence outside the train loop); pinned ints and globals pass
+    through untouched."""
+    from sin_inn_tpu.train.loop import _inference_bounds
+
+    cfg = _inference_bounds(FlowConfig())
+    assert cfg.splat_local_dy == "off" and cfg.splat_local_dx == "off"
+    assert cfg.splat_max_dy == "auto"
+    r = cfg.resolve_splat_bounds(436, 1024)
+    assert r.splat_local_dy is None and isinstance(r.splat_max_dy, int)
+    cfg = _inference_bounds(FlowConfig(splat_local_dy=16))
+    assert cfg.splat_local_dy == 16
+
+
+def test_flow_train_writes_bounds_sidecar(tmp_path, rng):
+    """Loop integration: training persists the effective bounds sidecar in
+    the scene checkpoint dir, and a fresh same-scene invocation restores
+    them instead of re-deriving raw 'auto' markers."""
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train.loop import (_load_window_bounds, flow_ckpt_dir,
+                                        run_flow_train)
+
+    video = rng.rand(3, 256, 128, 3).astype(np.float32)
+    base = tiny_cfg(net="RBF").replace(
+        epochs=4, checkpoints_dir=str(tmp_path / "ck"),
+        results_dir=str(tmp_path / "res"), val_iter=1000)
+    out = run_flow_train(base, media=FlowMedia(video.copy()), scene="sc")
+    eff = out["cfg"]
+    cfg2, found = _load_window_bounds(base, flow_ckpt_dir(base, "sc"),
+                                      256, 128)
+    assert found
+    for k in ("splat_max_dy", "splat_max_dx",
+              "splat_local_dy", "splat_local_dx"):
+        assert getattr(cfg2, k) == getattr(eff, k)
