@@ -296,8 +296,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = flow_config_from_args(a)
         if a.operation == "train":
             out = L.run_flow_train(cfg, use_wandb=a.wandb, keep_writer=True)
-            # chain with the EFFECTIVE config: resolved/probed/refitted
-            # window bounds, not the raw 'auto' markers
+            eff = out["cfg"]
+            if eff.test_size != eff.size:
+                # effective bounds were resolved/probed at the TRAIN frame
+                # size; a different test size must start from the user's raw
+                # values so run_flow_test's own size guard re-resolves them
+                # (advisor r3: the resolved ints would bypass it)
+                eff = eff.replace(splat_max_dy=cfg.splat_max_dy,
+                                  splat_max_dx=cfg.splat_max_dx,
+                                  splat_local_dy=cfg.splat_local_dy,
+                                  splat_local_dx=cfg.splat_local_dx)
+                out["cfg"] = eff
             L.run_flow_test(out["cfg"], state=out["state"], spec=out["spec"],
                             consts=out["consts"], ctrl_cfg=out["ctrl_cfg"],
                             scene=out["scene"], writer=out["writer"])

@@ -669,8 +669,12 @@ def _refit_window_bounds(cfg: FlowConfig, auto: Dict, fh: int, fw: int,
         # evidence (recorded while local mode ran); the same one-quantum
         # slack rule as tightening prevents drop/re-engage churn. When
         # local mode was never on (no dvy history — e.g. the GT probe
-        # disabled it on measured deviation), this stays off.
-        cand = _q8p(hist["dvy"])
+        # disabled it on measured deviation), this stays off. Deviation is
+        # UNMONITORED while local mode is off, so the historical max may be
+        # stale-low: re-engage with one extra slack quantum on top of the
+        # usual one (advisor r3) — the first post-re-engage cadence of
+        # fresh dvy can then tighten it back under the normal rule.
+        cand = _q8p(hist["dvy"]) + 8
         if cand <= ndy - 8:
             new["splat_local_dy"] = cand
     if not new or all(getattr(cfg, k) == v for k, v in new.items()):

@@ -593,7 +593,9 @@ def test_window_refit_reengages_local_dy_from_history():
     since = {"fy": 10.0, "fx": 10.0, "dvy": None, "dvx": None}
     out = _refit(cfg, since, hist={"fy": 40.0, "fx": 40.0, "dvy": 8.0,
                                    "dvx": 8.0}, allow_tighten=False)
-    assert out is not None and out.splat_local_dy == 16     # 1.5*8+3 -> 16
+    # 1.5*8+3 -> 16, plus one extra slack quantum (+8): deviation was
+    # unmonitored while local mode was off, so hist may be stale-low
+    assert out is not None and out.splat_local_dy == 24
     # no deviation history (e.g. the GT probe disabled local mode): off
     assert _refit(cfg, since, hist={"fy": 40.0, "fx": 40.0},
                   allow_tighten=False) is None

@@ -53,7 +53,7 @@ def main():
     from sin_inn_tpu.train.loop import run_flow_train
 
     h = args.size
-    w = 1024 if h == 436 else int(h * 1024 / 436) // 128 * 128
+    w = 1024 if h == 436 else max(128, int(h * 1024 / 436) // 128 * 128)
     frames, flow = synthetic_media(h=h, w=w)
     media = FlowMedia(frames, None if args.no_gt else flow)
 
