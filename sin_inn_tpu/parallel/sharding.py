@@ -20,11 +20,14 @@ parallelism is 1-GPU runs + SLURM scene arrays):
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.tree_util import DictKey, SequenceKey
+
+logger = logging.getLogger(__name__)
 
 
 def _path_names(path) -> list:
@@ -62,9 +65,29 @@ def state_shardings(mesh: Mesh, state: Any, model_parallel: bool = False):
 
     Param-shaped leaves (params and the optimizer moments that mirror them)
     get the TP rules; scalars and controller state replicate.
+
+    TP divisibility contract: a dim can only shard over ``model`` when the
+    axis size divides it; otherwise that leaf REPLICATES with a loud warning
+    (the math is unchanged — only the TP memory/compute saving is lost).
+    JAX's NamedSharding would reject the uneven split with an opaque error
+    deep in device_put, so the contract is enforced here.
     """
+    n_model = mesh.shape.get("model", 1)
+    warned: set = set()
+
     def one(path, leaf):
-        return NamedSharding(mesh, sr_param_spec(path, leaf, model_parallel))
+        spec = sr_param_spec(path, leaf, model_parallel)
+        if "model" in spec and hasattr(leaf, "shape"):
+            dim = leaf.shape[spec.index("model")]
+            if dim % n_model != 0:
+                if dim not in warned:
+                    warned.add(dim)
+                    logger.warning(
+                        "TP: hidden dim %d not divisible by model axis %d — "
+                        "replicating %s (and leaves like it) instead of "
+                        "sharding", dim, n_model, "/".join(_path_names(path)))
+                spec = P()
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, state)
 
