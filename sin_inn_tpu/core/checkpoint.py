@@ -29,15 +29,16 @@ class CheckpointStore:
         return os.path.join(self.directory, f"step_{step:010d}")
 
     def save(self, step: int, state: Any) -> str:
-        """Write one checkpoint. In multi-process runs only process 0 writes
-        (state is replicated in every run mode this framework ships — DP/TP
-        keep params fully addressable per host — so a single-writer snapshot
-        is complete and avoids N processes racing on the same directory)."""
+        """Write one checkpoint. In multi-process runs EVERY process must
+        call this: orbax synchronizes internally and only the primary host
+        writes the data — a process-0-only call deadlocks in orbax's global
+        barrier (measured: the round-4 two-process test hung exactly there).
+        State must be fully addressable per host (replicated params — true
+        for every run mode this framework ships; ``jax.device_get`` raises
+        loudly otherwise)."""
         import orbax.checkpoint as ocp
 
         path = self._path(step)
-        if jax.process_index() != 0:
-            return path
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, jax.device_get(state), force=True)
         return path

@@ -102,8 +102,14 @@ class SRConfig:
     # channels (TP, parallel/sharding.py rules).
     mesh_data: Optional[int] = None
     mesh_model: int = 1
-    # call jax.distributed.initialize() first (multi-host pods)
+    # call jax.distributed.initialize() first (multi-host pods). With the
+    # dist_* fields left None the runtime auto-detects (TPU pod metadata);
+    # explicit coordinator/num_processes/process_id boot any N-process
+    # cluster (incl. the CPU gloo path the tests exercise).
     distributed: bool = False
+    dist_coordinator: Optional[str] = None
+    dist_num_processes: Optional[int] = None
+    dist_process_id: Optional[int] = None
     # --profile N: capture one jax.profiler trace of N post-warmup train
     # steps into <checkpoints>/trace (TensorBoard/xprof readable)
     profile_steps: int = 0
@@ -304,6 +310,9 @@ class FlowConfig:
     # workload, SURVEY §2.5). None = all visible devices when >1; 1 = off.
     mesh_data: Optional[int] = None
     distributed: bool = False
+    dist_coordinator: Optional[str] = None     # see SRConfig.dist_*
+    dist_num_processes: Optional[int] = None
+    dist_process_id: Optional[int] = None
     # --profile N: capture one jax.profiler trace of N post-warmup train
     # steps into <checkpoints>/trace (TensorBoard/xprof readable)
     profile_steps: int = 0

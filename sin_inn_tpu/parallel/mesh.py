@@ -67,23 +67,34 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> bool:
+                           process_id: Optional[int] = None,
+                           timeout_s: Optional[float] = None) -> bool:
     """Multi-host JAX runtime init (the NCCL/MPI replacement, SURVEY §2.5).
 
     On single-host runs this is a no-op returning False. In a multi-host
     deployment call it first (or rely on TPU pod auto-detection by passing
     nothing); afterwards ``jax.devices()`` spans all hosts and the meshes
     built here carry DCN+ICI collectives automatically.
+
+    With EXPLICIT coordinator args a failure raises: the caller asked for a
+    specific cluster, and silently falling back to single-host would run a
+    divergent job (each process training alone on the same output dirs).
+    Auto-detect failures return False (no pod metadata = single-host run).
     """
     import jax
 
+    explicit = coordinator_address is not None or num_processes is not None
     try:
-        if coordinator_address is None and num_processes is None:
-            jax.distributed.initialize()       # TPU pod metadata auto-detect
+        kw = {} if timeout_s is None else {
+            "initialization_timeout": timeout_s}
+        if not explicit:
+            jax.distributed.initialize(**kw)   # TPU pod metadata auto-detect
         else:
             jax.distributed.initialize(coordinator_address=coordinator_address,
                                        num_processes=num_processes,
-                                       process_id=process_id)
+                                       process_id=process_id, **kw)
         return jax.process_count() > 1
     except Exception:
+        if explicit:
+            raise
         return False

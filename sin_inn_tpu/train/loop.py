@@ -144,7 +144,8 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     """
     compile_cache.enable()
     if cfg.distributed:
-        initialize_distributed()
+        initialize_distributed(cfg.dist_coordinator, cfg.dist_num_processes,
+                               cfg.dist_process_id)
     video = video or SRVideo.from_dirs(cfg)
     sup, unsup, val = make_datasets(video, cfg)
 
@@ -715,7 +716,8 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     """
     compile_cache.enable()
     if cfg.distributed:
-        initialize_distributed()
+        initialize_distributed(cfg.dist_coordinator, cfg.dist_num_processes,
+                               cfg.dist_process_id)
     mesh = resolve_mesh(cfg.mesh_data, batch_size=cfg.batch)
     if media is None:
         media, val_media, scene = flow_media.get_video(
