@@ -30,12 +30,26 @@ import numpy as np
 
 
 def unpack_matrices(poses: np.ndarray):
-    """(N, 3, 5) poses -> (K, K_inv, c2w, w2c) (gather_3d.py:16-25)."""
+    """(N, 3, 5|6) poses -> (K, K_inv, c2w, w2c) (gather_3d.py:16-25).
+
+    6-column poses carry COLMAP's TRUE principal point in column 5, rows
+    [cx, cy, k] (the layout reference pose_utils.py:97-102,125 writes).
+    Camera coordinates here are (y, x, 1, 1/z) — see pack_frustum_corners —
+    so K[0,2] (the row-0 offset) is **cy** and K[1,2] is **cx**. Documented
+    divergence: the reference notebook assigns them unswapped
+    (gather_3d.py:20-21), which misplaces the center whenever cx != cy; the
+    intended geometry is used here. Legacy 5-column poses fall back to the
+    image-center approximation (h/2, w/2).
+    """
     K = np.eye(4, dtype=np.float32)
     K[0, 0] = poses[0, 2, 4]
     K[1, 1] = poses[0, 2, 4]
-    K[0, 2] = poses[0, 0, 4]
-    K[1, 2] = poses[0, 1, 4]
+    if poses.shape[-1] >= 6:
+        K[0, 2] = poses[0, 1, 5]        # cy — the y/row offset
+        K[1, 2] = poses[0, 0, 5]        # cx — the x/col offset
+    else:
+        K[0, 2] = poses[0, 0, 4] / 2.0  # h/2
+        K[1, 2] = poses[0, 1, 4] / 2.0  # w/2
     c2w = np.zeros((poses.shape[0], 4, 4), dtype=np.float32)
     c2w[:, :3, :] = poses[..., :4]
     c2w[:, 3, 3] = 1.0
