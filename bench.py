@@ -76,6 +76,49 @@ def bench_tpu(batch: int, h: int, w: int, steps: int, arch: str = "SRF"):
     return batch * steps / dt / n_chips
 
 
+def _spin_time() -> float:
+    """Fixed GIL-bound workload (~0.2-0.5 s): its wall time scales ~linearly
+    with CPU contention on the single-core box, making it a calibration
+    probe for the torch baselines (VERDICT r3 weak #1: a contended draw
+    recorded 129x against a documented 65-84x quiet band)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    return time.perf_counter() - t0
+
+
+def guarded_baseline(fn, max_tries: int = 3, threshold: float = 1.3,
+                     retry_sleep: float = 30.0):
+    """Run a torch-CPU baseline with a contention guard.
+
+    Spin-calibrates before/after each attempt; an attempt whose spins run
+    ``threshold``x slower than the fastest spin ever observed is a
+    contaminated draw — retried after a pause, and if the machine never
+    quiets down the result is ANNOTATED contended instead of being recorded
+    as a clean ratio. Returns (value, metadata-dict for the emitted JSON).
+    """
+    import os
+
+    spins = [_spin_time()]
+    meta = {"tries": 0, "contended": True, "spin_ratio": None,
+            "loadavg": None}
+    value = None
+    for attempt in range(max_tries):
+        s0 = _spin_time()
+        value = fn()
+        s1 = _spin_time()
+        spins += [s0, s1]
+        ratio = max(s0, s1) / min(spins)
+        meta.update(tries=attempt + 1, spin_ratio=round(ratio, 3),
+                    loadavg=[round(x, 2) for x in os.getloadavg()])
+        if ratio < threshold:
+            meta["contended"] = False
+            break
+        time.sleep(retry_sleep)
+    return value, meta
+
+
 def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
     """Torch-CPU proxy of the reference per-step work: same INN shape
     (squeezes + 8 GLOW couplings with 256-wide conv subnets), bidirectional
@@ -390,23 +433,24 @@ def main():
         # its shipped fast path, the replica the reference's exact scatter
         # math — same training computation)
         bh, bw = 108, 256
-        base = bench_torch_cpu_flow_baseline(bh, bw)
+        base, meta = guarded_baseline(
+            lambda: bench_torch_cpu_flow_baseline(bh, bw))
         if not base:
-            return 0.0
+            return 0.0, meta
         tpu_small = median3(lambda: bench_flow(
             1, bh, bw, max(args.steps, 40), args.net, dy, args.splat_chunk,
             args.splat_max_dx, args.flow_dtype))
-        return tpu_small / base
+        return tpu_small / base, meta
 
     if args.pipeline == "flow":
         dy = args.splat_max_dy or None
         fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net,
                          dy, args.splat_chunk, args.splat_max_dx,
                          args.flow_dtype)
-        vs_baseline = 0.0
+        vs_baseline, bmeta = 0.0, None
         if not args.no_baseline:
             try:
-                vs_baseline = flow_ratio(dy)
+                vs_baseline, bmeta = flow_ratio(dy)
             except Exception as e:  # noqa: BLE001 - bench must still report
                 print(f"flow baseline failed: {e}", file=sys.stderr)
         print(json.dumps({
@@ -414,13 +458,14 @@ def main():
             "value": round(fps, 3),
             "unit": "frames/sec/chip",
             "vs_baseline": round(vs_baseline, 2),
+            "baseline_contention": bmeta,
         }))
         return
 
     fps = bench_tpu(args.batch, args.height, args.width, args.steps,
                     arch=args.arch)
 
-    vs_baseline = 0.0
+    vs_baseline, bmeta = 0.0, None
     if not args.no_baseline:
         try:
             # MEASURED apples-to-apples ratio at one common shape: run the
@@ -430,7 +475,8 @@ def main():
             # shape underutilizes the chip).
             bh = max(args.height // 4 // 8 * 8, 8)
             bw = max(args.width // 4 // 8 * 8, 8)
-            base_small = bench_torch_cpu_baseline(bh, bw)
+            base_small, bmeta = guarded_baseline(
+                lambda: bench_torch_cpu_baseline(bh, bw))
             if base_small:
                 # >=100 chained steps: the tiny shape leaves the relay's
                 # ~1.6 ms/call dispatch visible at short chains, and a
@@ -446,6 +492,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+        "baseline_contention": bmeta,
     }
     if not args.no_flow:
         # the flow pipeline's numbers ride the same JSON line so the
@@ -457,8 +504,9 @@ def main():
                 args.splat_max_dx, args.flow_dtype), 3)
             out["flow_unit"] = "frames/sec/chip (436x1024 INR step)"
             if not args.no_baseline:
-                out["flow_vs_baseline"] = round(
-                    flow_ratio(args.splat_max_dy or None), 2)
+                fr, fmeta = flow_ratio(args.splat_max_dy or None)
+                out["flow_vs_baseline"] = round(fr, 2)
+                out["flow_baseline_contention"] = fmeta
         except Exception as e:  # noqa: BLE001 - bench must still report
             print(f"flow bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
