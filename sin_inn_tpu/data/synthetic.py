@@ -29,13 +29,155 @@ def moving_texture_video(num_frames: int, h: int, w: int,
     return np.clip(frames, 0.0, 1.0)
 
 
+def _smooth_texture(h: int, w: int, seed: int, blur: int = 2) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    base = rng.rand(h, w, 3).astype(np.float32)
+    for _ in range(blur):
+        base = (base
+                + np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1)) / 5.0
+    return base
+
+
+def _sample_bilinear(base: np.ndarray, yy: np.ndarray,
+                     xx: np.ndarray) -> np.ndarray:
+    """Bilinear sample (H, W, C) base at float (h, w) coordinate grids."""
+    hb, wb = base.shape[:2]
+    y0 = np.clip(np.floor(yy), 0, hb - 2).astype(np.int64)
+    x0 = np.clip(np.floor(xx), 0, wb - 2).astype(np.int64)
+    fy = np.clip(yy - y0, 0.0, 1.0)[..., None]
+    fx = np.clip(xx - x0, 0.0, 1.0)[..., None]
+    tl = base[y0, x0]
+    tr = base[y0, x0 + 1]
+    bl = base[y0 + 1, x0]
+    br = base[y0 + 1, x0 + 1]
+    return ((tl * (1 - fx) + tr * fx) * (1 - fy)
+            + (bl * (1 - fx) + br * fx) * fy).astype(np.float32)
+
+
+def synthetic_flow_sequence(kind: str, num_frames: int, h: int, w: int,
+                            seed: int = 0, magnitude: float = 1.0):
+    """Analytic-GT flow fixtures beyond the uniform shift (VERDICT r3 #5:
+    "the easiest flow field that exists"). Returns
+    ``(frames (N,h,w,3) float32, flows (N-1,h,w,2) float32)`` with flow
+    channels (dx, dy), the forward frame_t -> frame_{t+1} convention the
+    trainer's EPE uses (train/flow.py).
+
+    kinds:
+      * ``shift``    — uniform translation by ``magnitude`` px/frame (the
+        original easy fixture, included for completeness);
+      * ``rotation`` — rigid rotation by ``magnitude`` DEGREES/frame about
+        the image centre: smoothly varying, non-constant GT;
+      * ``zoom``     — scaling by ``(1 + magnitude/100)``/frame about the
+        centre: divergent flow with a radial profile;
+      * ``occlusion`` — a textured square moving ``magnitude`` px/frame
+        over a static textured background: motion DISCONTINUITY plus real
+        cover/uncover regions that exercise the wang/brox occlusion
+        estimators (reference trainer's hardest regime).
+
+    Frames sample one continuous base texture at analytically transformed
+    coordinates, so the GT flow is exact to the transform (no resampling
+    drift accumulates).
+    """
+    pad = int(abs(magnitude) * num_frames + 0.1 * max(h, w) + 8)
+    base = _smooth_texture(h + 2 * pad, w + 2 * pad, seed)
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def transform(t: float):
+        """Pixel coords -> base-texture coords at time t; returns (by, bx)."""
+        if kind == "shift":
+            return yy + pad, xx + pad + magnitude * t
+        if kind == "rotation":
+            a = np.deg2rad(magnitude) * t
+            ry = (yy - cy) * np.cos(a) - (xx - cx) * np.sin(a)
+            rx = (yy - cy) * np.sin(a) + (xx - cx) * np.cos(a)
+            return ry + cy + pad, rx + cx + pad
+        if kind == "zoom":
+            s = (1.0 + magnitude / 100.0) ** t
+            return (yy - cy) * s + cy + pad, (xx - cx) * s + cx + pad
+        raise ValueError(kind)
+
+    def inverse(by, bx, t: float):
+        """Base coords -> pixel coords at time t (exact transform inverse)."""
+        if kind == "shift":
+            return by - pad, bx - pad - magnitude * t
+        if kind == "rotation":
+            a = np.deg2rad(magnitude) * t
+            qy, qx = by - pad - cy, bx - pad - cx
+            return (qy * np.cos(a) + qx * np.sin(a) + cy,
+                    -qy * np.sin(a) + qx * np.cos(a) + cx)
+        s = (1.0 + magnitude / 100.0) ** t
+        return (by - pad - cy) / s + cy, (bx - pad - cx) / s + cx
+
+    if kind == "occlusion":
+        fg = _smooth_texture(h, w, seed + 1)
+        side = max(h, w) // 4
+        y0, x0 = h // 4, w // 8
+        frames, flows = [], []
+        for t in range(num_frames):
+            off = magnitude * t
+            frame = base[pad:pad + h, pad:pad + w].copy()
+            flow = np.zeros((h, w, 2), np.float32)
+            sx0 = int(round(x0 + off))
+            fr_y, fr_x = slice(y0, y0 + side), slice(sx0, min(sx0 + side, w))
+            frame[fr_y, fr_x] = fg[y0:y0 + side, 0:fr_x.stop - fr_x.start]
+            flow[fr_y, fr_x, 0] = magnitude      # square moves in x
+            frames.append(frame)
+            if t:
+                flows.append(flows_prev)
+            flows_prev = flow
+        return (np.stack(frames).astype(np.float32),
+                np.stack(flows).astype(np.float32))
+
+    frames, flows = [], []
+    for t in range(num_frames):
+        by, bx = transform(float(t))
+        frames.append(_sample_bilinear(base, by, bx))
+        py, px = inverse(by, bx, float(t + 1))
+        flows.append(np.stack([px - xx, py - yy], -1).astype(np.float32))
+    return np.stack(frames), np.stack(flows[:-1])
+
+
+def natural_texture_video(num_frames: int, h: int, w: int, seed: int = 0,
+                          alpha: float = 1.8, shift: float = 1.0
+                          ) -> np.ndarray:
+    """(N, H, W, 3) video with a 1/f^alpha power spectrum — natural-image
+    second-order statistics instead of blurred white noise (VERDICT r3 #5's
+    "natural-statistics SR texture"), drifting ``shift`` px/frame."""
+    rng = np.random.RandomState(seed)
+    pad = int(num_frames * shift) + 8
+    hh, ww = h + pad, w + pad
+    fy = np.fft.fftfreq(hh)[:, None]
+    fx = np.fft.fftfreq(ww)[None, :]
+    amp = 1.0 / np.maximum(np.sqrt(fy ** 2 + fx ** 2), 1.0 / max(hh, ww)) \
+        ** alpha
+    chans = []
+    for _ in range(3):
+        phase = np.exp(2j * np.pi * rng.rand(hh, ww))
+        img = np.real(np.fft.ifft2(amp * phase))
+        img = (img - img.min()) / max(img.max() - img.min(), 1e-9)
+        chans.append(img)
+    base = np.stack(chans, -1).astype(np.float32)
+    frames = [base[i:i + h, i:i + w] for i in
+              (int(round(t * shift)) for t in range(num_frames))]
+    return np.clip(np.stack(frames), 0.0, 1.0)
+
+
 def synthetic_sr_video(cfg: SRConfig, num_frames: int = None, h: int = 16,
-                       w: int = 16, seed: int = 0) -> SRVideo:
-    """SRVideo with LR derived by bayer binning of the HR frames."""
+                       w: int = 16, seed: int = 0,
+                       texture: str = "smooth") -> SRVideo:
+    """SRVideo with LR derived by bayer binning of the HR frames.
+
+    ``texture='natural'`` uses the 1/f-spectrum video (real second-order
+    image statistics) instead of blurred white noise."""
     if num_frames is None:
         # enough frames for at least two supervised samples
         num_frames = 2 * (120 // cfg.fps) + 2 * cfg.fps + 4
-    hr = moving_texture_video(num_frames, h, w, seed)
+    hr = (natural_texture_video(num_frames, h, w, seed)
+          if texture == "natural" else
+          moving_texture_video(num_frames, h, w, seed))
     lr = []
     for f in hr:
         bayer, _ = extract_bayer(f)

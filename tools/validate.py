@@ -74,7 +74,8 @@ def validate_sr(epochs: int, arch: str = "SRF",
 def validate_flow(iters: int, net: str, splat_max_dy: int,
                   splat_max_dx: int, use_pallas: str = "auto",
                   scale: float = 1.0, spatial: bool = False,
-                  splat_local_dy="off") -> dict:
+                  splat_local_dy="off", fixture: str = "shift",
+                  magnitude: float = 2.0) -> dict:
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
     import jax
@@ -82,16 +83,25 @@ def validate_flow(iters: int, net: str, splat_max_dy: int,
     import numpy as np
 
     from sin_inn_tpu.core.config import FlowConfig
-    from sin_inn_tpu.data.synthetic import moving_texture_video
+    from sin_inn_tpu.data.synthetic import (moving_texture_video,
+                                            synthetic_flow_sequence)
     from sin_inn_tpu.train import flow as FT
 
     h, w, nf = 436, 1024, 4
-    base = moving_texture_video(1, h, w + 2 * nf + 2, seed=3)[0]
-    frames = np.stack([base[:, 2 * i:2 * i + w] for i in range(nf)])
+    if fixture == "shift":
+        base = moving_texture_video(1, h, w + 2 * nf + 2, seed=3)[0]
+        frames = np.stack([base[:, 2 * i:2 * i + w] for i in range(nf)])
+        gt = np.zeros((nf - 1, h, w, 2), np.float32)
+        gt[..., 0] = -2.0
+    else:
+        # harder analytic-GT fixtures (rotation/zoom/occlusion) — the
+        # flagship-scale versions of tests/test_convergence.py's bands
+        frames, gt = synthetic_flow_sequence(fixture, nf, h, w, seed=3,
+                                             magnitude=magnitude)
     f1 = jnp.asarray(frames[:-1])
     f2 = jnp.asarray(frames[1:])
     b = int(f1.shape[0])
-    gt = jnp.zeros((b, h, w, 2)).at[..., 0].set(-2.0)
+    gt = jnp.asarray(gt)
     batch = {"frame1": f1, "frame2": f2, "times": jnp.linspace(-1, 1, b),
              "scale": jnp.asarray(np.float32(scale)), "gt_flow": gt}
     cfg = FlowConfig(net=net, epochs=iters, lr=3e-3,
@@ -113,6 +123,7 @@ def validate_flow(iters: int, net: str, splat_max_dy: int,
             epe_traj.append(round(float(m["epe"]), 4))
             psnr_traj.append(round(float(m["psnr"]), 2))
     return {"check": "flow_convergence", "net": net, "iters": iters,
+            "fixture": fixture, "magnitude": magnitude,
             "use_pallas": use_pallas, "scale": scale, "spatial": spatial,
             "splat_local_dy": splat_local_dy,
             "epe0": round(epe0, 3), "epe": epe_traj[-1],
@@ -142,6 +153,12 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="flow: output scale (the trainer uses W/5)")
     ap.add_argument("--spatial", action="store_true")
+    ap.add_argument("--fixture", default="shift",
+                    choices=["shift", "rotation", "zoom", "occlusion"],
+                    help="flow: synthetic fixture kind (harder-than-shift "
+                         "analytic-GT fields, data/synthetic.py)")
+    ap.add_argument("--magnitude", type=float, default=2.0,
+                    help="flow fixture magnitude (px, deg, or %% per frame)")
     args = ap.parse_args()
     if args.pipeline == "sr":
         out = validate_sr(args.epochs, args.arch, args.compute_dtype)
@@ -152,7 +169,8 @@ def main():
         out = validate_flow(args.iters, args.net, args.splat_max_dy,
                             args.splat_max_dx, use_pallas=args.use_pallas,
                             scale=args.scale, spatial=args.spatial,
-                            splat_local_dy=ldy)
+                            splat_local_dy=ldy, fixture=args.fixture,
+                            magnitude=args.magnitude)
     print(json.dumps(out))
 
 
