@@ -119,10 +119,13 @@ def guarded_baseline(fn, max_tries: int = 3, threshold: float = 1.3,
     return value, meta
 
 
-def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
+def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0,
+                             reps: int = 8, steps: int = 4):
     """Torch-CPU proxy of the reference per-step work: same INN shape
     (squeezes + 8 GLOW couplings with 256-wide conv subnets), bidirectional
     losses summed, one backward, one Adam step. Returns frames/sec at (h, w).
+    ``reps``/``steps`` scale the warm best-of-N down for big shapes
+    (tools/northstar.py measures up to 1080p at seconds-per-step).
     """
     import torch
     import torch.nn as nn
@@ -226,19 +229,18 @@ def bench_torch_cpu_baseline(h: int, w: int, timeout_s: float = 300.0):
     one_step()
     if time.perf_counter() - t0 > timeout_s:
         return None
-    steps = 4
-    reps = []
-    for _ in range(8):
+    vals = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             one_step()
-        reps.append(steps * b / (time.perf_counter() - t0))
+        vals.append(steps * b / (time.perf_counter() - t0))
     # best-of-8 (~6 s total at the 88x160 shape): contention noise on the
     # single-core box is strictly one-sided (it only slows torch down), so
     # the fastest rep is both the most reproducible and the CONSERVATIVE
     # choice for the ratio; with 4 reps the recorded SR ratio still swung
     # ~60-100x run-to-run, 8 pins it tighter
-    return max(reps)
+    return max(vals)
 
 
 def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",

@@ -78,6 +78,12 @@ def _sr_parser(sub):
                     help="tensor-parallel mesh axis over subnet hidden")
     ap.add_argument("--distributed", action="store_true",
                     help="jax.distributed.initialize() first (multi-host)")
+    ap.add_argument("--dist_coordinator", default=None, metavar="HOST:PORT",
+                    help="explicit multi-host coordinator (default: TPU pod "
+                         "auto-detect); requires --dist_num_processes and "
+                         "--dist_process_id")
+    ap.add_argument("--dist_num_processes", type=int, default=None)
+    ap.add_argument("--dist_process_id", type=int, default=None)
     ap.add_argument("--tcr_stop_grad", action="store_true",
                     help="gradient-free TCR warp (reference parity)")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
@@ -110,6 +116,9 @@ def sr_config_from_args(a) -> SRConfig:
         dense_gc=a.dense_gc, compute_dtype=a.compute_dtype,
         use_pallas=a.use_pallas, remat=a.remat, mesh_data=a.mesh_data,
         mesh_model=a.mesh_model, distributed=a.distributed,
+        dist_coordinator=a.dist_coordinator,
+        dist_num_processes=a.dist_num_processes,
+        dist_process_id=a.dist_process_id,
         tcr_stop_grad=a.tcr_stop_grad, auto_lr=a.auto_lr,
         auto_batch=a.auto_batch, profile_steps=a.profile,
     )
@@ -202,6 +211,9 @@ def _flow_parser(sub):
                          "off-TPU), 'off' (XLA paths)")
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="capture one jax.profiler trace of N train steps")
     ap.add_argument("--flow-dir", default=None,
@@ -240,7 +252,9 @@ def flow_config_from_args(a) -> FlowConfig:
         window_refit=a.window_refit,
         use_pallas=a.use_pallas,
         mesh_data=a.mesh_data,
-        distributed=a.distributed, flow_dir=a.flow_dir,
+        distributed=a.distributed, dist_coordinator=a.dist_coordinator,
+        dist_num_processes=a.dist_num_processes,
+        dist_process_id=a.dist_process_id, flow_dir=a.flow_dir,
         flow_producer=a.flow_producer, import_torch=a.import_torch,
         profile_steps=a.profile,
     )
