@@ -151,27 +151,6 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
     m = patch  # static candidate-grid side (box clipped to patch x patch)
     gy, gx = jnp.meshgrid(jnp.arange(m, dtype=jnp.float32),
                           jnp.arange(m, dtype=jnp.float32), indexing="ij")
-    cand_y = y_min[..., None, None] + gy                        # (N,h,w,m,m)
-    cand_x = x_min[..., None, None] + gx
-    in_box = (cand_y <= y_max[..., None, None] + 1e-6) & \
-             (cand_x <= x_max[..., None, None] + 1e-6) & \
-             (cand_y <= h - 1) & (cand_x <= w - 1)
-    cand_y = jnp.clip(cand_y, 0, h - 1).reshape(n_frames, h, w, m * m)
-    cand_x = jnp.clip(cand_x, 0, w - 1).reshape(n_frames, h, w, m * m)
-    valid = in_box.reshape(n_frames, h, w, m * m)
-
-    iy = cand_y.astype(jnp.int32)
-    ix = cand_x.astype(jnp.int32)
-
-    # depth-lift to 3D (vmapped :103-115)
-    def lift(depth_f, iy_f, ix_f):
-        return depth_f[iy_f, ix_f]
-    d = jax.vmap(lift)(depths, iy, ix)                          # (N,h,w,mm)
-    valid = valid & (d > 0)
-    homog = jnp.stack([cand_y * d, cand_x * d, d, jnp.ones_like(d)], -1)
-
-    c2wK_all = jnp.asarray(c2w @ K_inv[None])                   # (N,4,4)
-    scene_cand = jax.vmap(lambda M, p: _project(M, p))(c2wK_all, homog)
 
     # frustum side planes from the reference frame (:122-129)
     sp = scene_pts[..., :3]
@@ -184,34 +163,63 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
     normal4 = jnp.cross(sp[..., 3, :] - sp[..., 2, :], sp[..., 6, :] - sp[..., 2, :])
     offset4 = -jnp.sum(normal4 * sp[..., 2, :], -1)
 
-    sc = scene_cand[..., :3]
-    side = lambda nrm, off: (jnp.sum(sc * nrm[None, :, :, None, :], -1)
-                             + off[None, :, :, None])
-    outside = ((side(normal1, offset1) * side(normal2, offset2) >= 0)
-               | (side(normal3, offset3) * side(normal4, offset4) >= 0))
-    valid = valid & ~outside
+    c2wK_all = jnp.asarray(c2w @ K_inv[None])                   # (N,4,4)
+    sigma_inv2 = jnp.asarray(1.0 / np.asarray(sigma, np.float32)) ** 2
 
-    # (rgb, xyz, t) features per candidate (:144-149)
-    def fetch_rgb(img_f, iy_f, ix_f):
-        return img_f[iy_f, ix_f]
-    rgb = jax.vmap(fetch_rgb)(imgs, iy, ix)                      # (N,h,w,mm,3)
-    t = jnp.broadcast_to(
-        jnp.arange(n_frames, dtype=jnp.float32)[:, None, None, None],
-        d.shape)[..., None]
-    feats = jnp.concatenate([rgb, sc, t], axis=-1)               # (...,7)
+    def frame_candidates(img_f, depth_f, ymin_f, xmin_f, ymax_f, xmax_f,
+                         c2wK_f):
+        """One frame's candidate gather/lift/filter -> (h,w,mm) pieces."""
+        cand_y = ymin_f[..., None, None] + gy                   # (h,w,m,m)
+        cand_x = xmin_f[..., None, None] + gx
+        in_box = (cand_y <= ymax_f[..., None, None] + 1e-6) & \
+                 (cand_x <= xmax_f[..., None, None] + 1e-6) & \
+                 (cand_y <= h - 1) & (cand_x <= w - 1)
+        cand_y = jnp.clip(cand_y, 0, h - 1).reshape(h, w, m * m)
+        cand_x = jnp.clip(cand_x, 0, w - 1).reshape(h, w, m * m)
+        valid = in_box.reshape(h, w, m * m)
+        iy = cand_y.astype(jnp.int32)
+        ix = cand_x.astype(jnp.int32)
+        d = depth_f[iy, ix]                                     # (h,w,mm)
+        valid = valid & (d > 0)
+        homog = jnp.stack([cand_y * d, cand_x * d, d,
+                           jnp.ones_like(d)], -1)
+        sc = _project(c2wK_f, homog)[..., :3]                   # (h,w,mm,3)
+        side = lambda nrm, off: (jnp.sum(sc * nrm[:, :, None, :], -1)
+                                 + off[:, :, None])
+        outside = ((side(normal1, offset1) * side(normal2, offset2) >= 0)
+                   | (side(normal3, offset3) * side(normal4, offset4) >= 0))
+        return img_f[iy, ix], sc, valid & ~outside
 
     # reference features: frame-0 pixel rgb + its center candidate xyz, t=0
-    ref = jnp.concatenate([imgs[ref_frame],
-                           sc[ref_frame, :, :, n_samp // 2],
-                           jnp.zeros((h, w, 1))], axis=-1)       # (h,w,7)
+    rgb0, sc0, _ = frame_candidates(
+        imgs[ref_frame], depths[ref_frame], y_min[ref_frame],
+        x_min[ref_frame], y_max[ref_frame], x_max[ref_frame],
+        c2wK_all[ref_frame])
+    ref = jnp.concatenate([imgs[ref_frame], sc0[:, :, n_samp // 2],
+                           jnp.zeros((h, w, 1))], axis=-1)      # (h,w,7)
 
-    sigma_inv2 = jnp.asarray(1.0 / np.asarray(sigma, np.float32)) ** 2
-    diff2 = (ref[None, :, :, None, :] - feats) ** 2
-    weights = jnp.exp(-0.5 * jnp.sum(diff2 * sigma_inv2, -1))
-    weights = weights * valid.astype(weights.dtype)              # (N,h,w,mm)
+    # accumulate over frames with lax.scan: the frame axis is a pure sum
+    # reduction, so peak memory is ONE frame's candidate set instead of the
+    # reference notebook's all-frames materialization (gather_3d.py:145-149
+    # loops in Python for the same reason) — this is what lets the gather
+    # run at real scene sizes (N >= 20 dense frames) in 16 GB HBM
+    def step(acc, inp):
+        t, img_f, depth_f, ymin_f, xmin_f, ymax_f, xmax_f, c2wK_f = inp
+        rgb, sc, valid = frame_candidates(img_f, depth_f, ymin_f, xmin_f,
+                                          ymax_f, xmax_f, c2wK_f)
+        feats = jnp.concatenate(
+            [rgb, sc, jnp.broadcast_to(t, rgb.shape[:3])[..., None]], -1)
+        diff2 = (ref[:, :, None, :] - feats) ** 2
+        weights = jnp.exp(-0.5 * jnp.sum(diff2 * sigma_inv2, -1))
+        weights = weights * valid.astype(weights.dtype)         # (h,w,mm)
+        wsum, rgb_accum = acc
+        return (wsum + weights.sum(-1),
+                rgb_accum + jnp.sum(weights[..., None] * rgb, -2)), None
 
-    wsum = jnp.sum(weights, axis=(0, 3))
-    rgb_accum = jnp.sum(weights[..., None] * rgb, axis=(0, 3))
+    ts = jnp.arange(n_frames, dtype=jnp.float32)
+    (wsum, rgb_accum), _ = jax.lax.scan(
+        step, (jnp.zeros((h, w)), jnp.zeros((h, w, 3))),
+        (ts, imgs, depths, y_min, x_min, y_max, x_max, c2wK_all))
     out = jnp.where(wsum[..., None] > 1e-8,
                     rgb_accum / jnp.maximum(wsum[..., None], 1e-8),
                     imgs[ref_frame])

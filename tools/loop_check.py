@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--size", type=int, default=436)
     ap.add_argument("--no-gt", action="store_true",
                     help="no GT flow: exercises the refit-only path")
+    ap.add_argument("--dir", default=None,
+                    help="persistent work dir: a SECOND run restores the "
+                         "first run's converged window-bounds sidecar (and "
+                         "checkpoint), so its frames_per_sec is the refit "
+                         "FIXPOINT steady state instead of being diluted "
+                         "by the mid-run rebuild compiles")
     args = ap.parse_args()
 
     from sin_inn_tpu.core import compile_cache
@@ -57,7 +63,7 @@ def main():
     frames, flow = synthetic_media(h=h, w=w)
     media = FlowMedia(frames, None if args.no_gt else flow)
 
-    tmp = tempfile.mkdtemp(prefix="loopcheck_")
+    tmp = args.dir or tempfile.mkdtemp(prefix="loopcheck_")
     cfg = FlowConfig(net="RBF", epochs=args.epochs, lr=3e-3,
                      batch=len(media), compute_dtype="bfloat16",
                      checkpoints_dir=os.path.join(tmp, "ck"),
