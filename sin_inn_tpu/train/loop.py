@@ -423,19 +423,42 @@ _WINDOW_BOUND_KEYS = ("splat_max_dy", "splat_max_dx",
 
 
 def _save_window_bounds(directory: str, cfg: FlowConfig,
-                        fh: int, fw: int) -> None:
+                        fh: int, fw: int, hist: Optional[Dict] = None
+                        ) -> None:
     """Persist the EFFECTIVE (probed/refitted) window bounds next to the
     checkpoints. Bounds are derived from measured flow (the GT probe, the
     mid-training refit) but live in the config, not the checkpointed
     pytrees — without this sidecar a preemption resume or a later
     test/interpolate invocation re-resolves the raw 'auto' markers and
-    silently loses every probe/refit decision (round-3 review)."""
+    silently loses every probe/refit decision (round-3 review).
+
+    ``hist`` is the refit monitor's all-time flow-stat maxima: without it a
+    RESUMED run starts with empty history, re-tightens on thin evidence,
+    and oscillates (measured round 4: a 1400-epoch resume tightened dy at
+    epoch 406 on 3.8 px of fresh history, then re-widened at 1106 — two
+    recompiles the historical-max rule exists to prevent)."""
     import json
     if jax.process_index() != 0:     # multi-host: single-writer, like ckpts
         return
     with open(path.join(directory, "window_bounds.json"), "w") as f:
         json.dump({"fh": fh, "fw": fw,
-                   **{k: getattr(cfg, k) for k in _WINDOW_BOUND_KEYS}}, f)
+                   **{k: getattr(cfg, k) for k in _WINDOW_BOUND_KEYS},
+                   "hist": hist or {}}, f)
+
+
+def _load_window_hist(directory: str, fh: int, fw: int) -> Dict:
+    """The persisted refit-monitor maxima (empty when absent/size-invalid)."""
+    import json
+    p = path.join(directory, "window_bounds.json")
+    try:
+        with open(p) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if (data.get("fh"), data.get("fw")) != (fh, fw):
+        return {}
+    return {k: float(v) for k, v in data.get("hist", {}).items()
+            if v is not None}
 
 
 def _load_window_bounds(cfg: FlowConfig, directory: str,
@@ -791,7 +814,10 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     # `mon_hist` keeps the all-time max as host floats across refits (the
     # device vector's length changes when a refit switches window modes).
     mon_since = None
-    mon_hist: Dict = {}
+    # resume restores the all-time maxima with the bounds (see
+    # _save_window_bounds): tighten decisions must respect pre-resume
+    # evidence or they churn
+    mon_hist: Dict = _load_window_hist(flow_ckpt_dir(cfg, scene), fh, fw)
     for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(cached))
         mon_epoch = []
@@ -861,7 +887,7 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                     refit_on = (cfg.window_refit != "off"
                                 and bool(cfg.splat_max_dy))
             # persist the post-refit effective bounds with this save event
-            _save_window_bounds(store.directory, cfg, fh, fw)
+            _save_window_bounds(store.directory, cfg, fh, fw, mon_hist)
             if cfg.splat_max_dy and "flow_max_y" in m and not window_warned:
                 # loud out-of-window fallback guidance: windowed ops DROP
                 # taps beyond the bound, so a flow that outgrew the window
@@ -905,7 +931,7 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
         if stop:
             if not saved:
                 store.save(epoch + 1, {"state": state, "consts": consts})
-                _save_window_bounds(store.directory, cfg, fh, fw)
+                _save_window_bounds(store.directory, cfg, fh, fw, mon_hist)
             break
     stop.restore()
     tracer.close()

@@ -608,10 +608,19 @@ def test_window_bounds_sidecar_roundtrip(tmp_path):
     from sin_inn_tpu.train.loop import (_load_window_bounds,
                                         _save_window_bounds)
 
+    from sin_inn_tpu.train.loop import _load_window_hist
+
     d = str(tmp_path)
     trained = FlowConfig(splat_max_dy=96, splat_max_dx=160,
                          splat_local_dy=16, splat_local_dx=None)
-    _save_window_bounds(d, trained, 436, 1024)
+    _save_window_bounds(d, trained, 436, 1024,
+                        hist={"fy": 20.0, "fx": 30.0, "dvy": 8.0})
+    # the refit-monitor maxima ride the sidecar (resume must not restart
+    # the historical-max rule from scratch — round-4 oscillation fix) and
+    # invalidate with it on a size mismatch
+    assert _load_window_hist(d, 436, 1024) == {
+        "fy": 20.0, "fx": 30.0, "dvy": 8.0}
+    assert _load_window_hist(d, 128, 128) == {}
     cfg, found = _load_window_bounds(FlowConfig(), d, 436, 1024)
     assert found and cfg.splat_max_dy == 96 and cfg.splat_max_dx == 160
     assert cfg.splat_local_dy == 16 and cfg.splat_local_dx is None
