@@ -442,6 +442,12 @@ def main():
         tpu_small = median3(lambda: bench_flow(
             1, bh, bw, max(args.steps, 40), args.net, dy, args.splat_chunk,
             args.splat_max_dx, args.flow_dtype))
+        # both sides in the metadata: quiet-run ratios still swing ~1.5x
+        # because the RELAY's dispatch on tiny-shape chains varies
+        # run-to-run (TPU full-shape values are ±0.5%) — the parts say
+        # which side moved
+        meta["torch_small_fps"] = round(base, 4)
+        meta["tpu_small_fps"] = round(tpu_small, 2)
         return tpu_small / base, meta
 
     if args.pipeline == "flow":
@@ -486,6 +492,8 @@ def main():
                 tpu_small = median3(
                     lambda: bench_tpu(1, bh, bw, max(args.steps, 100)))
                 vs_baseline = tpu_small / base_small
+                bmeta["torch_small_fps"] = round(base_small, 4)
+                bmeta["tpu_small_fps"] = round(tpu_small, 2)
         except Exception as e:  # noqa: BLE001 - bench must still report
             print(f"baseline failed: {e}", file=sys.stderr)
 
