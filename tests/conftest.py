@@ -92,6 +92,8 @@ _SLOW_TESTS = {
     "test_sr_train_loop_dp_matches_single",
     "test_sr_train_loop_dp_ragged_tcr",
     "test_scene_space_cli_ops_end_to_end",
+    "test_upstream_diff_tool_on_synth_artifacts",
+    "test_raft_port_matches_committed_replica_golden",
 }
 
 
