@@ -41,8 +41,25 @@ def main():
     video = synthetic_sr_video(cfg, h=16, w=16)
     out = L.run_sr_train(cfg, video=video)
     assert jax.process_count() == 2, jax.process_count()
+
+    # the FLOW production loop across the same cluster (its own batch
+    # placement / monitor / sidecar code paths; distributed init already
+    # done, so cfg.distributed stays False here)
+    from sin_inn_tpu.core.config import FlowConfig
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.data.synthetic import moving_texture_video
+
+    fcfg = FlowConfig(net="RBF", num_frequencies=8, hidden_dim=16,
+                      num_layers=2, epochs=2, batch=4,
+                      checkpoints_dir=os.path.join(outdir, "exp", "fck"),
+                      results_dir=os.path.join(outdir, "exp", "fres"),
+                      mesh_data=4)
+    fout = L.run_flow_train(fcfg, media=FlowMedia(
+        moving_texture_video(5, 8, 8)), scene="dist")
+
     with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
         json.dump({"loss": float(out["metrics"]["loss"]),
+                   "flow_loss": float(fout["metrics"]["loss"]),
                    "process_count": jax.process_count(),
                    "global_devices": len(jax.devices())}, f)
 

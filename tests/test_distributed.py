@@ -50,14 +50,16 @@ def test_two_process_dp_matches_single(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"driver rank failed:\n{out[-4000:]}"
 
-    losses = []
+    losses: list = []
     for i in range(2):
         with open(tmp_path / f"loss_{i}.json") as f:
             rec = json.load(f)
         assert rec["process_count"] == 2 and rec["global_devices"] == 4
-        losses.append(rec["loss"])
-    # both ranks computed the same (psum'd) loss
-    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+        assert np.isfinite(rec["flow_loss"])      # flow loop ran DP too
+        losses.append((rec["loss"], rec["flow_loss"]))
+    # both ranks computed the same (psum'd) losses
+    assert losses[0][0] == pytest.approx(losses[1][0], rel=1e-6)
+    assert losses[0][1] == pytest.approx(losses[1][1], rel=1e-6)
 
     # single-process reference: same config/data on the in-test 8-device
     # virtual platform (DP over 4 devices — parity with mesh_data=1 is
@@ -73,7 +75,7 @@ def test_two_process_dp_matches_single(tmp_path):
                    working_dir=str(tmp_path / "single"), mesh_data=4)
     video = synthetic_sr_video(cfg, h=16, w=16)
     single = L.run_sr_train(cfg, video=video)["metrics"]["loss"]
-    assert losses[0] == pytest.approx(single, rel=1e-3)
+    assert losses[0][0] == pytest.approx(single, rel=1e-3)
 
     # primary-only write guard: exactly rank 0 wrote metrics/checkpoints
     # into the SHARED experiment dir

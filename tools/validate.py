@@ -34,7 +34,8 @@ import time
 
 
 def validate_sr(epochs: int, arch: str = "SRF",
-                compute_dtype: str = "float32") -> dict:
+                compute_dtype: str = "float32",
+                texture: str = "smooth") -> dict:
     from sin_inn_tpu.core import compile_cache
     compile_cache.enable()
     import jax
@@ -46,7 +47,7 @@ def validate_sr(epochs: int, arch: str = "SRF",
 
     cfg = SRConfig(architecture=arch, scale=4, num_coupling=4, lr_window=10,
                    batch_size=8, epochs=epochs, compute_dtype=compute_dtype)
-    video = synthetic_sr_video(cfg, h=360, w=640)
+    video = synthetic_sr_video(cfg, h=360, w=640, texture=texture)
     spec, state, tx = SR.create_train_state(jax.random.key(0), cfg)
     step = SR.make_train_step(spec, cfg, tx)
     from sin_inn_tpu.data.sr_video import make_datasets
@@ -65,6 +66,7 @@ def validate_sr(epochs: int, arch: str = "SRF",
             em = eval_step(state.params, val_batch, jax.random.key(1))
             psnrs.append(round(float(em["hr_psnr"]), 2))
     return {"check": "sr_convergence", "arch": arch, "dtype": compute_dtype,
+            "texture": texture,
             "epochs": epochs, "loss_traj": losses,
             "hr_psnr": psnrs[-1], "psnr_traj": psnrs,
             "monotone": all(a >= b for a, b in zip(losses, losses[1:])),
@@ -153,6 +155,9 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="flow: output scale (the trainer uses W/5)")
     ap.add_argument("--spatial", action="store_true")
+    ap.add_argument("--texture", default="smooth",
+                    choices=["smooth", "natural"],
+                    help="sr: HR texture statistics (natural = 1/f)")
     ap.add_argument("--fixture", default="shift",
                     choices=["shift", "rotation", "zoom", "occlusion"],
                     help="flow: synthetic fixture kind (harder-than-shift "
@@ -161,7 +166,8 @@ def main():
                     help="flow fixture magnitude (px, deg, or %% per frame)")
     args = ap.parse_args()
     if args.pipeline == "sr":
-        out = validate_sr(args.epochs, args.arch, args.compute_dtype)
+        out = validate_sr(args.epochs, args.arch, args.compute_dtype,
+                          texture=args.texture)
     else:
         ldy = args.splat_local_dy
         if ldy not in ("auto", "off"):
