@@ -177,9 +177,26 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
         cand_y = jnp.clip(cand_y, 0, h - 1).reshape(h, w, m * m)
         cand_x = jnp.clip(cand_x, 0, w - 1).reshape(h, w, m * m)
         valid = in_box.reshape(h, w, m * m)
-        iy = cand_y.astype(jnp.int32)
-        ix = cand_x.astype(jnp.int32)
-        d = depth_f[iy, ix]                                     # (h,w,mm)
+        # ONE anchor gather instead of m*m scattered per-candidate gathers:
+        # the candidate grid is a contiguous m x m patch at integer anchor
+        # (ymin, xmin), so stack the m*m shifted copies of the (rgb, depth)
+        # planes on channels and gather 4*m*m channels at the anchor. TPU
+        # gathers serialize per indexed POINT (CLAUDE.md resample2d record),
+        # so cutting points m*m-fold dominates the extra stack build. Taps
+        # past the image edge read pad ZEROS here where the old form read
+        # edge-clamped values — both are masked invalid by `in_box`'s
+        # cand <= h-1 / w-1 terms, so the output is unchanged.
+        pad = m - 1
+        planes = jnp.concatenate([img_f, depth_f[..., None]], -1)
+        planes = jnp.pad(planes, ((0, pad), (0, pad), (0, 0)))
+        stack = jnp.concatenate([planes[a:a + h, b:b + w]
+                                 for a in range(m)
+                                 for b in range(m)], -1)        # (h,w,mm*4)
+        ay = jnp.clip(ymin_f, 0, h - 1).astype(jnp.int32)
+        ax = jnp.clip(xmin_f, 0, w - 1).astype(jnp.int32)
+        g = stack[ay, ax].reshape(h, w, m * m, 4)
+        rgb = g[..., :3]                                        # (h,w,mm,3)
+        d = g[..., 3]                                           # (h,w,mm)
         valid = valid & (d > 0)
         homog = jnp.stack([cand_y * d, cand_x * d, d,
                            jnp.ones_like(d)], -1)
@@ -188,7 +205,7 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
                                  + off[:, :, None])
         outside = ((side(normal1, offset1) * side(normal2, offset2) >= 0)
                    | (side(normal3, offset3) * side(normal4, offset4) >= 0))
-        return img_f[iy, ix], sc, valid & ~outside
+        return rgb, sc, valid & ~outside
 
     # reference features: frame-0 pixel rgb + its center candidate xyz, t=0
     rgb0, sc0, _ = frame_candidates(
