@@ -96,13 +96,21 @@ def guarded_baseline(fn, max_tries: int = 3, threshold: float = 1.3,
     ``threshold``x slower than the fastest spin ever observed is a
     contaminated draw — retried after a pause, and if the machine never
     quiets down the result is ANNOTATED contended instead of being recorded
-    as a clean ratio. Returns (value, metadata-dict for the emitted JSON).
+    as a clean ratio.
+
+    The running min alone is blind to contention present for the WHOLE
+    invocation (every spin uniformly 2x slow -> ratio 1.0), so the min is
+    also checked against an ABSOLUTE quiet reference: this box spins
+    ~0.18 s quiet (measured 2026-08, ±10% benign variance); override with
+    ``SIN_INN_QUIET_SPIN_S`` if the hardware or Python build changes.
+    Returns (value, metadata-dict for the emitted JSON).
     """
     import os
 
+    quiet_ref = float(os.environ.get("SIN_INN_QUIET_SPIN_S", "0.18"))
     spins = [_spin_time()]
     meta = {"tries": 0, "contended": True, "spin_ratio": None,
-            "loadavg": None}
+            "spin_best_s": None, "quiet_ref_s": quiet_ref, "loadavg": None}
     value = None
     for attempt in range(max_tries):
         s0 = _spin_time()
@@ -111,11 +119,13 @@ def guarded_baseline(fn, max_tries: int = 3, threshold: float = 1.3,
         spins += [s0, s1]
         ratio = max(s0, s1) / min(spins)
         meta.update(tries=attempt + 1, spin_ratio=round(ratio, 3),
+                    spin_best_s=round(min(spins), 4),
                     loadavg=[round(x, 2) for x in os.getloadavg()])
-        if ratio < threshold:
+        if ratio < threshold and min(s0, s1) < threshold * quiet_ref:
             meta["contended"] = False
             break
-        time.sleep(retry_sleep)
+        if attempt + 1 < max_tries:     # no pointless sleep after the last
+            time.sleep(retry_sleep)
     return value, meta
 
 

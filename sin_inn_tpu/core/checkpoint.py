@@ -56,12 +56,15 @@ class CheckpointStore:
         """Restore into the structure of ``target``. Returns (state, step) or
         (None, None) when no checkpoint exists.
 
-        Multi-process: save() writes from process 0 only, so on hosts
-        without a shared filesystem the other processes would see no
-        checkpoint and resume from scratch — divergent step counts deadlock
-        the collectives. Process 0's (step, state) is therefore broadcast to
-        every process, making resume consistent regardless of where the
-        files live."""
+        Multi-process: like save(), EVERY process must call orbax's restore —
+        it synchronizes globally exactly as save does (probe-measured on the
+        2-process gloo cluster: a process-0-only ``ckptr.restore`` hangs in
+        the barrier while the other ranks wait downstream). Orbax therefore
+        requires the checkpoint directory to be SHARED across hosts — its own
+        multi-process contract; this store inherits it. Process 0's step
+        index is broadcast first so a directory-listing race with an
+        in-flight writer cannot make ranks pick different steps (divergent
+        steps would deadlock the training collectives)."""
         import orbax.checkpoint as ocp
 
         if step is None:
@@ -76,16 +79,6 @@ class CheckpointStore:
             step = int(step_arr)
             if step < 0:
                 return None, None
-            if jax.process_index() == 0:
-                with ocp.PyTreeCheckpointer() as ckptr:
-                    restored = ckptr.restore(
-                        self._path(step),
-                        args=ocp.args.PyTreeRestore(
-                            item=jax.device_get(target)))
-            else:
-                restored = jax.device_get(target)   # placeholder structure
-            restored = multihost_utils.broadcast_one_to_all(restored)
-            return restored, step
 
         if step is None:
             return None, None

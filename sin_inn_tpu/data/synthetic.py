@@ -79,25 +79,47 @@ def synthetic_flow_sequence(kind: str, num_frames: int, h: int, w: int,
     coordinates, so the GT flow is exact to the transform (no resampling
     drift accumulates).
     """
-    pad = int(abs(magnitude) * num_frames + 0.1 * max(h, w) + 8)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def _raw(y, x, t: float):
+        """Unpadded pixel coords -> base-texture coords at time t (affine).
+        Never called for 'occlusion' (static background, own frame loop)."""
+        if kind == "shift":
+            return y, x + magnitude * t
+        if kind == "rotation":
+            a = np.deg2rad(magnitude) * t
+            return ((y - cy) * np.cos(a) - (x - cx) * np.sin(a) + cy,
+                    (y - cy) * np.sin(a) + (x - cx) * np.cos(a) + cx)
+        if kind == "zoom":
+            s = (1.0 + magnitude / 100.0) ** t
+            return (y - cy) * s + cy, (x - cx) * s + cx
+        raise ValueError(kind)
+
+    # pad = the analytic maximum excursion of the sampled coordinates past
+    # the frame bounds, attained at the corners (the transforms are affine).
+    # The previous heuristic treated rotation degrees / zoom percent as
+    # PIXELS and under-padded larger magnitudes/horizons — _sample_bilinear
+    # clips at the base border, so frames went edge-smeared while the
+    # returned "analytic GT" stayed exact, hiding an EPE floor.
+    if kind == "occlusion":
+        pad = 8                          # static background, no base motion
+    else:
+        ky = np.array([0.0, 0.0, h - 1.0, h - 1.0])
+        kx = np.array([0.0, w - 1.0, 0.0, w - 1.0])
+        exc = 0.0
+        for t in range(num_frames + 1):
+            by, bx = _raw(ky, kx, float(t))
+            exc = max(exc, -by.min(), by.max() - (h - 1.0),
+                      -bx.min(), bx.max() - (w - 1.0))
+        pad = int(np.ceil(exc)) + 8
     base = _smooth_texture(h + 2 * pad, w + 2 * pad, seed)
     yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
                          np.arange(w, dtype=np.float64), indexing="ij")
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
 
     def transform(t: float):
         """Pixel coords -> base-texture coords at time t; returns (by, bx)."""
-        if kind == "shift":
-            return yy + pad, xx + pad + magnitude * t
-        if kind == "rotation":
-            a = np.deg2rad(magnitude) * t
-            ry = (yy - cy) * np.cos(a) - (xx - cx) * np.sin(a)
-            rx = (yy - cy) * np.sin(a) + (xx - cx) * np.cos(a)
-            return ry + cy + pad, rx + cx + pad
-        if kind == "zoom":
-            s = (1.0 + magnitude / 100.0) ** t
-            return (yy - cy) * s + cy + pad, (xx - cx) * s + cx + pad
-        raise ValueError(kind)
+        by, bx = _raw(yy, xx, t)
+        return by + pad, bx + pad
 
     def inverse(by, bx, t: float):
         """Base coords -> pixel coords at time t (exact transform inverse)."""

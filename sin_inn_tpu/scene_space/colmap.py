@@ -181,6 +181,28 @@ def rotmat2qvec(R: np.ndarray) -> np.ndarray:
     return -q if q[0] < 0 else q
 
 
+def pair_depth_maps(depthdir: str, img_names) -> list:
+    """COLMAP writes ``<image_name_with_ext>.geometric.bin`` under
+    ``stereo/depth_maps``; the reference pairs the two SORTED listings
+    positionally (reference pose_utils.py:223-228), which silently shifts
+    every later frame's geometry after a mid-scene gap in the depth maps.
+    Pair by NAME instead: returns one depth-map path per entry of
+    ``img_names`` (full paths or bare file names), ``None`` where no map
+    exists. A stem fallback covers extension-stripped exports."""
+    suffix = ".geometric.bin"
+    by_name: Dict[str, str] = {}
+    if os.path.isdir(depthdir):
+        for f in os.listdir(depthdir):
+            if f.endswith(suffix):
+                by_name[f[:-len(suffix)]] = os.path.join(depthdir, f)
+    out = []
+    for name in img_names:
+        base = os.path.basename(name)
+        out.append(by_name.get(base,
+                               by_name.get(os.path.splitext(base)[0])))
+    return out
+
+
 def read_depth_bin(path: str) -> np.ndarray:
     """COLMAP's '&'-delimited geometric depth map format
     (reference pose_utils.py:223-267)."""

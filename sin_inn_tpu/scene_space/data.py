@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from sin_inn_tpu.scene_space.colmap import read_depth_bin
+from sin_inn_tpu.scene_space.colmap import pair_depth_maps, read_depth_bin
 from sin_inn_tpu.scene_space.gather import unpack_matrices
 
 _IMG_EXT = (".png", ".jpg", ".jpeg")
@@ -44,10 +44,11 @@ class ImagesData:
         self._img_files = sorted(
             os.path.join(imgdir, f) for f in os.listdir(imgdir)
             if f.lower().endswith(_IMG_EXT))
+        # name-based depth pairing (pair_depth_maps: the reference's
+        # positional zip silently shifts every frame after a mid-scene gap);
+        # the lazy dataset returns None for frames without a map
         depthdir = os.path.join(basedir, "stereo", "depth_maps")
-        self._depth_files = sorted(
-            os.path.join(depthdir, f) for f in os.listdir(depthdir)
-            if f.endswith("geometric.bin")) if os.path.isdir(depthdir) else []
+        self._depth_files = pair_depth_maps(depthdir, self._img_files)
         n = len(self._img_files)
         if self.poses.shape[0] != n:
             raise ValueError(f"{self.poses.shape[0]} poses != {n} images "
@@ -69,8 +70,9 @@ class ImagesData:
 
         img = (io.imread(self._img_files[index])[..., :3] / 255.0
                ).astype(np.float32)
-        depth = (read_depth_bin(self._depth_files[index]).astype(np.float32)
-                 if index < len(self._depth_files) else None)
+        dpath = self._depth_files[index]
+        depth = (read_depth_bin(dpath).astype(np.float32)
+                 if dpath is not None else None)
         c2w = np.zeros((4, 4), np.float32)
         c2w[:3, :] = self.poses[index, :, :4]
         c2w[3, 3] = 1.0

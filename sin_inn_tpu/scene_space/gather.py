@@ -126,7 +126,6 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
     K, K_inv, c2w, w2c = unpack_matrices(poses)
     near, far = float(bds.min()), float(bds.max())
     n_frames, h, w = depths.shape
-    n_samp = patch * patch
 
     cam_pts = pack_frustum_corners(h, w, near, far, patch)     # (h,w,8,4)
 
@@ -207,12 +206,29 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
                    | (side(normal3, offset3) * side(normal4, offset4) >= 0))
         return rgb, sc, valid & ~outside
 
-    # reference features: frame-0 pixel rgb + its center candidate xyz, t=0
-    rgb0, sc0, _ = frame_candidates(
-        imgs[ref_frame], depths[ref_frame], y_min[ref_frame],
-        x_min[ref_frame], y_max[ref_frame], x_max[ref_frame],
-        c2wK_all[ref_frame])
-    ref = jnp.concatenate([imgs[ref_frame], sc0[:, :, n_samp // 2],
+    # reference features: frame-0 pixel rgb + its center candidate xyz, t=0.
+    # Only the CENTER candidate's scene point is needed, so compute it
+    # directly (one 1-channel gather) instead of running frame_candidates
+    # standalone — the scan below re-runs the ref frame anyway, and XLA does
+    # not CSE across the scan-body boundary (a full duplicate frame's
+    # gather/lift/filter, ~1/N of the hot path). Bit-identical to
+    # frame_candidates' candidate n_samp//2: same (gy, gx) offset via
+    # divmod (== (m//2, m//2) only for odd m), same clipped homog coords,
+    # and the depth read reproduces the zero-padded stack (an out-of-range
+    # tap reads d = 0, giving the same degenerate-but-deterministic xyz the
+    # old path produced at border pixels — NOT the clamped edge depth).
+    dy0, dx0 = divmod((m * m) // 2, m)
+    ay0 = jnp.clip(y_min[ref_frame], 0, h - 1).astype(jnp.int32)  # (h,w)
+    ax0 = jnp.clip(x_min[ref_frame], 0, w - 1).astype(jnp.int32)
+    in_pad = (ay0 + dy0 <= h - 1) & (ax0 + dx0 <= w - 1)
+    d0 = jnp.where(in_pad,
+                   depths[ref_frame][jnp.minimum(ay0 + dy0, h - 1),
+                                     jnp.minimum(ax0 + dx0, w - 1)], 0.0)
+    cy0 = jnp.clip(y_min[ref_frame] + dy0, 0, h - 1)
+    cx0 = jnp.clip(x_min[ref_frame] + dx0, 0, w - 1)
+    homog0 = jnp.stack([cy0 * d0, cx0 * d0, d0, jnp.ones_like(d0)], -1)
+    sc0_center = _project(c2wK_all[ref_frame], homog0)[..., :3]  # (h,w,3)
+    ref = jnp.concatenate([imgs[ref_frame], sc0_center,
                            jnp.zeros((h, w, 1))], axis=-1)      # (h,w,7)
 
     # accumulate over frames with lax.scan: the frame axis is a pure sum

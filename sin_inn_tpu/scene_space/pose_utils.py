@@ -15,8 +15,8 @@ from typing import Optional
 
 import numpy as np
 
-from sin_inn_tpu.scene_space.colmap import (qvec2rotmat, read_depth_bin,
-                                            read_model)
+from sin_inn_tpu.scene_space.colmap import (pair_depth_maps, qvec2rotmat,
+                                            read_depth_bin, read_model)
 
 
 def run_colmap(basedir: str, match_type: str = "exhaustive_matcher",
@@ -152,12 +152,19 @@ def load_data(basedir: str, factor: Optional[int] = None):
 
     depthdir = os.path.join(basedir, "stereo", "depth_maps")
     depths = None
-    if os.path.isdir(depthdir):
-        dfiles = sorted(f for f in os.listdir(depthdir)
-                        if f.endswith("geometric.bin"))
-        if dfiles:
-            depths = np.stack([read_depth_bin(os.path.join(depthdir, f))
-                               for f in dfiles]).astype(np.float32)
+    # name-based pairing (pair_depth_maps: the reference's positional zip
+    # silently misaligns after a gap); the eager path stacks all frames,
+    # so a partial set is a loud error rather than a shifted stack
+    pairs = pair_depth_maps(depthdir, img_files)
+    if any(p is not None for p in pairs):
+        missing = [f for f, p in zip(img_files, pairs) if p is None]
+        if missing:
+            raise ValueError(
+                f"depth maps present but missing for {missing} in "
+                f"{depthdir}; a positional pairing would silently "
+                f"misalign geometry")
+        depths = np.stack([read_depth_bin(p) for p in pairs]
+                          ).astype(np.float32)
     return poses, bds, imgs, depths
 
 

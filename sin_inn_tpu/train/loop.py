@@ -259,7 +259,7 @@ def run_sr_train(cfg: SRConfig, video: Optional[SRVideo] = None,
     tracer.close()
     writer.close()
     return {"state": state, "spec": spec, "metrics": last_metrics,
-            "exp_dir": exp_dir}
+            "exp_dir": exp_dir, "start_epoch": start_epoch}
 
 
 def run_sr_test(cfg: SRConfig, video: Optional[SRVideo] = None,

@@ -42,6 +42,15 @@ def main():
     out = L.run_sr_train(cfg, video=video)
     assert jax.process_count() == 2, jax.process_count()
 
+    # multi-process RESUME: orbax's restore synchronizes globally exactly
+    # like save (probe-measured: a rank-0-only ckptr.restore deadlocks the
+    # cluster) — run the production loop again over the same shared dir
+    # with a longer schedule so it restores the epoch-2 checkpoint on every
+    # rank and trains on (distributed init already done => flag off)
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, epochs=4, distributed=False)
+    out2 = L.run_sr_train(cfg2, video=video)
+
     # the FLOW production loop across the same cluster (its own batch
     # placement / monitor / sidecar code paths; distributed init already
     # done, so cfg.distributed stays False here)
@@ -59,6 +68,8 @@ def main():
 
     with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
         json.dump({"loss": float(out["metrics"]["loss"]),
+                   "resumed_loss": float(out2["metrics"]["loss"]),
+                   "resumed_start": int(out2["start_epoch"]),
                    "flow_loss": float(fout["metrics"]["loss"]),
                    "process_count": jax.process_count(),
                    "global_devices": len(jax.devices())}, f)

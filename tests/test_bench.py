@@ -67,3 +67,14 @@ def test_guarded_baseline_contention_annotation(monkeypatch, bench):
     monkeypatch.setattr(bench, "_spin_time", lambda: next(vals3))
     v, m = bench.guarded_baseline(lambda: 3.0, max_tries=3)
     assert v == 3.0 and not m["contended"] and m["tries"] == 2
+
+    # contention present for the WHOLE invocation: the relative ratio is
+    # ~1.0, only the absolute quiet reference catches it
+    vals4 = iter([0.5, 0.5, 0.5])
+    monkeypatch.setattr(bench, "_spin_time", lambda: next(vals4))
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    v, m = bench.guarded_baseline(lambda: 4.0, max_tries=1)
+    assert v == 4.0 and m["contended"] and m["spin_ratio"] < 1.3
+    assert m["spin_best_s"] == 0.5 and m["quiet_ref_s"] == 0.18
+    assert sleeps == []                # no pointless sleep after the last try

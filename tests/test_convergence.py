@@ -105,3 +105,29 @@ def test_natural_texture_spectrum():
     keep = (r > 0.03) & (r < 0.4)
     slope = np.polyfit(np.log(r[keep]), np.log(p.ravel()[keep]), 1)[0]
     assert -4.6 < slope < -2.6, slope
+
+
+@pytest.mark.parametrize("kind,magnitude", [
+    ("rotation", 3.0), ("zoom", 4.0), ("shift", 6.0)])
+def test_fixture_pad_covers_sampled_coords(kind, magnitude, monkeypatch):
+    """The base-texture pad must cover the full sampled coordinate range at
+    aggressive magnitude/horizon (the old degrees-as-pixels heuristic
+    under-padded rotation/zoom: _sample_bilinear clips at the base border,
+    edge-smearing frames while the returned 'analytic GT' stayed exact —
+    a hidden EPE floor)."""
+    import sin_inn_tpu.data.synthetic as S
+
+    worst = {"v": -np.inf}
+    orig = S._sample_bilinear
+
+    def spy(base, yy, xx):
+        hb, wb = base.shape[:2]
+        worst["v"] = max(worst["v"], float(-yy.min()),
+                         float(yy.max() - (hb - 1)),
+                         float(-xx.min()), float(xx.max() - (wb - 1)))
+        return orig(base, yy, xx)
+
+    monkeypatch.setattr(S, "_sample_bilinear", spy)
+    S.synthetic_flow_sequence(kind, 8, 120, 260, magnitude=magnitude)
+    assert worst["v"] <= 0.0, (f"{kind}: sampled {worst['v']:.1f} px past "
+                               f"the padded base — GT no longer analytic")

@@ -56,10 +56,16 @@ def test_two_process_dp_matches_single(tmp_path):
             rec = json.load(f)
         assert rec["process_count"] == 2 and rec["global_devices"] == 4
         assert np.isfinite(rec["flow_loss"])      # flow loop ran DP too
-        losses.append((rec["loss"], rec["flow_loss"]))
+        # multi-process RESUME executed: the second run restored the
+        # epoch-2 checkpoint on every rank (orbax restore synchronizes
+        # globally — a rank-0-only restore deadlocks) and trained on
+        assert rec["resumed_start"] == 2
+        assert np.isfinite(rec["resumed_loss"])
+        losses.append((rec["loss"], rec["flow_loss"], rec["resumed_loss"]))
     # both ranks computed the same (psum'd) losses
     assert losses[0][0] == pytest.approx(losses[1][0], rel=1e-6)
     assert losses[0][1] == pytest.approx(losses[1][1], rel=1e-6)
+    assert losses[0][2] == pytest.approx(losses[1][2], rel=1e-6)
 
     # single-process reference: same config/data on the in-test 8-device
     # virtual platform (DP over 4 devices — parity with mesh_data=1 is

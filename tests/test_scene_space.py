@@ -313,3 +313,40 @@ def test_images_data_lazy_matches_eager(tmp_path, rng):
     assert len(ImagesData(str(scene), length=2)) == 2
     K, _, _, _ = unpack_matrices(eposes)
     np.testing.assert_allclose(ds.K, K)
+
+
+def test_depth_pairing_by_name_not_position(tmp_path):
+    """A mid-scene gap in the depth maps must not shift later frames'
+    depths (the reference pairs by sorted position, pose_utils.py:223-228):
+    the lazy dataset returns None for the gapped frame and the RIGHT maps
+    for the rest; the eager loader refuses loudly."""
+    import imageio.v2 as io
+
+    from sin_inn_tpu.scene_space.data import ImagesData
+    from sin_inn_tpu.scene_space.pose_utils import load_data
+
+    poses, bds, imgs, depths = _identity_scene(n=3, h=8, w=10)
+    depths = depths * np.arange(1.0, 4.0)[:, None, None]  # distinguishable
+    scene = tmp_path / "dense"
+    (scene / "images").mkdir(parents=True)
+    (scene / "stereo" / "depth_maps").mkdir(parents=True)
+    np.save(str(scene / "poses_bounds.npy"),
+            np.concatenate([poses.reshape(3, -1), bds], axis=1))
+    for i in range(3):
+        io.imwrite(str(scene / "images" / f"im_{i:04d}.png"),
+                   (imgs[i] * 255).astype(np.uint8))
+        if i == 1:
+            continue                       # the gap: frame 1 has no depth
+        # COLMAP convention: <image_name_with_ext>.geometric.bin
+        with open(scene / "stereo" / "depth_maps"
+                  / f"im_{i:04d}.png.geometric.bin", "wb") as f:
+            f.write(b"10&8&1&")
+            depths[i].astype(np.float32).tofile(f)
+
+    ds = ImagesData(str(scene))
+    assert ds[1][3] is None                       # gap -> None, not shifted
+    np.testing.assert_allclose(ds[0][3], depths[0])
+    np.testing.assert_allclose(ds[2][3], depths[2])  # NOT frame 1's map
+
+    with pytest.raises(ValueError, match="missing"):
+        load_data(str(scene))

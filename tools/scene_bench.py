@@ -24,11 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def synth_scene(n: int, h: int, w: int, seed: int = 0):
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    base = rng.rand(h, w, 3).astype(np.float32)
-    for _ in range(2):
-        base = (base + np.roll(base, 1, 0) + np.roll(base, -1, 0)
-                + np.roll(base, 1, 1) + np.roll(base, -1, 1)) / 5.0
+    from sin_inn_tpu.data.synthetic import _smooth_texture
+
+    # noise stream must be independent of the texture's (same seed would
+    # replay the exact MT19937 prefix _smooth_texture consumed)
+    rng = np.random.RandomState(seed + 1)
+    base = _smooth_texture(h, w, seed)
     # N noisy views of the same plane, cameras translated slightly
     imgs = np.clip(base[None] + 0.08 * rng.randn(n, h, w, 3), 0, 1
                    ).astype(np.float32)

@@ -120,18 +120,39 @@ def run_sr(args) -> int:
     original = TI.flatten_checkpoint(ckpt)
     exported = TI.export_state_dict(spec, params)
     mismatch = bit_exact = 0
+    covered = set()
     for k, v in exported.items():
         kk = k[len("inn."):]
-        src = original.get(k, original.get(kk))
+        src_key = k if k in original else kk
+        src = original.get(src_key)
         if src is None:
             print(f"  exported key missing upstream: {k}")
             mismatch += 1
-        elif np.array_equal(np.asarray(v), np.asarray(src)):
+            continue
+        covered.add(src_key)
+        if np.array_equal(np.asarray(v), np.asarray(src)):
             bit_exact += 1
         else:
             print(f"  value mismatch: {k}")
             mismatch += 1
-    print(f"round-trip: {bit_exact} keys bit-exact, {mismatch} mismatched")
+    # the REVERSE direction: TRAINABLE upstream keys the export failed to
+    # reproduce would make a reference-side strict load reject the exported
+    # file even when every produced key matches — they are mismatches too.
+    # Parameter-free buffer keys (PermuteRandom permutations, Haar banks)
+    # are deliberately NOT exported — they are reconstructed from seeds and
+    # the reference reload itself needs strict=False for them
+    # (main.py:128-136; the contract is torch_import._check_leftovers) —
+    # so they are reported, not counted as failures.
+    buffers = 0
+    for k in sorted(set(original) - covered):
+        if k.endswith(".weight") or k.endswith(".bias"):
+            print(f"  upstream trainable key not reproduced by export: {k}")
+            mismatch += 1
+        else:
+            buffers += 1
+    print(f"round-trip: {bit_exact} keys bit-exact, {mismatch} mismatched; "
+          f"{buffers} parameter-free buffer keys not exported (reference "
+          f"loads them with strict=False)")
     if mismatch and args.arch == "SRF":
         print("if EVERY module_list key mismatched by a constant index "
               "shift, fix with torch_import.renumber_module_list (FrEIA "
