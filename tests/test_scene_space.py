@@ -350,3 +350,27 @@ def test_depth_pairing_by_name_not_position(tmp_path):
 
     with pytest.raises(ValueError, match="missing"):
         load_data(str(scene))
+
+
+def test_pair_depth_maps_suffix_and_strays(tmp_path):
+    """The name filter and the key strip must agree on the DOTTED suffix:
+    a stray file literally named 'geometric.bin' (no leading dot) neither
+    pairs nor counts as 'depth maps present' (it once keyed as '' and made
+    an otherwise depth-free scene raise)."""
+    from sin_inn_tpu.scene_space.colmap import pair_depth_maps
+
+    d = tmp_path / "depth_maps"
+    d.mkdir()
+    (d / "geometric.bin").write_bytes(b"")        # stray, filtered out
+    assert pair_depth_maps(str(d), ["a.png"]) == [None]
+
+    (d / "a.png.geometric.bin").write_bytes(b"x")  # COLMAP convention
+    (d / "b.geometric.bin").write_bytes(b"x")      # extension-stripped
+    out = pair_depth_maps(str(d), ["a.png", "b.png", "c.png"])
+    assert out[0].endswith("a.png.geometric.bin")
+    assert out[1].endswith("b.geometric.bin")      # stem fallback
+    assert out[2] is None
+    # full paths in img_names pair the same way (ImagesData passes paths)
+    assert pair_depth_maps(str(d), ["/x/y/a.png"])[0] == out[0]
+    # no directory at all -> all None
+    assert pair_depth_maps(str(tmp_path / "nope"), ["a.png"]) == [None]
