@@ -283,6 +283,9 @@ def _scene_space_parser(sub):
     ap.add_argument("--out", default="scene_space_out")
     ap.add_argument("--frame", type=int, default=0)
     ap.add_argument("--patch", type=int, default=3)
+    ap.add_argument("--window", default="auto", choices=("auto", "on", "off"),
+                    help="gather: windowed one-hot candidate read "
+                         "(scene_space/gather.py; auto = host cost model)")
 
 
 def main(argv: Optional[List[str]] = None) -> int:

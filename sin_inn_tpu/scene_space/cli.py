@@ -45,7 +45,8 @@ def run(args):
             raise FileNotFoundError("gather requires depth maps")
         res = np.asarray(G.gather_scene(
             jnp.asarray(imgs), jnp.asarray(depths), poses, bds,
-            patch=args.patch, ref_frame=args.frame))
+            patch=args.patch, ref_frame=args.frame,
+            window=getattr(args, "window", "auto")))
         _imwrite(path.join(args.out, f"gather_{args.frame:03d}.png"), res)
         print(f"wrote gathered/denoised frame {args.frame}")
 

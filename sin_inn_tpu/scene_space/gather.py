@@ -114,14 +114,157 @@ def project_bounding_boxes(poses: np.ndarray, bds: np.ndarray, h: int,
     return jnp.stack([cy.min(-1), cx.min(-1), cy.max(-1), cx.max(-1)], -1)
 
 
+def _host_window_geometry(poses: np.ndarray, bds: np.ndarray, h: int, w: int,
+                          patch: int, ref_frame: int, row_chunk: int,
+                          col_chunk: int, force: bool):
+    """Static window geometry for the windowed candidate read, or None.
+
+    Numpy mirror of gather_scene's in-graph box math (pose-only inputs, so it
+    runs host-side at trace time): per-(row_chunk x col_chunk)-block spreads
+    of the clipped candidate anchors (y_min, x_min). The anchors are a clip
+    of a function that is continuous in the pixel index, so the per-block
+    spread stays ~(chunk + true depth/parallax deviation) even at frame
+    borders where the PER-FRAME spread blows up to |mean shift| (the clip
+    pins anchors to 0 there). The in-graph per-block bases are exact mins;
+    only the static window SIZES come from this mirror, so a +-1 px
+    jnp-vs-numpy rounding flip (TPU matmuls run bf16 passes) is absorbed by
+    ``_WINDOW_MARGIN`` on each side.
+    """
+    m = patch
+    if h < row_chunk or w < col_chunk:
+        return None
+    K, K_inv, c2w, w2c = unpack_matrices(poses)
+    near, far = float(bds.min()), float(bds.max())
+    n = poses.shape[0]
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    y0 = np.maximum(yy - m // 2, 0)
+    y1 = np.minimum(yy + m // 2, h - 1)
+    x0 = np.maximum(xx - m // 2, 0)
+    x1 = np.minimum(xx + m // 2, w - 1)
+    ones = np.ones_like(yy)
+    corners = np.stack([np.stack([cy, cx, ones, iz * ones], -1)
+                        for iz in (1.0 / near, 1.0 / far)
+                        for (cy, cx) in ((y0, x0), (y0, x1),
+                                         (y1, x0), (y1, x1))],
+                       -2).astype(np.float32)                   # (h,w,8,4)
+    c2wK = (c2w[ref_frame] @ K_inv).astype(np.float32)
+    scene = np.concatenate([near * (corners[..., :4, :] @ c2wK.T),
+                            far * (corners[..., 4:, :] @ c2wK.T)], -2)
+    ay = np.empty((n, h, w), np.float32)
+    ax = np.empty((n, h, w), np.float32)
+    for f in range(n):          # frame loop bounds host memory to (h,w,8,4)
+        cam = scene @ (K @ w2c[f]).T.astype(np.float32)
+        cam = cam / cam[..., 2:3]
+        ay[f] = np.clip(np.round(cam[..., 0]), 0, h - 1).min(-1)
+        ax[f] = np.clip(np.round(cam[..., 1]), 0, w - 1).min(-1)
+
+    h_pad = (h + row_chunk - 1) // row_chunk * row_chunk
+    w_pad = (w + col_chunk - 1) // col_chunk * col_chunk
+    ay = np.pad(ay, ((0, 0), (0, h_pad - h), (0, w_pad - w)), mode="edge")
+    ax = np.pad(ax, ((0, 0), (0, h_pad - h), (0, w_pad - w)), mode="edge")
+    sr, sc = h_pad // row_chunk, w_pad // col_chunk
+    ayb = ay.reshape(n, sr, row_chunk, sc, col_chunk)
+    axb = ax.reshape(n, sr, row_chunk, sc, col_chunk)
+    spread_y = int((ayb.max((2, 4)) - ayb.min((2, 4))).max())
+    spread_x = int((axb.max((2, 4)) - axb.min((2, 4))).max())
+
+    margin = 3                       # absorbs mirror-vs-graph rounding flips
+    k0 = spread_y + 1 + 2 * margin
+    kx0 = spread_x + 1 + 2 * margin
+    kw_, kxw = k0 + m - 1, kx0 + m - 1
+    # (kxw > w is normal — absolute column anchors track the pixel index at
+    # slope 1, so KX0 ~ col_chunk + deviation; the saving is in the rows.
+    # A window larger than the frame is merely a non-saving, which the
+    # cost model below prices in.)
+    geo = {"row_chunk": row_chunk, "col_chunk": col_chunk,
+           "h_pad": h_pad, "w_pad": w_pad,
+           "K0": k0, "KW": kw_, "KX0": kx0, "KXW": kxw}
+    if force:
+        return geo
+    # engage only when the padded-FLOP cost model beats the measured
+    # serialized-gather cost (~12.5 ns/point on v5e, CLAUDE.md; padded dims
+    # per the MXU's 128-lane tiling; 40 TFLOP/s effective is conservative
+    # for the one-hot contractions, PERF.md windowed-op record)
+    pad128 = lambda v: (v + 127) // 128 * 128
+    flops_per_point = 2.0 * pad128(kx0) * pad128(kw_ * m * 4)
+    windowed_s = flops_per_point * n * h_pad * w_pad / 40e12
+    gather_s = 12.5e-9 * n * h * w
+    return geo if windowed_s < gather_s else None
+
+
+def _windowed_candidate_read(planes_pad: jnp.ndarray, ay: jnp.ndarray,
+                             ax: jnp.ndarray, by: jnp.ndarray,
+                             bx: jnp.ndarray, geo: dict, m: int,
+                             h: int, w: int) -> jnp.ndarray:
+    """All m*m candidate taps of one frame as windowed one-hot MXU matmuls.
+
+    The TPU-native answer to the serialized anchor gather (the same
+    gather-pathology record as ops/warp.py resample2d): per
+    (row_chunk x col_chunk) block of output pixels, one dynamic_slice pulls
+    the (KW, KXW, 4) source window at the block's exact anchor minimum, a
+    column one-hot contracts it against an m-column-shifted window stack
+    (one (P, KX0) @ (KX0, KW*m*4) matmul), and a shifted row one-hot
+    reduction recovers all m*m taps — FLOPs scale with the per-block anchor
+    DEVIATION, not the frame (the flow pipeline's local-window argument,
+    ops/pallas/offsets.py). Selection via one-hot matmul is exact up to the
+    MXU's bf16-pass rounding of the VALUES (f32-exact on CPU).
+
+    planes_pad: (h+KW, w+KXW, 4) zero-padded [rgb|depth] planes; ay/ax:
+    (h_pad, w_pad) integer-valued f32 anchors; by/bx: (steps,) int32
+    per-block anchor minima. Returns (h, w, m*m, 4).
+    """
+    rc, cw = geo["row_chunk"], geo["col_chunk"]
+    h_pad, w_pad = geo["h_pad"], geo["w_pad"]
+    k0, kw_, kx0, kxw = geo["K0"], geo["KW"], geo["KX0"], geo["KXW"]
+    sr, sc = h_pad // rc, w_pad // cw
+    p = rc * cw
+    dtype = planes_pad.dtype
+
+    def to_chunks(a):
+        a = a.reshape(sr, rc, sc, cw).transpose(0, 2, 1, 3)
+        return a.reshape(sr * sc, p)
+
+    ks = jnp.arange(k0, dtype=dtype)
+    js = jnp.arange(kx0, dtype=dtype)
+
+    def blk(_, inp):
+        ayb, axb, byb, bxb = inp
+        win = jax.lax.dynamic_slice(planes_pad, (byb, bxb, 0),
+                                    (kw_, kxw, 4))
+        # column one-hot x m-shifted window stack: tmp[p,k,b,:] =
+        # win[k, (ax-bx)+b, :]
+        cx1h = (axb[:, None] - bxb.astype(dtype) == js[None]).astype(dtype)
+        rhs = jnp.stack([win[:, b:b + kx0, :] for b in range(m)], 1)
+        rhs = rhs.transpose(2, 0, 1, 3).reshape(kx0, kw_ * m * 4)
+        tmp = (cx1h @ rhs).reshape(p, kw_, m, 4)
+        # shifted row one-hots: taps[p,a,b,:] = tmp[p, (ay-by)+a, b, :]
+        ry1h = (ayb[:, None] - byb.astype(dtype) == ks[None]).astype(dtype)
+        taps = jnp.stack([jnp.einsum("pk,pkbc->pbc", ry1h, tmp[:, a:a + k0])
+                          for a in range(m)], 1)                # (P,m,m,4)
+        return None, taps.reshape(p, m * m, 4)
+
+    _, taps = jax.lax.scan(blk, None,
+                           (to_chunks(ay), to_chunks(ax), by, bx))
+    taps = taps.reshape(sr, sc, rc, cw, m * m, 4).transpose(0, 2, 1, 3, 4, 5)
+    return taps.reshape(h_pad, w_pad, m * m, 4)[:h, :w]
+
+
 def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
                  bds: np.ndarray, patch: int = 3,
                  sigma: Tuple[float, ...] = (40, 40, 40, 10, 10, 10, 6),
-                 ref_frame: int = 0) -> jnp.ndarray:
+                 ref_frame: int = 0, window: str = "auto",
+                 row_chunk: int = 16, col_chunk: int = 112) -> jnp.ndarray:
     """Denoise ``ref_frame`` by gathering across all views.
 
     imgs: (N, h, w, 3) float; depths: (N, h, w); poses: (N, 3, 5);
     bds: (N, 2) depth bounds. Returns (h, w, 3).
+
+    ``window``: 'auto' replaces the per-frame anchor gather with the
+    windowed one-hot matmul read (:func:`_windowed_candidate_read`) when the
+    host-side cost model says it wins (measured 129 -> ~50 ms at the
+    N=24 @ 480x640 bench scene); 'off' forces the exact gather; 'on' forces
+    the windowed read (testing). Outputs agree to f32/bf16-pass rounding.
     """
     K, K_inv, c2w, w2c = unpack_matrices(poses)
     near, far = float(bds.min()), float(bds.max())
@@ -165,26 +308,16 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
     c2wK_all = jnp.asarray(c2w @ K_inv[None])                   # (N,4,4)
     sigma_inv2 = jnp.asarray(1.0 / np.asarray(sigma, np.float32)) ** 2
 
-    def frame_candidates(img_f, depth_f, ymin_f, xmin_f, ymax_f, xmax_f,
-                         c2wK_f):
-        """One frame's candidate gather/lift/filter -> (h,w,mm) pieces."""
-        cand_y = ymin_f[..., None, None] + gy                   # (h,w,m,m)
-        cand_x = xmin_f[..., None, None] + gx
-        in_box = (cand_y <= ymax_f[..., None, None] + 1e-6) & \
-                 (cand_x <= xmax_f[..., None, None] + 1e-6) & \
-                 (cand_y <= h - 1) & (cand_x <= w - 1)
-        cand_y = jnp.clip(cand_y, 0, h - 1).reshape(h, w, m * m)
-        cand_x = jnp.clip(cand_x, 0, w - 1).reshape(h, w, m * m)
-        valid = in_box.reshape(h, w, m * m)
-        # ONE anchor gather instead of m*m scattered per-candidate gathers:
-        # the candidate grid is a contiguous m x m patch at integer anchor
-        # (ymin, xmin), so stack the m*m shifted copies of the (rgb, depth)
-        # planes on channels and gather 4*m*m channels at the anchor. TPU
-        # gathers serialize per indexed POINT (CLAUDE.md resample2d record),
-        # so cutting points m*m-fold dominates the extra stack build. Taps
-        # past the image edge read pad ZEROS here where the old form read
-        # edge-clamped values — both are masked invalid by `in_box`'s
-        # cand <= h-1 / w-1 terms, so the output is unchanged.
+    def read_exact(img_f, depth_f, ymin_f, xmin_f):
+        """ONE anchor gather instead of m*m scattered per-candidate gathers:
+        the candidate grid is a contiguous m x m patch at integer anchor
+        (ymin, xmin), so stack the m*m shifted copies of the (rgb, depth)
+        planes on channels and gather 4*m*m channels at the anchor. TPU
+        gathers serialize per indexed POINT (CLAUDE.md resample2d record),
+        so cutting points m*m-fold dominates the extra stack build. Taps
+        past the image edge read pad ZEROS here where the old form read
+        edge-clamped values — both are masked invalid by `in_box`'s
+        cand <= h-1 / w-1 terms, so the output is unchanged."""
         pad = m - 1
         planes = jnp.concatenate([img_f, depth_f[..., None]], -1)
         planes = jnp.pad(planes, ((0, pad), (0, pad), (0, 0)))
@@ -193,7 +326,19 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
                                  for b in range(m)], -1)        # (h,w,mm*4)
         ay = jnp.clip(ymin_f, 0, h - 1).astype(jnp.int32)
         ax = jnp.clip(xmin_f, 0, w - 1).astype(jnp.int32)
-        g = stack[ay, ax].reshape(h, w, m * m, 4)
+        return stack[ay, ax].reshape(h, w, m * m, 4)
+
+    def frame_candidates(g, ymin_f, xmin_f, ymax_f, xmax_f, c2wK_f):
+        """One frame's candidate lift/filter from the read taps ``g``
+        (h, w, mm, 4) -> (h,w,mm) pieces."""
+        cand_y = ymin_f[..., None, None] + gy                   # (h,w,m,m)
+        cand_x = xmin_f[..., None, None] + gx
+        in_box = (cand_y <= ymax_f[..., None, None] + 1e-6) & \
+                 (cand_x <= xmax_f[..., None, None] + 1e-6) & \
+                 (cand_y <= h - 1) & (cand_x <= w - 1)
+        cand_y = jnp.clip(cand_y, 0, h - 1).reshape(h, w, m * m)
+        cand_x = jnp.clip(cand_x, 0, w - 1).reshape(h, w, m * m)
+        valid = in_box.reshape(h, w, m * m)
         rgb = g[..., :3]                                        # (h,w,mm,3)
         d = g[..., 3]                                           # (h,w,mm)
         valid = valid & (d > 0)
@@ -231,15 +376,34 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
     ref = jnp.concatenate([imgs[ref_frame], sc0_center,
                            jnp.zeros((h, w, 1))], axis=-1)      # (h,w,7)
 
+    # static window geometry (host-side pose-only mirror); None = exact path
+    if window not in ("auto", "on", "off"):
+        raise ValueError(f"window must be auto|on|off, got {window!r}")
+    geo = None
+    if window in ("auto", "on"):
+        geo = _host_window_geometry(poses, bds, h, w, patch, ref_frame,
+                                    row_chunk, col_chunk,
+                                    force=(window == "on"))
+    if window == "on" and geo is None:
+        raise ValueError("window='on' but the derived window does not fit "
+                         f"the {h}x{w} frame")
+
     # accumulate over frames with lax.scan: the frame axis is a pure sum
     # reduction, so peak memory is ONE frame's candidate set instead of the
     # reference notebook's all-frames materialization (gather_3d.py:145-149
     # loops in Python for the same reason) — this is what lets the gather
     # run at real scene sizes (N >= 20 dense frames) in 16 GB HBM
     def step(acc, inp):
-        t, img_f, depth_f, ymin_f, xmin_f, ymax_f, xmax_f, c2wK_f = inp
-        rgb, sc, valid = frame_candidates(img_f, depth_f, ymin_f, xmin_f,
-                                          ymax_f, xmax_f, c2wK_f)
+        if geo is None:
+            t, img_f, depth_f, ymin_f, xmin_f, ymax_f, xmax_f, c2wK_f = inp
+            g = read_exact(img_f, depth_f, ymin_f, xmin_f)
+        else:
+            (t, planes_f, ay_f, ax_f, by_f, bx_f,
+             ymin_f, xmin_f, ymax_f, xmax_f, c2wK_f) = inp
+            g = _windowed_candidate_read(planes_f, ay_f, ax_f, by_f, bx_f,
+                                         geo, m, h, w)
+        rgb, sc, valid = frame_candidates(g, ymin_f, xmin_f, ymax_f, xmax_f,
+                                          c2wK_f)
         feats = jnp.concatenate(
             [rgb, sc, jnp.broadcast_to(t, rgb.shape[:3])[..., None]], -1)
         diff2 = (ref[:, :, None, :] - feats) ** 2
@@ -250,9 +414,29 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
                 rgb_accum + jnp.sum(weights[..., None] * rgb, -2)), None
 
     ts = jnp.arange(n_frames, dtype=jnp.float32)
+    if geo is None:
+        xs = (ts, imgs, depths, y_min, x_min, y_max, x_max, c2wK_all)
+    else:
+        hp, wp = geo["h_pad"], geo["w_pad"]
+        sr, scb = hp // row_chunk, wp // col_chunk
+        planes_all = jnp.concatenate([imgs, depths[..., None]], -1)
+        planes_all = jnp.pad(planes_all, ((0, 0), (0, geo["KW"]),
+                                          (0, geo["KXW"]), (0, 0)))
+        pad_hw = ((0, 0), (0, hp - h), (0, wp - w))
+        ay_all = jnp.pad(y_min, pad_hw, mode="edge")
+        ax_all = jnp.pad(x_min, pad_hw, mode="edge")
+        # per-block anchor minima (exact, in-graph), block order == the
+        # read's row-major (sr, sc) to_chunks order
+        by_all = ay_all.reshape(n_frames, sr, row_chunk, scb, col_chunk
+                                ).min((2, 4)).reshape(n_frames, sr * scb
+                                                      ).astype(jnp.int32)
+        bx_all = ax_all.reshape(n_frames, sr, row_chunk, scb, col_chunk
+                                ).min((2, 4)).reshape(n_frames, sr * scb
+                                                      ).astype(jnp.int32)
+        xs = (ts, planes_all, ay_all, ax_all, by_all, bx_all,
+              y_min, x_min, y_max, x_max, c2wK_all)
     (wsum, rgb_accum), _ = jax.lax.scan(
-        step, (jnp.zeros((h, w)), jnp.zeros((h, w, 3))),
-        (ts, imgs, depths, y_min, x_min, y_max, x_max, c2wK_all))
+        step, (jnp.zeros((h, w)), jnp.zeros((h, w, 3))), xs)
     out = jnp.where(wsum[..., None] > 1e-8,
                     rgb_accum / jnp.maximum(wsum[..., None], 1e-8),
                     imgs[ref_frame])

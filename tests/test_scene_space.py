@@ -138,6 +138,53 @@ def test_gather_denoises_independent_noise(rng):
     assert err_out < err_in
 
 
+def _translated_scene(n=5, h=64, w=224, seed=1):
+    """Medium scene with per-frame camera translation, a slight rotation and
+    non-constant depth — anchors shift tens of px per frame while per-block
+    deviation stays small (the windowed-read regime)."""
+    rng = np.random.RandomState(seed)
+    imgs = rng.rand(n, h, w, 3).astype(np.float32)
+    depths = np.full((n, h, w), 10.0, np.float32) \
+        + np.linspace(-1, 1, h * w).reshape(1, h, w).astype(np.float32)
+    poses = np.zeros((n, 3, 5), np.float32)
+    for i in range(n):
+        poses[i, :, :3] = np.eye(3)
+        poses[i, 0, 3] = 0.02 * (i - n / 2)
+        poses[i, 0, 4], poses[i, 1, 4] = h, w
+        poses[i, 2, 4] = 2.0 * max(h, w)
+    th = 0.01
+    poses[3, :2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    bds = np.tile(np.array([[8.0, 12.0]], np.float32), (n, 1))
+    return imgs, depths, poses, bds
+
+
+def test_gather_windowed_matches_exact():
+    """The windowed one-hot candidate read (window='on') must reproduce the
+    exact anchor-gather path. On CPU the one-hot matmuls are f32-exact, so
+    the outputs agree to float tolerance (on TPU the MXU's bf16 value passes
+    round the candidate VALUES — documented in _windowed_candidate_read)."""
+    from sin_inn_tpu.scene_space.gather import _host_window_geometry
+
+    imgs, depths, poses, bds = _translated_scene()
+    ji, jd = jnp.asarray(imgs), jnp.asarray(depths)
+    out_exact = np.asarray(gather_scene(ji, jd, poses, bds, window="off"))
+    out_win = np.asarray(gather_scene(ji, jd, poses, bds, window="on"))
+    np.testing.assert_allclose(out_win, out_exact, atol=1e-6)
+
+    # 'auto' engages at this geometry (host cost model) and the mirror's
+    # window stays far smaller than the frame rows
+    geo = _host_window_geometry(poses, bds, 64, 224, 3, 0, 16, 112, False)
+    assert geo is not None and geo["KW"] < 64 // 2
+
+    # tiny frames can't window: auto falls back, 'on' refuses loudly
+    p2, b2, i2, d2 = _identity_scene()
+    assert _host_window_geometry(p2, b2, 8, 10, 3, 0, 16, 112, True) is None
+    with pytest.raises(ValueError, match="window"):
+        gather_scene(jnp.asarray(i2), jnp.asarray(d2), p2, b2, window="on")
+    with pytest.raises(ValueError, match="window"):
+        gather_scene(ji, jd, poses, bds, window="bogus")
+
+
 def test_2d_boxes_match_numpy_rederivation(rng):
     """project_bounding_boxes (the gather_2d_torch.py:16-118 port) against a
     straight numpy re-derivation of the same live math, on a non-trivial

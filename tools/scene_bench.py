@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--patch", type=int, default=3)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--window", default="auto", choices=("auto", "on", "off"),
+                    help="windowed one-hot candidate read (gather.py)")
     args = ap.parse_args()
 
     from sin_inn_tpu.core import compile_cache
@@ -66,7 +68,8 @@ def main():
                                            args.width)
     ji, jd = jnp.asarray(imgs), jnp.asarray(depths)
     fn = jax.jit(lambda a, b: gather_scene(a, b, poses, bds,
-                                           patch=args.patch))
+                                           patch=args.patch,
+                                           window=args.window))
     out = fn(ji, jd)
     err0 = float(jnp.abs(out - ji[0]).mean())      # also a sanity number
     t0 = time.perf_counter()
