@@ -297,6 +297,32 @@ def bench_flow(batch: int, h: int, w: int, steps: int, net: str = "RBF",
     return batch * steps / (time.perf_counter() - t0)
 
 
+def bench_scene(frames: int = 24, h: int = 480, w: int = 640,
+                reps: int = 10, window: str = "auto"):
+    """Scene-space multi-view gather: warm ms per full N-frame gather
+    (project/lift/filter/bilateral-merge, scene_space/gather.py) at the
+    measured PERF.md scene size. Same value-fetch sync as the other
+    benches."""
+    from sin_inn_tpu.core import compile_cache
+    compile_cache.enable()
+    import jax
+    import jax.numpy as jnp
+
+    from sin_inn_tpu.data.synthetic import synth_scene
+    from sin_inn_tpu.scene_space.gather import gather_scene
+
+    imgs, depths, poses, bds = synth_scene(frames, h, w)
+    ji, jd = jnp.asarray(imgs), jnp.asarray(depths)
+    fn = jax.jit(lambda a, b: gather_scene(a, b, poses, bds, window=window))
+    out = fn(ji, jd)
+    float(out.sum())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(ji, jd)
+    float(out.sum())
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
 def bench_torch_cpu_flow_baseline(h: int, w: int, timeout_s: float = 600.0):
     """Torch-CPU replica of the reference flow trainer's per-step work
     (video-interpolation/trainer.py:47-87): RBF INR over the (t, y, x) pose
@@ -401,6 +427,8 @@ def main():
     ap.add_argument("--no-baseline", action="store_true")
     ap.add_argument("--no-flow", action="store_true",
                     help="skip the flow numbers in the default (sr) output")
+    ap.add_argument("--no-scene", action="store_true",
+                    help="skip the scene-space gather number")
     args = ap.parse_args()
 
     # The axon relay occasionally drops for minutes at a time (observed
@@ -529,6 +557,14 @@ def main():
                 out["flow_baseline_contention"] = fmeta
         except Exception as e:  # noqa: BLE001 - bench must still report
             print(f"flow bench failed: {e}", file=sys.stderr)
+    if not args.no_scene:
+        # third pipeline on the same recorded line: the scene-space gather
+        # at the PERF.md-measured size (windowed one-hot candidate read)
+        try:
+            out["scene_value"] = round(bench_scene(), 2)
+            out["scene_unit"] = "ms/gather (N=24 480x640 multi-view)"
+        except Exception as e:  # noqa: BLE001 - bench must still report
+            print(f"scene bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -162,6 +162,29 @@ def synthetic_flow_sequence(kind: str, num_frames: int, h: int, w: int,
     return np.stack(frames), np.stack(flows[:-1])
 
 
+def synth_scene(n: int, h: int, w: int, seed: int = 0):
+    """Synthetic dense multi-view scene for the scene-space gather bench:
+    N noisy views of one textured constant-depth plane with per-frame camera
+    y-translation and a true (off-center) principal point. Returns
+    (imgs, depths, poses, bds) in `gather_scene`'s input layout."""
+    # noise stream must be independent of the texture's (same seed would
+    # replay the exact MT19937 prefix _smooth_texture consumed)
+    rng = np.random.RandomState(seed + 1)
+    base = _smooth_texture(h, w, seed)
+    imgs = np.clip(base[None] + 0.08 * rng.randn(n, h, w, 3), 0, 1
+                   ).astype(np.float32)
+    depths = np.full((n, h, w), 10.0, np.float32)
+    poses = np.zeros((n, 3, 6), np.float32)
+    for i in range(n):
+        poses[i, :, :3] = np.eye(3)
+        poses[i, 0, 3] = 0.02 * (i - n / 2)      # slight y translation
+        poses[i, 0, 4], poses[i, 1, 4] = h, w
+        poses[i, 2, 4] = 2.0 * max(h, w)          # focal
+        poses[i, 0, 5], poses[i, 1, 5] = w / 2 + 3.5, h / 2 - 2.25  # cx, cy
+    bds = np.tile(np.array([[8.0, 12.0]], np.float32), (n, 1))
+    return imgs, depths, poses, bds
+
+
 def natural_texture_video(num_frames: int, h: int, w: int, seed: int = 0,
                           alpha: float = 1.8, shift: float = 1.0
                           ) -> np.ndarray:

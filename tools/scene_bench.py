@@ -22,27 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth_scene(n: int, h: int, w: int, seed: int = 0):
-    import numpy as np
+    from sin_inn_tpu.data.synthetic import synth_scene as _ss
 
-    from sin_inn_tpu.data.synthetic import _smooth_texture
-
-    # noise stream must be independent of the texture's (same seed would
-    # replay the exact MT19937 prefix _smooth_texture consumed)
-    rng = np.random.RandomState(seed + 1)
-    base = _smooth_texture(h, w, seed)
-    # N noisy views of the same plane, cameras translated slightly
-    imgs = np.clip(base[None] + 0.08 * rng.randn(n, h, w, 3), 0, 1
-                   ).astype(np.float32)
-    depths = np.full((n, h, w), 10.0, np.float32)
-    poses = np.zeros((n, 3, 6), np.float32)
-    for i in range(n):
-        poses[i, :, :3] = np.eye(3)
-        poses[i, 0, 3] = 0.02 * (i - n / 2)      # slight y translation
-        poses[i, 0, 4], poses[i, 1, 4] = h, w
-        poses[i, 2, 4] = 2.0 * max(h, w)          # focal
-        poses[i, 0, 5], poses[i, 1, 5] = w / 2 + 3.5, h / 2 - 2.25  # cx, cy
-    bds = np.tile(np.array([[8.0, 12.0]], np.float32), (n, 1))
-    return imgs, depths, poses, bds
+    return _ss(n, h, w, seed)
 
 
 def main():
