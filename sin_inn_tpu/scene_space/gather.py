@@ -254,7 +254,7 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
                  bds: np.ndarray, patch: int = 3,
                  sigma: Tuple[float, ...] = (40, 40, 40, 10, 10, 10, 6),
                  ref_frame: int = 0, window: str = "auto",
-                 row_chunk: int = 16, col_chunk: int = 112) -> jnp.ndarray:
+                 row_chunk: int = 32, col_chunk: int = 112) -> jnp.ndarray:
     """Denoise ``ref_frame`` by gathering across all views.
 
     imgs: (N, h, w, 3) float; depths: (N, h, w); poses: (N, 3, 5);
@@ -262,9 +262,17 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
 
     ``window``: 'auto' replaces the per-frame anchor gather with the
     windowed one-hot matmul read (:func:`_windowed_candidate_read`) when the
-    host-side cost model says it wins (measured 129 -> ~50 ms at the
+    host-side cost model says it wins (measured 129 -> 69 ms at the
     N=24 @ 480x640 bench scene); 'off' forces the exact gather; 'on' forces
     the windowed read (testing). Outputs agree to f32/bf16-pass rounding.
+
+    ``row_chunk=32`` is the measured optimum at the bench scene (86.6 /
+    72.8 / 69.1 / 76.6 ms at 8/16/32/64): smaller chunks cut the padded
+    contraction but double the block-scan step count, larger ones grow K
+    faster than they amortize. A bf16 compute mode was measured SLOWER
+    (72.3 vs 69.1 — cast overhead beats the traffic saving, the splat-einsum
+    record again) and NOT kept: value rounding also flips patch-frustum
+    side-plane signs, which are near zero by construction.
     """
     K, K_inv, c2w, w2c = unpack_matrices(poses)
     near, far = float(bds.min()), float(bds.max())
