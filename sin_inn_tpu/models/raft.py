@@ -377,6 +377,58 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
     return pyramid
 
 
+def pad_corr_pyramid(pyramid, r: int = CORR_RADIUS):
+    """Zero-pad every level for the patch-form lookup (once per pair —
+    lookup_corr runs every refinement iteration inside the lax.scan, so the
+    pad must not ride the loop). Pad width = the patch side (2r+2): a window
+    whose TRUE start is beyond ±pad is fully out of frame, and the clamped
+    slice then lands entirely inside the zero margin — reproducing the
+    official zero padding without per-tap validity masks."""
+    p = 2 * r + 2
+    return [jnp.pad(c[..., 0], ((0, 0), (p, p), (p, p))) for c in pyramid]
+
+
+def lookup_corr_padded(padded, coords: jnp.ndarray,
+                       r: int = CORR_RADIUS) -> jnp.ndarray:
+    """Patch-form correlation lookup on a :func:`pad_corr_pyramid` pyramid.
+
+    The official CorrBlock samples (2r+1)^2 bilinear taps per query from
+    that query's PRIVATE (h, w) correlation slice — per-point gathers that
+    serialize on TPU ((2r+1)^2 x levels x iters points). But the taps are a
+    contiguous patch at integer offsets around ONE float coordinate, so the
+    fractional bilinear weights are shared by all taps: ONE (2r+2)^2 integer
+    patch per query (a vmapped dynamic_slice = a gather of (2r+1)^2-fold
+    fewer points) followed by a separable 2-tap hat combine reproduces every
+    sample exactly. Channel order matches the official meshgrid(dy, dx)
+    quirk: x-offset slow / y-offset fast, levels coarse-last.
+    """
+    b, h, w, _ = coords.shape
+    n = 2 * r + 1
+    p = n + 1
+    flat = coords.reshape(b * h * w, 2)
+    out = []
+    for i, cpad in enumerate(padded):
+        q, hp2, wp2 = cpad.shape
+        hi, wi = hp2 - 2 * p, wp2 - 2 * p
+        c = flat / (2 ** i)
+        # clip before the int cast (huge/non-finite coords must not wrap);
+        # anything past the pad margin reads zeros either way
+        cx = jnp.clip(c[:, 0], -2.0 * p - wi, wi + 2.0 * p)
+        cy = jnp.clip(c[:, 1], -2.0 * p - hi, hi + 2.0 * p)
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0)[:, None, None]
+        fy = (cy - y0)[:, None, None]
+        ys = jnp.clip(y0.astype(jnp.int32) - r + p, 0, hp2 - p)
+        xs = jnp.clip(x0.astype(jnp.int32) - r + p, 0, wp2 - p)
+        patch = jax.vmap(lambda img, y, x: jax.lax.dynamic_slice(
+            img, (y, x), (p, p)))(cpad, ys, xs)              # (Q, p, p)
+        rows = patch[:, :-1, :] * (1 - fy) + patch[:, 1:, :] * fy
+        samp = rows[:, :, :-1] * (1 - fx) + rows[:, :, 1:] * fx  # (Q,[y],[x])
+        out.append(samp.transpose(0, 2, 1).reshape(b, h, w, n * n))
+    return jnp.concatenate(out, axis=-1)
+
+
 def lookup_corr(pyramid, coords: jnp.ndarray,
                 r: int = CORR_RADIUS) -> jnp.ndarray:
     """Sample a (2r+1)^2 neighborhood around ``coords`` at every level.
@@ -384,22 +436,10 @@ def lookup_corr(pyramid, coords: jnp.ndarray,
     coords: (B, H, W, 2) as (x, y) at 1/8 res. Returns (B, H, W, L*(2r+1)^2)
     with the official channel order: per level, x-offset slow / y-offset fast
     (the official meshgrid(dy, dx) quirk), levels concatenated coarse-last.
+    (Convenience form over :func:`lookup_corr_padded`; callers in a loop
+    should pad once via :func:`pad_corr_pyramid`.)
     """
-    b, h, w, _ = coords.shape
-    n = 2 * r + 1
-    offs = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    ox = jnp.broadcast_to(offs[:, None], (n, n))     # slow axis -> x offset
-    oy = jnp.broadcast_to(offs[None, :], (n, n))     # fast axis -> y offset
-    flat = coords.reshape(b * h * w, 1, 1, 2)
-    out = []
-    for i, corr in enumerate(pyramid):
-        cx = flat[..., 0] / (2 ** i) + ox
-        cy = flat[..., 1] / (2 ** i) + oy
-        # official bilinear_sampler: align_corners=True == raw pixel coords,
-        # zeros padding
-        samp = sample_bilinear(corr, cx, cy, padding="zeros")
-        out.append(samp.reshape(b, h, w, n * n))
-    return jnp.concatenate(out, axis=-1)
+    return lookup_corr_padded(pad_corr_pyramid(pyramid, r), coords, r)
 
 
 def _sep_conv_gru(p: Params, net: jnp.ndarray, inp: jnp.ndarray) -> jnp.ndarray:
@@ -530,7 +570,8 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     fenc = _small_encoder if small else _encoder
     fmaps = fenc(params, "fnet", jnp.concatenate([x1, x2], 0), "instance")
     fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
-    pyramid = build_corr_pyramid(fmap1, fmap2)
+    radius0 = S_CORR_RADIUS if small else CORR_RADIUS
+    pyramid = pad_corr_pyramid(build_corr_pyramid(fmap1, fmap2), radius0)
 
     if small:
         cnet = _small_encoder(params, "cnet", x1, "none")
@@ -547,7 +588,7 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     if small:
         def step(carry, _):
             net, coords1 = carry
-            corr = lookup_corr(pyramid, coords1, r=radius)
+            corr = lookup_corr_padded(pyramid, coords1, r=radius)
             flow = coords1 - coords0
             net, dflow = _small_update_block(params, net, inp, corr, flow)
             return (net, coords1 + dflow), None
@@ -558,7 +599,7 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
 
     def step(carry, _):
         net, coords1, _ = carry
-        corr = lookup_corr(pyramid, coords1)
+        corr = lookup_corr_padded(pyramid, coords1)
         flow = coords1 - coords0
         net, mask, dflow = _update_block(params, net, inp, corr, flow)
         # carry the mask (only the final iteration's is consumed) instead of
