@@ -421,8 +421,17 @@ def lookup_corr_padded(padded, coords: jnp.ndarray,
         fy = (cy - y0)[:, None, None]
         ys = jnp.clip(y0.astype(jnp.int32) - r + p, 0, hp2 - p)
         xs = jnp.clip(x0.astype(jnp.int32) - r + p, 0, wp2 - p)
-        patch = jax.vmap(lambda img, y, x: jax.lax.dynamic_slice(
-            img, (y, x), (p, p)))(cpad, ys, xs)              # (Q, p, p)
+        # ONE flat take_along_axis for all p*p patch cells: XLA's batched
+        # element gather runs ~10 ns/value on this chip, while a vmapped
+        # (p, p) dynamic_slice lowers ~3 us/SLICE and a per-row (1, p)
+        # slice form is worse still (both measured; CLAUDE.md round-4) —
+        # slice contiguity buys nothing, value count and the take_along
+        # lowering are what matter.
+        cells = (jnp.arange(p, dtype=jnp.int32)[:, None] * wp2
+                 + jnp.arange(p, dtype=jnp.int32)[None, :]).reshape(-1)
+        idx = (ys * wp2 + xs)[:, None] + cells[None]         # (Q, p*p)
+        patch = jnp.take_along_axis(cpad.reshape(q, hp2 * wp2), idx,
+                                    axis=1).reshape(q, p, p)
         rows = patch[:, :-1, :] * (1 - fy) + patch[:, 1:, :] * fy
         samp = rows[:, :, :-1] * (1 - fx) + rows[:, :, 1:] * fx  # (Q,[y],[x])
         out.append(samp.transpose(0, 2, 1).reshape(b, h, w, n * n))
