@@ -298,6 +298,19 @@ def test_corr_lookup_matches(torch_raft_and_params):
                                ref.permute(0, 2, 3, 1).numpy(),
                                atol=1e-4, rtol=1e-3)
 
+    # out-of-frame coordinates: the patch-form lookup's clamped-slice /
+    # zero-margin contract must reproduce the official zero padding for
+    # partially AND fully out-of-frame windows (incl. far-out coords whose
+    # clamped window must land wholly in the zero margin)
+    oob = coords.copy()
+    oob[0, 0, :4, 0] = np.array([-2.0, -40.0, 17.5, 300.0], np.float32)
+    oob[0, 0, 4:8, 1] = np.array([-3.25, -99.0, 16.2, 1e4], np.float32)
+    ref2 = CorrBlock(t1, t2)(torch.from_numpy(oob).permute(0, 3, 1, 2))
+    got2 = raft.lookup_corr(pyr, jnp.asarray(oob))
+    np.testing.assert_allclose(np.asarray(got2),
+                               ref2.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-4, rtol=1e-3)
+
 
 def test_full_flow_matches(torch_raft_and_params):
     model, params, _ = torch_raft_and_params
