@@ -74,9 +74,10 @@ def pack_frustum_corners(h: int, w: int, near: float, far: float,
     return jnp.stack(corners, axis=-2)  # (h, w, 8, 4)
 
 
-def _project(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+def _project(mat: jnp.ndarray, pts: jnp.ndarray,
+             precision=None) -> jnp.ndarray:
     """(4,4) @ (..., 4) -> (..., 4)."""
-    return jnp.einsum("ij,...j->...i", mat, pts)
+    return jnp.einsum("ij,...j->...i", mat, pts, precision=precision)
 
 
 def project_bounding_boxes(poses: np.ndarray, bds: np.ndarray, h: int,
@@ -114,6 +115,16 @@ def project_bounding_boxes(poses: np.ndarray, bds: np.ndarray, h: int,
     return jnp.stack([cy.min(-1), cx.min(-1), cy.max(-1), cx.max(-1)], -1)
 
 
+# Mirror-vs-graph anchor slack, px each side. gather_scene runs its box
+# projections at Precision.HIGHEST (true f32), so in-graph anchors differ
+# from this mirror's numpy f32 by accumulation-order ulps at most — a
+# round() flip at an exact .5 boundary is the worst case, and 3 px covers
+# several simultaneous flips. (With default-precision bf16-pass projections
+# the drift would scale ~4e-3 * |coord| — px-level at 1080p — which is why
+# the HIGHEST pin in gather_scene is load-bearing for this constant.)
+_WINDOW_MARGIN = 3
+
+
 def _host_window_geometry(poses: np.ndarray, bds: np.ndarray, h: int, w: int,
                           patch: int, ref_frame: int, row_chunk: int,
                           col_chunk: int, force: bool):
@@ -126,9 +137,10 @@ def _host_window_geometry(poses: np.ndarray, bds: np.ndarray, h: int, w: int,
     spread stays ~(chunk + true depth/parallax deviation) even at frame
     borders where the PER-FRAME spread blows up to |mean shift| (the clip
     pins anchors to 0 there). The in-graph per-block bases are exact mins;
-    only the static window SIZES come from this mirror, so a +-1 px
-    jnp-vs-numpy rounding flip (TPU matmuls run bf16 passes) is absorbed by
-    ``_WINDOW_MARGIN`` on each side.
+    only the static window SIZES come from this mirror, and the in-graph
+    projections run at HIGHEST precision so the residual drift is ulp-level
+    — absorbed by ``_WINDOW_MARGIN`` on each side. Keep this function in
+    lock-step with gather_scene's box math (both cite gather_3d.py:69-99).
     """
     m = patch
     if h < row_chunk or w < col_chunk:
@@ -169,9 +181,8 @@ def _host_window_geometry(poses: np.ndarray, bds: np.ndarray, h: int, w: int,
     spread_y = int((ayb.max((2, 4)) - ayb.min((2, 4))).max())
     spread_x = int((axb.max((2, 4)) - axb.min((2, 4))).max())
 
-    margin = 3                       # absorbs mirror-vs-graph rounding flips
-    k0 = spread_y + 1 + 2 * margin
-    kx0 = spread_x + 1 + 2 * margin
+    k0 = spread_y + 1 + 2 * _WINDOW_MARGIN
+    kx0 = spread_x + 1 + 2 * _WINDOW_MARGIN
     kw_, kxw = k0 + m - 1, kx0 + m - 1
     # (kxw > w is normal — absolute column anchors track the pixel index at
     # slope 1, so KX0 ~ col_chunk + deviation; the saving is in the rows.
@@ -280,15 +291,22 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
 
     cam_pts = pack_frustum_corners(h, w, near, far, patch)     # (h,w,8,4)
 
-    # reference-frame frustum corners in scene space (gather_3d.py:69-70)
+    # reference-frame frustum corners in scene space (gather_3d.py:69-70).
+    # The box projections run at HIGHEST precision (true f32): the windowed
+    # read's static window sizes come from a numpy mirror of this math, so
+    # the in-graph anchors must not drift by more than the _WINDOW_MARGIN
+    # from the mirror's — a default-precision bf16 pass errs ~4e-3 * |coord|
+    # (several px at 1080p scale), HIGHEST is ulp-level. The 4x4 dots are
+    # ~2 GFLOP at bench scale — invisible next to the candidate math.
+    prec = jax.lax.Precision.HIGHEST
     c2wK = jnp.asarray(c2w[ref_frame] @ K_inv)
-    scene_near = near * _project(c2wK, cam_pts[..., :4, :])
-    scene_far = far * _project(c2wK, cam_pts[..., 4:, :])
+    scene_near = near * _project(c2wK, cam_pts[..., :4, :], prec)
+    scene_far = far * _project(c2wK, cam_pts[..., 4:, :], prec)
     scene_pts = jnp.concatenate([scene_near, scene_far], axis=-2)  # (h,w,8,4)
 
     # project into every view (intended :71-72; see module docstring)
     Kw2c = jnp.asarray(K[None] @ w2c)                           # (N,4,4)
-    cam_in = jax.vmap(lambda M: _project(M, scene_pts))(Kw2c)   # (N,h,w,8,4)
+    cam_in = jax.vmap(lambda M: _project(M, scene_pts, prec))(Kw2c)  # (N,h,w,8,4)
     cam_in = cam_in / cam_in[..., 2:3]
     ci_y = jnp.clip(jnp.round(cam_in[..., 0]), 0, h - 1)
     ci_x = jnp.clip(jnp.round(cam_in[..., 1]), 0, w - 1)
@@ -406,10 +424,16 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
             t, img_f, depth_f, ymin_f, xmin_f, ymax_f, xmax_f, c2wK_f = inp
             g = read_exact(img_f, depth_f, ymin_f, xmin_f)
         else:
-            (t, planes_f, ay_f, ax_f, by_f, bx_f,
+            (t, img_f, depth_f, by_f, bx_f,
              ymin_f, xmin_f, ymax_f, xmax_f, c2wK_f) = inp
-            g = _windowed_candidate_read(planes_f, ay_f, ax_f, by_f, bx_f,
-                                         geo, m, h, w)
+            planes_f = jnp.concatenate([img_f, depth_f[..., None]], -1)
+            planes_f = jnp.pad(planes_f, ((0, geo["KW"]),
+                                          (0, geo["KXW"]), (0, 0)))
+            pad_f = ((0, geo["h_pad"] - h), (0, geo["w_pad"] - w))
+            g = _windowed_candidate_read(
+                planes_f, jnp.pad(ymin_f, pad_f, mode="edge"),
+                jnp.pad(xmin_f, pad_f, mode="edge"), by_f, bx_f,
+                geo, m, h, w)
         rgb, sc, valid = frame_candidates(g, ymin_f, xmin_f, ymax_f, xmax_f,
                                           c2wK_f)
         feats = jnp.concatenate(
@@ -427,21 +451,20 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
     else:
         hp, wp = geo["h_pad"], geo["w_pad"]
         sr, scb = hp // row_chunk, wp // col_chunk
-        planes_all = jnp.concatenate([imgs, depths[..., None]], -1)
-        planes_all = jnp.pad(planes_all, ((0, 0), (0, geo["KW"]),
-                                          (0, geo["KXW"]), (0, 0)))
         pad_hw = ((0, 0), (0, hp - h), (0, wp - w))
-        ay_all = jnp.pad(y_min, pad_hw, mode="edge")
-        ax_all = jnp.pad(x_min, pad_hw, mode="edge")
         # per-block anchor minima (exact, in-graph), block order == the
-        # read's row-major (sr, sc) to_chunks order
-        by_all = ay_all.reshape(n_frames, sr, row_chunk, scb, col_chunk
+        # read's row-major (sr, sc) to_chunks order; the edge-padded anchor
+        # maps themselves are rebuilt per frame inside step() so the scan
+        # carries no padded copies of the image/anchor payload
+        ay_pad = jnp.pad(y_min, pad_hw, mode="edge")
+        ax_pad = jnp.pad(x_min, pad_hw, mode="edge")
+        by_all = ay_pad.reshape(n_frames, sr, row_chunk, scb, col_chunk
                                 ).min((2, 4)).reshape(n_frames, sr * scb
                                                       ).astype(jnp.int32)
-        bx_all = ax_all.reshape(n_frames, sr, row_chunk, scb, col_chunk
+        bx_all = ax_pad.reshape(n_frames, sr, row_chunk, scb, col_chunk
                                 ).min((2, 4)).reshape(n_frames, sr * scb
                                                       ).astype(jnp.int32)
-        xs = (ts, planes_all, ay_all, ax_all, by_all, bx_all,
+        xs = (ts, imgs, depths, by_all, bx_all,
               y_min, x_min, y_max, x_max, c2wK_all)
     (wsum, rgb_accum), _ = jax.lax.scan(
         step, (jnp.zeros((h, w)), jnp.zeros((h, w, 3))), xs)
