@@ -9,6 +9,7 @@ geometric depth maps.
 
 from __future__ import annotations
 
+import logging
 import os
 import subprocess
 from typing import Optional
@@ -72,12 +73,25 @@ def load_colmap_data(realdir: str):
     h, w, f = cam.height, cam.width, cam.params[0]
     hwf = np.array([h, w, f]).reshape(3, 1)
     # principal point: SIMPLE_RADIAL params = [f, cx, cy, k],
-    # SIMPLE_PINHOLE = [f, cx, cy] (reference pose_utils.py:96-102); other
-    # models fall back to the image center rather than crashing
+    # SIMPLE_PINHOLE = [f, cx, cy], PINHOLE = [fx, fy, cx, cy] (reference
+    # pose_utils.py:96-102 handles PINHOLE with an fx==fy assert); other
+    # models fall back to the image center — LOUDLY, not silently
+    # (round-4 advisor finding)
     if cam.model in ("SIMPLE_RADIAL", "RADIAL", "SIMPLE_PINHOLE"):
         cx, cy = float(cam.params[1]), float(cam.params[2])
         k = float(cam.params[3]) if len(cam.params) > 3 else 0.0
+    elif cam.model == "PINHOLE":
+        fx, fy = float(cam.params[0]), float(cam.params[1])
+        if abs(fx - fy) > 1e-3 * max(abs(fx), 1.0):
+            logging.warning(
+                "PINHOLE camera has fx=%.4f != fy=%.4f; the single-focal "
+                "pose format uses fx (reference pose_utils.py asserts "
+                "fx == fy here)", fx, fy)
+        cx, cy, k = float(cam.params[2]), float(cam.params[3]), 0.0
     else:
+        logging.warning(
+            "camera model %r has no principal-point mapping; falling back "
+            "to the image center (w/2, h/2)", cam.model)
         cx, cy, k = w / 2.0, h / 2.0, 0.0
     cxcys = np.array([cx, cy, k]).reshape(3, 1)
 

@@ -816,8 +816,12 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
     mon_since = None
     # resume restores the all-time maxima with the bounds (see
     # _save_window_bounds): tighten decisions must respect pre-resume
-    # evidence or they churn
-    mon_hist: Dict = _load_window_hist(flow_ckpt_dir(cfg, scene), fh, fw)
+    # evidence or they churn. Only an ACTUAL resume (start_epoch > 0)
+    # restores them — a fresh run in a reused checkpoint dir (step_*
+    # deleted, sidecar left behind) must not inherit stale maxima that
+    # would block tightening for the whole run (round-4 advisor finding).
+    mon_hist: Dict = (_load_window_hist(flow_ckpt_dir(cfg, scene), fh, fw)
+                      if start_epoch > 0 else {})
     for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(cached))
         mon_epoch = []
