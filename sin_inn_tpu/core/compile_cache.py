@@ -43,9 +43,16 @@ def enable(cache_dir: str | None = None) -> bool:
         import hashlib
 
         try:
+            # include the MODEL lines, not just the feature flags: XLA adds
+            # LLVM tuning features derived from the CPU model (e.g.
+            # +prefer-no-gather on slow-gather parts) that two machines with
+            # identical flag lists can disagree on — loading such an entry
+            # emits "could lead to SIGILL" warnings (round-4 MULTICHIP tail)
             flags = "".join(sorted(
                 line for line in open("/proc/cpuinfo")
-                if line.startswith(("flags", "Features"))))
+                if line.startswith(("flags", "Features", "model name",
+                                    "vendor_id", "cpu family", "model\t",
+                                    "stepping"))))
         except OSError:
             import platform
 
@@ -65,3 +72,22 @@ def enable(cache_dir: str | None = None) -> bool:
         return True
     except Exception:
         return False
+
+
+def disable() -> None:
+    """Hard-disable the persistent cache for this process.
+
+    The driver's multichip dryrun calls this: its CPU AOT entries may be
+    read on a machine whose XLA target features differ at the LLVM tuning
+    level, and even with the model-scoped key a stale pre-key cache dir can
+    emit SIGILL-risk load warnings. The dryrun is a one-shot compile check —
+    a persistent cache buys it nothing."""
+    global _enabled
+    os.environ["SININN_COMPILE_CACHE"] = "0"
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
+    _enabled = False
