@@ -451,6 +451,74 @@ def lookup_corr(pyramid, coords: jnp.ndarray,
     return lookup_corr_padded(pad_corr_pyramid(pyramid, r), coords, r)
 
 
+def lookup_corr_matmul(pyramid, coords: jnp.ndarray,
+                       r: int = CORR_RADIUS,
+                       precision=None) -> jnp.ndarray:
+    """Bilinear corr lookup as two hat-weighted batched matmuls (no gather).
+
+    The take_along_axis patch form (:func:`lookup_corr_padded`) is
+    take-BOUND: ~10 ns/value x (2r+2)^2 x levels x iters serialized element
+    reads ≈ 330 of the 441.8 ms/pair (round-4 record). But the read is
+    separable bilinear sampling from each query's PRIVATE (hi, wi) slice —
+    exactly the structure ops/warp.py resample2d_windowed turns into
+    matmuls, batched over the query axis:
+
+      rows[p, a, :] = sum_k RA[p, a, k] * vol[p, k, :]
+      taps[p, a, b] = sum_j CB[p, b, j] * rows[p, a, j]
+
+    where RA/CB are 2-tap HAT row vectors ((1-f) at floor+offset, f at
+    floor+offset+1) built from iota comparisons — the bilinear weights are
+    FOLDED into the selection, so the (2r+1)^2 output needs no post-combine
+    and indices that fall outside the slice simply match no iota and read
+    EXACT ZEROS (the official zero-padding contract; this form needs no
+    padded pyramid copy at all). Per level the pair of einsums is a
+    batched (n, hi) @ (hi, wi) then (n, wi) @ (wi, n) contraction — dense
+    MXU/VPU work whose FLOPs (~2 GFLOP/iter at 440x1024) replace the
+    serialized take entirely. RAFT slices are small (55x128 at 1/8 res),
+    so windowing the contraction would save <2x FLOPs and add an anchor
+    control plane — the full-slice form is the measured winner
+    (docs/PERF.md round-5).
+
+    Exactness: the hat weights are exact f32; on TPU the einsum's default
+    single bf16 pass rounds the corr VALUES (~0.4% rel) — pass
+    ``precision=jax.lax.Precision.HIGHEST`` for true-f32 parity runs
+    (measured EPE impact of the default pass: see docs/PERF.md).
+
+    pyramid: the RAW (unpadded) :func:`build_corr_pyramid` output.
+    Returns (B, H, W, L*(2r+1)^2), official channel order (x slow/y fast).
+    """
+    b, h, w, _ = coords.shape
+    n = 2 * r + 1
+    flat = coords.reshape(b * h * w, 2)
+    out = []
+    for i, lvl in enumerate(pyramid):
+        q, hi, wi, _ = lvl.shape
+        vol = lvl[..., 0]                                 # (Q, hi, wi)
+        c = flat / (2 ** i)
+        # clip before the int cast (huge/non-finite coords must not wrap);
+        # anything outside [0, hi/wi) reads zeros via the iota compares
+        cx = jnp.clip(c[:, 0], -2.0 * n, wi + 2.0 * n)
+        cy = jnp.clip(c[:, 1], -2.0 * n, hi + 2.0 * n)
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0).astype(vol.dtype)[:, None, None]
+        fy = (cy - y0).astype(vol.dtype)[:, None, None]
+        offs = jnp.arange(n, dtype=jnp.int32) - r
+        ty = y0.astype(jnp.int32)[:, None] + offs[None]   # (Q, n)
+        tx = x0.astype(jnp.int32)[:, None] + offs[None]
+        ks = jnp.arange(hi, dtype=jnp.int32)
+        js = jnp.arange(wi, dtype=jnp.int32)
+        ra = ((ks[None, None] == ty[:, :, None]).astype(vol.dtype) * (1 - fy)
+              + (ks[None, None] == ty[:, :, None] + 1).astype(vol.dtype) * fy)
+        cb = ((js[None, None] == tx[:, :, None]).astype(vol.dtype) * (1 - fx)
+              + (js[None, None] == tx[:, :, None] + 1).astype(vol.dtype) * fx)
+        rows = jnp.einsum("pak,pkw->paw", ra, vol, precision=precision)
+        taps = jnp.einsum("pbw,paw->pab", cb, rows, precision=precision)
+        # official channel order: x-offset slow / y-offset fast
+        out.append(taps.transpose(0, 2, 1).reshape(b, h, w, n * n))
+    return jnp.concatenate(out, axis=-1)
+
+
 def _sep_conv_gru(p: Params, net: jnp.ndarray, inp: jnp.ndarray) -> jnp.ndarray:
     g = "update_block.gru"
     for suffix, pad in (("1", (0, 2)), ("2", (2, 0))):
@@ -556,9 +624,10 @@ def _coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.stack([xs, ys], axis=-1)[None], (b, h, w, 2))
 
 
-@partial(jax.jit, static_argnames=("iters", "variant"))
+@partial(jax.jit, static_argnames=("iters", "variant", "lookup"))
 def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
-              iters: int = 20, variant: str = "basic") -> jnp.ndarray:
+              iters: int = 20, variant: str = "basic",
+              lookup: str = "matmul") -> jnp.ndarray:
     """Flow from image1 to image2 at full resolution.
 
     image1/image2: (B, H, W, 3) in [0, 255], H and W multiples of 8 (use
@@ -568,7 +637,9 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     compiled step regardless of ``iters`` (the reference ran 20).
     ``variant`` selects the official model family: "basic" (SepConvGRU +
     convex upsampling) or "small" (SmallEncoder, plain ConvGRU, bilinear
-    upsampling, corr radius 3).
+    upsampling, corr radius 3). ``lookup``: "matmul" (hat-weighted batched
+    matmuls, :func:`lookup_corr_matmul` — the fast TPU form) or "take"
+    (the flat take_along_axis patch form; exact-gather reference).
     """
     small = variant == "small"
     x1 = 2.0 * (image1 / 255.0) - 1.0
@@ -580,7 +651,12 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     fmaps = fenc(params, "fnet", jnp.concatenate([x1, x2], 0), "instance")
     fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
     radius0 = S_CORR_RADIUS if small else CORR_RADIUS
-    pyramid = pad_corr_pyramid(build_corr_pyramid(fmap1, fmap2), radius0)
+    raw_pyramid = build_corr_pyramid(fmap1, fmap2)
+    if lookup == "matmul":
+        lookup_fn = partial(lookup_corr_matmul, raw_pyramid)
+    else:
+        padded = pad_corr_pyramid(raw_pyramid, radius0)
+        lookup_fn = partial(lookup_corr_padded, padded)
 
     if small:
         cnet = _small_encoder(params, "cnet", x1, "none")
@@ -597,7 +673,7 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     if small:
         def step(carry, _):
             net, coords1 = carry
-            corr = lookup_corr_padded(pyramid, coords1, r=radius)
+            corr = lookup_fn(coords1, r=radius)
             flow = coords1 - coords0
             net, dflow = _small_update_block(params, net, inp, corr, flow)
             return (net, coords1 + dflow), None
@@ -608,7 +684,7 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
 
     def step(carry, _):
         net, coords1, _ = carry
-        corr = lookup_corr_padded(pyramid, coords1)
+        corr = lookup_fn(coords1)
         flow = coords1 - coords0
         net, mask, dflow = _update_block(params, net, inp, corr, flow)
         # carry the mask (only the final iteration's is consumed) instead of

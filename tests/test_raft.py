@@ -311,6 +311,16 @@ def test_corr_lookup_matches(torch_raft_and_params):
                                ref2.permute(0, 2, 3, 1).numpy(),
                                atol=1e-4, rtol=1e-3)
 
+    # the matmul form (hat-weighted batched contractions, the fast TPU
+    # path raft_flow defaults to) must agree with the take form on the SAME
+    # coords — in-frame, boundary, and far-out-of-frame (its iota-compare
+    # zeros replace the padded margin) — to f32 einsum exactness on CPU
+    for cset in (coords, oob):
+        mm = raft.lookup_corr_matmul(pyr, jnp.asarray(cset))
+        tk = raft.lookup_corr(pyr, jnp.asarray(cset))
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(tk),
+                                   atol=1e-5, rtol=1e-5)
+
 
 def test_full_flow_matches(torch_raft_and_params):
     model, params, _ = torch_raft_and_params
