@@ -316,10 +316,11 @@ def test_corr_lookup_matches(torch_raft_and_params):
     # coords — in-frame, boundary, and far-out-of-frame (its iota-compare
     # zeros replace the padded margin) — to f32 einsum exactness on CPU
     for cset in (coords, oob):
-        mm = raft.lookup_corr_matmul(pyr, jnp.asarray(cset))
-        tk = raft.lookup_corr(pyr, jnp.asarray(cset))
-        np.testing.assert_allclose(np.asarray(mm), np.asarray(tk),
-                                   atol=1e-5, rtol=1e-5)
+        for r in (4, 3):        # basic and --small corr radii
+            mm = raft.lookup_corr_matmul(pyr, jnp.asarray(cset), r=r)
+            tk = raft.lookup_corr(pyr, jnp.asarray(cset), r=r)
+            np.testing.assert_allclose(np.asarray(mm), np.asarray(tk),
+                                       atol=1e-5, rtol=1e-5)
 
 
 def test_full_flow_matches(torch_raft_and_params):
