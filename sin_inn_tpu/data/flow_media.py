@@ -166,6 +166,33 @@ def generate_pseudo_gt(video: np.ndarray, producer, out_dir: str) -> np.ndarray:
     from sin_inn_tpu.data.flo import write_flo
 
     os.makedirs(out_dir, exist_ok=True)
+
+    # batched producers (producer.batch_pairs > 1, e.g. make_raft_producer):
+    # group consecutive pairs into one device call — per-call host<->device
+    # sync on the relayed TPU costs ~27 ms, ~35% of a 48 ms RAFT pair; the
+    # ragged tail is padded by repeating the last pair (one compiled shape)
+    bp = int(getattr(producer, "batch_pairs", 0) or 0)
+    if callable(producer) and bp > 1 and len(video) > 2:
+        flows = []
+        n_pairs = len(video) - 1
+        for s in range(0, n_pairs, bp):
+            f1s = video[s:min(s + bp, n_pairs)]
+            f2s = video[s + 1:min(s + bp, n_pairs) + 1]
+            pad = bp - len(f1s)
+            if pad:
+                f1s = np.concatenate([f1s, np.repeat(f1s[-1:], pad, 0)])
+                f2s = np.concatenate([f2s, np.repeat(f2s[-1:], pad, 0)])
+            fls = np.asarray(producer(f1s, f2s), np.float32)
+            if fls.shape != f1s.shape[:3] + (2,):
+                raise ValueError(
+                    f"batched producer returned {fls.shape}, want "
+                    f"{f1s.shape[:3] + (2,)}")
+            for k in range(len(f1s) - pad):
+                write_flo(path.join(out_dir, f"frame_{s + k + 1:04d}.flo"),
+                          fls[k])
+                flows.append(fls[k])
+        return np.stack(flows)
+
     flows = []
     for i in range(len(video) - 1):
         f1, f2 = video[i], video[i + 1]

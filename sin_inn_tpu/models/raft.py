@@ -713,24 +713,35 @@ def unpad(x: jnp.ndarray, pads) -> jnp.ndarray:
              l:x.shape[2] - r if r else None, :]
 
 
-def make_raft_producer(ckpt_path: str, iters: int = 20):
+def make_raft_producer(ckpt_path: str, iters: int = 20,
+                       batch_pairs: int = 4):
     """A pseudo-GT flow producer backed by this module.
 
     Returns a callable ``(frame1, frame2) -> (H, W, 2)`` (frames float [0,1])
     compatible with :func:`sin_inn_tpu.data.flow_media.generate_pseudo_gt` —
     the drop-in replacement for the reference's external RAFT run
-    (video-interpolation/data.py:32-62, 20 iterations there too). The model
+    (video-interpolation/data.py:32-62, 20 iterations there too). The
+    ``batch_pairs`` attribute lets ``generate_pseudo_gt`` stack that many
+    consecutive pairs per device call (relay-sync amortization). The model
     variant (basic / ``--small``) is auto-detected from the checkpoint.
     """
     params = load_torch_weights(ckpt_path)
     variant = detect_variant(params)
 
     def producer(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
-        f1 = jnp.asarray(frame1, jnp.float32)[None] * 255.0
-        f2 = jnp.asarray(frame2, jnp.float32)[None] * 255.0
+        # accepts one (H, W, 3) pair or a (B, H, W, 3) batch of pairs —
+        # generate_pseudo_gt batches `batch_pairs` consecutive pairs per
+        # device call to amortize the relayed-TPU per-call sync (~27 ms)
+        batched = np.asarray(frame1).ndim == 4
+        f1 = jnp.asarray(frame1, jnp.float32) * 255.0
+        f2 = jnp.asarray(frame2, jnp.float32) * 255.0
+        if not batched:
+            f1, f2 = f1[None], f2[None]
         f1, pads = pad_to_multiple(f1)
         f2, _ = pad_to_multiple(f2)
         flow = raft_flow(params, f1, f2, iters=iters, variant=variant)
-        return np.asarray(unpad(flow, pads)[0])
+        flow = unpad(flow, pads)
+        return np.asarray(flow if batched else flow[0])
 
+    producer.batch_pairs = batch_pairs
     return producer

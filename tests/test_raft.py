@@ -355,6 +355,24 @@ def test_producer_and_pseudo_gt(torch_raft_and_params, tmp_path):
     np.testing.assert_allclose(media2.flow, media.flow, atol=1e-3)
 
 
+def test_pseudo_gt_batched_matches_per_pair(torch_raft_and_params, tmp_path):
+    """batch_pairs > 1 stacks consecutive pairs into one device call
+    (relay-sync amortization); outputs must match the per-pair path exactly
+    (every norm in the model is per-sample), including the padded ragged
+    tail (5 pairs at batch 2)."""
+    _, _, ckpt = torch_raft_and_params
+    from sin_inn_tpu.data.flow_media import generate_pseudo_gt
+
+    rng = np.random.RandomState(4)
+    video = rng.rand(6, 64, 72, 3).astype(np.float32)
+    per_pair = raft.make_raft_producer(ckpt, iters=2, batch_pairs=1)
+    batched = raft.make_raft_producer(ckpt, iters=2, batch_pairs=2)
+    f_a = generate_pseudo_gt(video, per_pair, str(tmp_path / "a"))
+    f_b = generate_pseudo_gt(video, batched, str(tmp_path / "b"))
+    assert f_a.shape == f_b.shape == (5, 64, 72, 2)
+    np.testing.assert_allclose(f_b, f_a, atol=1e-4, rtol=1e-4)
+
+
 def test_load_rejects_wrong_shapes(tmp_path):
     sd = {"module.fnet.conv1.weight": torch.zeros(64, 3, 7, 7)}
     p = tmp_path / "bad.pth"
