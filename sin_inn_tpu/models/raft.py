@@ -641,6 +641,10 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     matmuls, :func:`lookup_corr_matmul` — the fast TPU form) or "take"
     (the flat take_along_axis patch form; exact-gather reference).
     """
+    if lookup not in ("matmul", "take"):
+        raise ValueError(f"lookup={lookup!r}: want 'matmul' or 'take' "
+                         "(a typo would silently fall back to the ~9x "
+                         "slower take path)")
     small = variant == "small"
     x1 = 2.0 * (image1 / 255.0) - 1.0
     x2 = 2.0 * (image2 / 255.0) - 1.0

@@ -757,8 +757,13 @@ def run_flow_train(cfg: FlowConfig, media=None, scene: str = "scene",
                    "ldy": cfg.splat_local_dy == "auto",
                    "ldx": cfg.splat_local_dx == "auto"}
     # a resumed run restores the bounds its probe/refit already derived
-    # (the sidecar rides the checkpoint directory; axes pinned NOW win)
-    cfg, _ = _load_window_bounds(cfg, flow_ckpt_dir(cfg, scene), fh, fw)
+    # (the sidecar rides the checkpoint directory; axes pinned NOW win).
+    # Only an ACTUAL resume (a step_* checkpoint exists) applies them: a
+    # fresh run in a reused dir (step_* deleted, sidecar left behind) must
+    # re-probe, not inherit the dead run's bounds — same rule as the
+    # monitor-history gating below (round-5 review)
+    if CheckpointStore(flow_ckpt_dir(cfg, scene)).latest_step() is not None:
+        cfg, _ = _load_window_bounds(cfg, flow_ckpt_dir(cfg, scene), fh, fw)
     cfg = _resolve_and_probe_splat_bounds(cfg, media, fh, fw)
     refit_on = (cfg.window_refit != "off" and any(auto_bounds.values())
                 and bool(cfg.splat_max_dy))

@@ -1,5 +1,7 @@
 """End-to-end flow train-step tests on tiny synthetic videos."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -635,6 +637,29 @@ def test_window_bounds_sidecar_roundtrip(tmp_path):
     cfg, found = _load_window_bounds(FlowConfig(), str(tmp_path / "x"),
                                      436, 1024)
     assert not found
+
+
+def test_fresh_train_ignores_stale_bounds_sidecar(tmp_path, rng):
+    """A fresh run in a reused checkpoint dir (step_* gone, sidecar left
+    behind) must re-probe, not inherit the dead run's bounds — the sidecar
+    only applies on an ACTUAL resume (round-5 review)."""
+    from sin_inn_tpu.data.flow_media import FlowMedia
+    from sin_inn_tpu.train.loop import (_save_window_bounds, flow_ckpt_dir,
+                                        run_flow_train)
+
+    video = rng.rand(3, 256, 128, 3).astype(np.float32)
+    base = tiny_cfg().replace(
+        epochs=4, checkpoints_dir=str(tmp_path / "ck"),
+        results_dir=str(tmp_path / "res"), val_iter=1000)
+    d = flow_ckpt_dir(base, "sc")
+    os.makedirs(d, exist_ok=True)
+    # a stale sidecar with bounds no probe of this video would derive
+    _save_window_bounds(d, base.replace(splat_max_dy=192, splat_max_dx=96,
+                                        splat_local_dy="off",
+                                        splat_local_dx="off"),
+                        256, 128)
+    out = run_flow_train(base, media=FlowMedia(video.copy()), scene="sc")
+    assert out["cfg"].splat_max_dy != 192    # re-derived, not inherited
 
 
 def test_inference_bounds_never_engage_auto_locals():
