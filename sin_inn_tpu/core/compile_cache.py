@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 _enabled = False
+_disabled = False    # process-local hard-off (disable()); NOT the env var
 
 
 def enable(cache_dir: str | None = None) -> bool:
@@ -19,6 +20,8 @@ def enable(cache_dir: str | None = None) -> bool:
     global _enabled
     if _enabled:
         return True
+    if _disabled:
+        return False
     env = os.environ.get("SININN_COMPILE_CACHE")
     if env == "0":
         return False
@@ -81,9 +84,15 @@ def disable() -> None:
     read on a machine whose XLA target features differ at the LLVM tuning
     level, and even with the model-scoped key a stale pre-key cache dir can
     emit SIGILL-risk load warnings. The dryrun is a one-shot compile check —
-    a persistent cache buys it nothing."""
-    global _enabled
-    os.environ["SININN_COMPILE_CACHE"] = "0"
+    a persistent cache buys it nothing.
+
+    Process-local: sets a module flag rather than mutating
+    SININN_COMPILE_CACHE in os.environ — an env mutation would leak the
+    opt-out to subprocesses (and later enable() calls) of a driver that
+    runs the dryrun as a preflight before real training (round-5 review).
+    """
+    global _enabled, _disabled
+    _disabled = True
     try:
         import jax
 

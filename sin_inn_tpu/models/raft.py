@@ -627,7 +627,7 @@ def _coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("iters", "variant", "lookup"))
 def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
               iters: int = 20, variant: str = "basic",
-              lookup: str = "matmul") -> jnp.ndarray:
+              lookup: str = "matmul", lookup_precision=None) -> jnp.ndarray:
     """Flow from image1 to image2 at full resolution.
 
     image1/image2: (B, H, W, 3) in [0, 255], H and W multiples of 8 (use
@@ -640,6 +640,10 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     upsampling, corr radius 3). ``lookup``: "matmul" (hat-weighted batched
     matmuls, :func:`lookup_corr_matmul` — the fast TPU form) or "take"
     (the flat take_along_axis patch form; exact-gather reference).
+    ``lookup_precision``: forwarded to :func:`lookup_corr_matmul` —
+    ``jax.lax.Precision.HIGHEST`` makes the matmul lookup ulp-exact vs
+    the take form on TPU at ~1.1x the default-precision cost (53.5 vs
+    48.1 ms/pair; docs/PERF.md), the fast option for fidelity runs.
     """
     if lookup not in ("matmul", "take"):
         raise ValueError(f"lookup={lookup!r}: want 'matmul' or 'take' "
@@ -657,7 +661,8 @@ def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     radius0 = S_CORR_RADIUS if small else CORR_RADIUS
     raw_pyramid = build_corr_pyramid(fmap1, fmap2)
     if lookup == "matmul":
-        lookup_fn = partial(lookup_corr_matmul, raw_pyramid)
+        lookup_fn = partial(lookup_corr_matmul, raw_pyramid,
+                            precision=lookup_precision)
     else:
         padded = pad_corr_pyramid(raw_pyramid, radius0)
         lookup_fn = partial(lookup_corr_padded, padded)

@@ -6,23 +6,20 @@ forced-CPU test backend), both torch-CPU replicas produce finite warm
 throughputs, and the flow path accepts the tuned defaults.
 """
 
-import importlib.util
 import os
 import sys
 
 import numpy as np
 import pytest
 
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from _load import load_script  # noqa: E402
+
 
 @pytest.fixture(scope="module")
 def bench():
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(root, "bench.py"))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["bench"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+    return load_script("bench.py")
 
 
 def test_bench_tpu_step_runs_tiny(bench):

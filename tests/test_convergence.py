@@ -143,18 +143,14 @@ def test_fixture_pad_covers_sampled_coords(kind, magnitude, monkeypatch):
 # ---------------------------------------------------------------------------
 
 def _parity_tool():
-    import importlib.util
     import os
     import sys
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "convergence_parity", os.path.join(root, "tools",
-                                           "convergence_parity.py"))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["convergence_parity"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from _load import load_script
+    return load_script("tools", "convergence_parity.py")
 
 
 def _parity_args(**kw):

@@ -25,13 +25,10 @@ import sys
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
-import importlib.util  # noqa: E402
+sys.path.insert(0, os.path.join(_ROOT, "tools"))
+from _load import load_script  # noqa: E402
 
-spec = importlib.util.spec_from_file_location(
-    "bench", os.path.join(_ROOT, "bench.py"))
-bench = importlib.util.module_from_spec(spec)
-sys.modules["bench"] = bench
-spec.loader.exec_module(bench)
+bench = load_script("bench.py")
 
 # (h, w, torch reps, torch steps-per-rep): /8-divisible ladder from the
 # round-2/3 common shape to the BASELINE.json 1080p north star

@@ -67,9 +67,16 @@ def run_raft(args) -> int:
     import goldens as G
 
     img1, img2 = G.raft_golden_inputs(variant)
-    flow = np.asarray(raft.raft_flow(params, jnp.asarray(img1),
-                                     jnp.asarray(img2), iters=args.iters,
-                                     variant=variant))
+    # fidelity diff: the matmul lookup at HIGHEST precision is ulp-exact vs
+    # the take form (tests/test_raft.py pins it) at ~9x the take speed —
+    # default-precision matmul would spend ~0.045 px of the 0.05 px budget
+    # on its own bf16-pass noise at 20 iters (round-5 review). On a CPU
+    # backend everything is f32-exact either way.
+    import jax
+
+    flow = np.asarray(raft.raft_flow(
+        params, jnp.asarray(img1), jnp.asarray(img2), iters=args.iters,
+        variant=variant, lookup_precision=jax.lax.Precision.HIGHEST))
     print(f"port flow @ {img1.shape[1]}x{img1.shape[2]}, {args.iters} iters:"
           f" mean |f| = {np.abs(flow).mean():.4f}, max |f| ="
           f" {np.abs(flow).max():.4f}")
