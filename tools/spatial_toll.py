@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--batch", type=int, default=3)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--local-dy", type=int, default=16)
+    ap.add_argument("--max-dy", type=int, default=64)
+    ap.add_argument("--max-dx", type=int, default=128)
+    ap.add_argument("--ab-only", action="store_true",
+                    help="only the matched non-spatial/spatial pair")
     args = ap.parse_args()
 
     from sin_inn_tpu.core import compile_cache
@@ -65,7 +69,7 @@ def main():
     def cfg_for(spatial: bool) -> FlowConfig:
         return FlowConfig(net="PFF", epochs=5000,
                           spatially_adaptive=spatial,
-                          splat_max_dy=64, splat_max_dx=128,
+                          splat_max_dy=args.max_dy, splat_max_dx=args.max_dx,
                           splat_local_dy=args.local_dy,
                           splat_local_dx="off",
                           compute_dtype="bfloat16", use_pallas="auto")
@@ -89,11 +93,16 @@ def main():
             for name, fn in saved.items():
                 setattr(C, name, fn)
 
-    out = {}
+    out = {"bounds": [args.max_dy, args.max_dx, args.local_dy]}
     out["A_nonspatial_ms"] = time_step(cfg_for(False), {})
     print(json.dumps(out), flush=True)
     out["B_full_spatial_ms"] = time_step(cfg_for(True), {})
     print(json.dumps(out), flush=True)
+    if args.ab_only:
+        out["toll_ms"] = round(
+            out["B_full_spatial_ms"] - out["A_nonspatial_ms"], 2)
+        print(json.dumps(out))
+        return
 
     no_update = lambda cfg, st, pl, t, hh, ww: st
     out["C_no_transition_ms"] = time_step(
