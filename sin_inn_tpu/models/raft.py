@@ -624,7 +624,8 @@ def _coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.stack([xs, ys], axis=-1)[None], (b, h, w, 2))
 
 
-@partial(jax.jit, static_argnames=("iters", "variant", "lookup"))
+@partial(jax.jit, static_argnames=("iters", "variant", "lookup",
+                                   "lookup_precision"))
 def raft_flow(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
               iters: int = 20, variant: str = "basic",
               lookup: str = "matmul", lookup_precision=None) -> jnp.ndarray:
