@@ -29,6 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _supports_host_callbacks() -> bool:
+    """jax.debug.print lowers to PJRT host send/recv callbacks, which the
+    axon relay backend (this environment's tunneled TPU) does not implement
+    — a program containing one fails with UNIMPLEMENTED at compile time.
+    The drift guard below degrades to silent on that backend (the CPU test
+    suite keeps exercising the loud path). The plugin registers its devices
+    as plain 'tpu', so detection goes through the PJRT platform_version
+    string (".. axon 0.1.0; ..") with the configured-platforms list as the
+    no-device fallback."""
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = str(getattr(jax.config, "jax_platforms", "") or "")
+    return "axon" not in version.lower()
+
+
 def unpack_matrices(poses: np.ndarray):
     """(N, 3, 5|6) poses -> (K, K_inv, c2w, w2c) (gather_3d.py:16-25).
 
@@ -482,15 +498,16 @@ def gather_scene(imgs: jnp.ndarray, depths: jnp.ndarray, poses: np.ndarray,
         # cond-gated debug.print (round-4 advisor finding).
         sy_g = (ayb.max((2, 4)) - ayb.min((2, 4))).max()
         sx_g = (axb.max((2, 4)) - axb.min((2, 4))).max()
-        jax.lax.cond(
-            (sy_g >= geo["K0"]) | (sx_g >= geo["KX0"]),
-            lambda: jax.debug.print(
-                "gather_scene WARNING: in-graph anchor spread (y={sy}, "
-                "x={sx}) reaches the static window (K0={k0}, KX0={kx0}) — "
-                "host mirror drift; candidates are being silently dropped. "
-                "Re-run with window='off'.",
-                sy=sy_g, sx=sx_g, k0=geo["K0"], kx0=geo["KX0"]),
-            lambda: None)
+        if _supports_host_callbacks():
+            jax.lax.cond(
+                (sy_g >= geo["K0"]) | (sx_g >= geo["KX0"]),
+                lambda: jax.debug.print(
+                    "gather_scene WARNING: in-graph anchor spread (y={sy}, "
+                    "x={sx}) reaches the static window (K0={k0}, "
+                    "KX0={kx0}) — host mirror drift; candidates are being "
+                    "silently dropped. Re-run with window='off'.",
+                    sy=sy_g, sx=sx_g, k0=geo["K0"], kx0=geo["KX0"]),
+                lambda: None)
         xs = (ts, imgs, depths, by_all, bx_all,
               y_min, x_min, y_max, x_max, c2wK_all)
     (wsum, rgb_accum), _ = jax.lax.scan(

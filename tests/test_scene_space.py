@@ -3,6 +3,7 @@
 import os
 import struct
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -183,6 +184,39 @@ def test_gather_windowed_matches_exact():
         gather_scene(jnp.asarray(i2), jnp.asarray(d2), p2, b2, window="on")
     with pytest.raises(ValueError, match="window"):
         gather_scene(ji, jd, poses, bds, window="bogus")
+
+
+def test_windowed_read_drift_guard_fires(monkeypatch, capfd):
+    """The in-graph drift guard (round-4 advisor finding) must warn LOUDLY
+    when the host mirror's static window no longer covers the in-graph
+    anchor spread. Simulate mirror drift by shrinking the mirror's window
+    to 1 offset slot: real anchors spread tens of px on the translated
+    scene, so the guard condition (spread >= K0) must hold and the
+    cond-gated jax.debug.print must emit. On the axon relay backend the
+    print is compiled out (_supports_host_callbacks — the relay PJRT has
+    no host send/recv); this test runs on the forced-CPU suite where the
+    loud path is active."""
+    from sin_inn_tpu.scene_space import gather as G
+
+    assert G._supports_host_callbacks()   # CPU backend keeps the guard on
+
+    imgs, depths, poses, bds = _translated_scene()
+    real = G._host_window_geometry
+
+    def shrunk(*a, **k):
+        geo = dict(real(*a, **k))
+        m = 3
+        geo["K0"], geo["KW"] = 1, m          # 1 row-offset slot
+        geo["KX0"], geo["KXW"] = 1, m        # 1 col-offset slot
+        return geo
+
+    monkeypatch.setattr(G, "_host_window_geometry", shrunk)
+    out = G.gather_scene(jnp.asarray(imgs), jnp.asarray(depths), poses, bds,
+                         window="on")
+    jax.block_until_ready(out)
+    jax.effects_barrier()
+    cap = capfd.readouterr()
+    assert "host mirror drift" in cap.out + cap.err
 
 
 def test_2d_boxes_match_numpy_rederivation(rng):
