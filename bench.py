@@ -92,6 +92,33 @@ def _spin_time() -> float:
     return time.perf_counter() - t0
 
 
+def _rgather_time() -> float:
+    """Random-access gather probe (~60-100 ms quiet): 2M random float32
+    reads over a 64 MB working set. Complements _spin_time: the shared
+    box's co-tenant can throttle memory-system LATENCY 2-4x while the
+    compute-bound spin probe reads dead quiet (measured 2026-08-21: the
+    identical numpy scene draw took 37-167 s across one day, spin quiet
+    throughout; sequential-copy bandwidth was ALSO steady — only
+    random-access latency tracked the swing). Annotated in the guard
+    metadata so a recorded ratio carries the evidence; not used for
+    retry-gating (the quiet reference drifts with the co-tenant)."""
+    import numpy as np
+
+    a = getattr(_rgather_time, "_a", None)
+    if a is None:
+        a = np.ones(16_000_000, np.float32)
+        rng = np.random.default_rng(0)
+        _rgather_time._a = a
+        _rgather_time._idx = rng.integers(0, a.size, 2_000_000)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        b = a[_rgather_time._idx]
+        best = min(best, time.perf_counter() - t0)
+        del b
+    return best
+
+
 def guarded_baseline(fn, max_tries: int = 3, threshold: float = 1.3,
                      retry_sleep: float = 30.0):
     """Run a torch-CPU baseline with a contention guard.
@@ -116,14 +143,20 @@ def guarded_baseline(fn, max_tries: int = 3, threshold: float = 1.3,
     meta = {"tries": 0, "contended": True, "spin_ratio": None,
             "spin_best_s": None, "quiet_ref_s": quiet_ref, "loadavg": None}
     value = None
+    mems = [_rgather_time()]
     for attempt in range(max_tries):
         s0 = _spin_time()
+        m0 = _rgather_time()
         value = fn()
         s1 = _spin_time()
+        m1 = _rgather_time()
         spins += [s0, s1]
+        mems += [m0, m1]
         ratio = max(s0, s1) / min(spins)
         meta.update(tries=attempt + 1, spin_ratio=round(ratio, 3),
                     spin_best_s=round(min(spins), 4),
+                    mem_ratio=round(max(m0, m1) / min(mems), 3),
+                    mem_best_s=round(min(mems), 4),
                     loadavg=[round(x, 2) for x in os.getloadavg()])
         if ratio < threshold and min(s0, s1) < threshold * quiet_ref:
             meta["contended"] = False
@@ -654,9 +687,9 @@ def main():
 
     if args.pipeline == "flow":
         dy = args.splat_max_dy or None
-        fps = bench_flow(min(args.batch, 3), 436, 1024, args.steps, args.net,
-                         dy, args.splat_chunk, args.splat_max_dx,
-                         args.flow_dtype)
+        fps = median3(lambda: bench_flow(
+            min(args.batch, 3), 436, 1024, args.steps, args.net,
+            dy, args.splat_chunk, args.splat_max_dx, args.flow_dtype))
         vs_baseline, bmeta = 0.0, None
         if not args.no_baseline:
             try:
@@ -673,8 +706,12 @@ def main():
         }))
         return
 
-    fps = bench_tpu(args.batch, args.height, args.width, args.steps,
-                    arch=args.arch)
+    # median-of-3 full draws for the RECORDED headline: one of six otherwise
+    # clean runs (2026-08-20) read its full-shape flow value 2x slow in a
+    # relay-degraded window while every other draw in the same process was
+    # normal — a single draw is not robust against per-window degradation
+    fps = median3(lambda: bench_tpu(args.batch, args.height, args.width,
+                                    args.steps, arch=args.arch))
 
     vs_baseline, bmeta = 0.0, None
     small_ratio, small_meta = None, None
@@ -709,10 +746,10 @@ def main():
         # the flow pipeline's numbers ride the same JSON line so the
         # recorded BENCH_r* carries both pipelines (VERDICT r2 weak #7)
         try:
-            out["flow_value"] = round(bench_flow(
+            out["flow_value"] = round(median3(lambda: bench_flow(
                 min(args.batch, 3), 436, 1024, args.steps, args.net,
                 args.splat_max_dy or None, args.splat_chunk,
-                args.splat_max_dx, args.flow_dtype), 3)
+                args.splat_max_dx, args.flow_dtype)), 3)
             out["flow_unit"] = "frames/sec/chip (436x1024 INR step)"
             if not args.no_baseline:
                 # best-of-4 torch draws: best-of-2 left a measured 35%-slow
